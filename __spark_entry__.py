@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship query (votes-per-candidate tally, the
+reference's core query per SURVEY.md §2.4) on /root/testdata/sf0.001.
+
+`queries()` / `oracle_sql()` — every operator key registered in
+realtimevotingdataengineer_spark.registry (SURVEY.md §2 parity surface +
+the training-data-pipeline extensions), each with its DuckDB oracle twin
+unless the op is not SQL-expressible (mapInPandas stages).
 """
 
 from __future__ import annotations
@@ -13,26 +15,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import realtimevotingdataengineer_spark.operators  # noqa: F401  (registers all keys)
+from realtimevotingdataengineer_spark.operators.relational import agg_votes_per_candidate
+from realtimevotingdataengineer_spark.registry import ORACLES, QUERIES
+from realtimevotingdataengineer_spark.sources.tables import Tables
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return agg_votes_per_candidate(Tables(spark, "/root/testdata/sf0.001"))
+
+
+def _bind(fn):
+    return lambda spark, sf_dir: fn(Tables(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
+    return {key: _bind(fn) for key, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI-SQL twin for each queries() key (where
+    SQL-expressible; mapInPandas ops are rows-only checked)."""
+    return dict(ORACLES)

@@ -1,0 +1,124 @@
+"""Engine scalar-function library (SURVEY.md §2.9).
+
+Everything here is a *column expression builder* — JVM-side, codegen'd,
+no Python UDFs. Two design rules make results oracle-comparable and
+cluster-deterministic:
+
+1. **Exact money math**: double sums are order-dependent, and a 1000-way
+   parallel sum would differ run-to-run. All monetary/qty aggregates cast
+   to DECIMAL first (exact, associative), then cast the final result back
+   to double. Identical results on 1 core or 1000 executors.
+2. **Portable hashing**: where an operator needs a hash that a plain-SQL
+   oracle must reproduce (minhash, simhash, fingerprints), use md5 (both
+   Spark and ANSI-ish engines have it), never xxhash64/crc32.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Round-robin party list, reference main.py:8.
+PARTIES = ["Management_Party", "Savior_Party", "Tech_Republic_Party"]
+
+#: Event-time format used on the wire, reference voting.py:101.
+TIME_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def dec(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
+    """Cast to an exact decimal for associative (parallel-safe) arithmetic."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def money_sum(col: Column | str, alias: str, precision: int = 18, scale: int = 2) -> Column:
+    """Exact sum of a money-like double column, returned as double.
+
+    DECIMAL addition is associative ⇒ the same answer regardless of
+    partitioning/combine order — required both for the DuckDB oracle
+    hash-match and for run-to-run stability on a real cluster.
+    """
+    return F.sum(dec(col, precision, scale)).cast("double").alias(alias)
+
+
+def disc_price() -> Column:
+    """l_extendedprice * (1 - l_discount), exact decimal.
+
+    discount/tax are 2-decimal rates in this schema, so DECIMAL(4,2)
+    captures them exactly and keeps the product scale at 4 — small
+    scales matter: the final sum→double cast is then a single correctly
+    rounded conversion in every engine (a scale-14 decimal would hit
+    DuckDB's double-rounding on int128→double)."""
+    return dec("l_extendedprice", 15, 2) * (dec(F.lit(1), 4, 2) - dec("l_discount", 4, 2))
+
+
+def charge() -> Column:
+    """l_extendedprice * (1 - l_discount) * (1 + l_tax), exact decimal,
+    final scale 6. Mirrors operators/tpch.py:_CH digit-for-digit."""
+    return dec(disc_price(), 21, 4) * (dec(F.lit(1), 4, 2) + dec("l_tax", 4, 2))
+
+
+def round_robin(index: Column, choices: list[str]) -> Column:
+    """``choices[index % len(choices)]`` — reference main.py:80 party assignment."""
+    return F.element_at(
+        F.array(*[F.lit(c) for c in choices]),
+        (F.pmod(index, F.lit(len(choices))) + 1).cast("int"),
+    )
+
+
+def event_time_str(ts: Column | str) -> Column:
+    """UTC 'yyyy-MM-dd HH:mm:ss' string — the wire format of voting_time."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.date_format(c, TIME_FMT)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for fingerprinting/dedup: lower, collapse
+    whitespace, trim. Pure built-ins → whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of already-normalized text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(normalize_text(c), " ")
+
+
+def md5_hex(col: Column) -> Column:
+    return F.md5(col)
+
+
+# ---------------------------------------------------------------------------
+# Embedding math — explicit left-associated chains so the IEEE evaluation
+# order is pinned and a SQL oracle that writes the same chain gets the
+# bitwise-identical double. (F.aggregate would also be sequential, but an
+# explicit chain is provably the same shape as the SQL text we emit.)
+# ---------------------------------------------------------------------------
+
+def dot_expr(a: str, b: str, dim: int) -> Column:
+    """Σ a[i]*b[i] as a fixed left-assoc double chain over `dim` elements."""
+    terms = [
+        F.element_at(F.col(a), i).cast("double") * F.element_at(F.col(b), i).cast("double")
+        for i in range(1, dim + 1)
+    ]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
+def norm_expr(a: str, dim: int) -> Column:
+    """L2 norm with the same pinned evaluation order."""
+    return F.sqrt(dot_expr(a, a, dim))
+
+
+def dot_sql(a: str, b: str, dim: int) -> str:
+    """The SQL twin of :func:`dot_expr` (1-based list indexing, DuckDB/ANSI)."""
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+    )
+
+
+def norm_sql(a: str, dim: int) -> str:
+    return f"sqrt({dot_sql(a, a, dim)})"

@@ -1,0 +1,287 @@
+"""Deduplication operators over ``documents`` / ``embeddings``.
+
+The reference's dedup is one-vote-per-voter via a DB UNIQUE constraint
+(main.py:55, voting.py:112-126) — generalized here to the corpus-dedup
+family a 100 TB training-data pipeline needs: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine.
+
+Scale design notes:
+- exact dedup: hash-partition on fingerprint; one shuffle, no skew
+  (md5 keys are uniform).
+- MinHash/LSH: the candidate join is on (band, band_value) — bounded
+  buckets, no O(n²); signature computation is a narrow explode+groupBy.
+- n-gram Jaccard: the token self-join must cap document frequency at
+  scale (drop grams with df > cap) or hot grams explode the join; at the
+  oracle SF the vocabulary is tiny so the cap is deliberately off and the
+  same semantics run on both engines.
+- embedding cosine: brute-force O(n²) is the verification baseline only;
+  the scale path is LSH/IVF bucketing (similarity.py).
+
+All hashing is md5 (portable to the DuckDB oracle); all float chains are
+left-associated identically in both engines (functions.dot_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import dot_expr, dot_sql, norm_expr, norm_sql, normalize_text, tokens
+from ..registry import register
+from ..sources.tables import Tables
+
+#: Jaccard threshold for near-dup pairs (bigram sets).
+JACCARD_THETA = 0.85
+#: MinHash signature length and LSH band width (k rows → k/2 bands).
+MINHASH_K = 8
+#: Verified-jaccard threshold for LSH candidates (unigram sets).
+LSH_THETA = 0.9
+#: Cosine threshold for embedding "near-dup" pairs. The synthetic
+#: embeddings have no planted duplicates (max pairwise cosine ≈ 0.51),
+#: so the threshold selects the top tail rather than true dups.
+COSINE_THETA = 0.4
+EMB_DIM = 64
+
+_TOKENS_SQL = r"str_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+
+
+@register(
+    "dedup_exact",
+    r"SELECT doc_id, lang, source FROM ("
+    r"SELECT doc_id, lang, source, row_number() OVER ("
+    r"PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) "
+    r"ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1",
+)
+def dedup_exact(t: Tables) -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint, keeping the lowest
+    doc_id per group (deterministic survivor). One hash-partition shuffle
+    on a uniform md5 key — no skew at any scale."""
+    w = F.row_number().over(
+        Window.partitionBy(F.md5(normalize_text("text"))).orderBy("doc_id")
+    )
+    return (
+        t.documents.select("doc_id", "lang", "source", "text")
+        .withColumn("rn", w)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+_BIGRAMS_SQL = (
+    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+    "grams AS (SELECT DISTINCT doc_id, g FROM tk, "
+    "(SELECT 1) _dummy, LATERAL unnest(list_transform(range(1, len(tk)), "
+    "i -> tk[i] || ' ' || tk[i+1])) AS u(g)), "
+    "counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+    "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c "
+    "FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _BIGRAMS_SQL
+    + "SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard "
+    "FROM common JOIN counts na ON common.doc_a = na.doc_id "
+    "JOIN counts nb ON common.doc_b = nb.doc_id "
+    f"WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= {JACCARD_THETA}",
+)
+def dedup_ngram_jaccard(t: Tables) -> DataFrame:
+    """Near-dup pairs by word-bigram Jaccard ≥ θ, via the relational
+    inverted-index formulation: distinct (doc, gram) → self-join on gram →
+    common counts → |A∩B| / (|A|+|B|-|A∩B|). At 100 TB add a gram-df cap
+    before the self-join (stop-gram removal) to bound skew."""
+    tk = t.documents.select("doc_id", tokens("text").alias("tk"))
+    grams = (
+        tk.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("tk", i), F.element_at("tk", i + 1)
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    counts = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    common = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = counts.alias("na")
+    nb = counts.alias("nb")
+    jac = F.col("c").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("c"))
+    return (
+        common.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THETA)
+    )
+
+
+_MINHASH_SQL = (
+    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+    "toks AS (SELECT DISTINCT doc_id, u.tok FROM tk, LATERAL unnest(tk) AS u(tok)), "
+    f"sig AS (SELECT doc_id, s.i, min(md5('s' || CAST(s.i AS VARCHAR) || ':' || tok)) AS mh "
+    f"FROM toks, (SELECT unnest(range(0, {MINHASH_K})) AS i) s GROUP BY doc_id, s.i), "
+    "bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band, "
+    "max(CASE WHEN i % 2 = 0 THEN mh END) || max(CASE WHEN i % 2 = 1 THEN mh END) AS bv "
+    "FROM sig GROUP BY doc_id, CAST(i // 2 AS INT)), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
+    "JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id), "
+    "counts AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), "
+    "common AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c "
+    "FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id "
+    "JOIN cand ON cand.doc_a = x.doc_id AND cand.doc_b = y.doc_id GROUP BY 1, 2) "
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    _MINHASH_SQL
+    + "SELECT common.doc_a, common.doc_b, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard "
+    "FROM common JOIN counts na ON common.doc_a = na.doc_id "
+    "JOIN counts nb ON common.doc_b = nb.doc_id "
+    f"WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= {LSH_THETA}",
+)
+def dedup_minhash_lsh(t: Tables) -> DataFrame:
+    """MinHash(k=8) + LSH(4 bands × 2 rows) near-dup detection, candidates
+    verified with exact unigram Jaccard ≥ θ. The banded join touches only
+    colliding buckets — the O(n²) pair space is never materialized. md5
+    signature hashing keeps the oracle bit-identical."""
+    tk = t.documents.select("doc_id", tokens("text").alias("tk"))
+    toks = tk.select("doc_id", F.explode("tk").alias("tok")).distinct()
+    sig = (
+        toks.select("doc_id", "tok", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("i"))
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.concat(F.lit("s"), F.col("i").cast("string"), F.lit(":"), F.col("tok"))).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = sig.groupBy(
+        "doc_id", F.floor(F.col("i") / 2).cast("int").alias("band")
+    ).agg(
+        F.concat(
+            F.max(F.when(F.col("i") % 2 == 0, F.col("mh"))),
+            F.max(F.when(F.col("i") % 2 == 1, F.col("mh"))),
+        ).alias("bv")
+    )
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bv") == F.col("bb.bv"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+        .alias("cand")
+    )
+    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = toks.alias("x")
+    y = toks.alias("y")
+    common = (
+        x.join(y, (F.col("x.tok") == F.col("y.tok")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .join(
+            cand,
+            (F.col("cand.doc_a") == F.col("x.doc_id")) & (F.col("cand.doc_b") == F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = counts.alias("na")
+    nb = counts.alias("nb")
+    jac = F.col("c").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("c"))
+    return (
+        common.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= LSH_THETA)
+    )
+
+
+_SIMHASH_SQL = (
+    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+    "toks AS (SELECT DISTINCT doc_id, u.tok FROM tk, LATERAL unnest(tk) AS u(tok)), "
+    "bits AS (SELECT doc_id, s.i, sum(CASE WHEN substr(md5(tok), s.i + 1, 1) IN "
+    "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS bal "
+    "FROM toks, (SELECT unnest(range(0, 32)) AS i) s GROUP BY doc_id, s.i) "
+    "SELECT doc_id, CAST(sum(CASE WHEN bal > 0 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) "
+    "AS BIGINT) AS simhash FROM bits GROUP BY doc_id"
+)
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(t: Tables) -> DataFrame:
+    """32-bit SimHash per document: bit i follows the sign of the balance
+    of md5-nibble-MSBs over the distinct token set. Near-dup = small
+    hamming distance (pair scan via bit_count(xor) — the per-doc signature
+    here is the shuffle-free part that matters at scale)."""
+    tk = t.documents.select("doc_id", tokens("text").alias("tk"))
+    toks = tk.select("doc_id", F.explode("tk").alias("tok")).distinct()
+    bits = (
+        toks.select("doc_id", F.md5("tok").alias("h"), F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i"))
+        .select(
+            "doc_id",
+            "i",
+            F.when(
+                F.substring(F.col("h"), F.col("i") + 1, 1).isin(
+                    "8", "9", "a", "b", "c", "d", "e", "f"
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("v"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.sum("v").alias("bal"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("bal") > 0, F.pow(F.lit(2), F.col("i")).cast("bigint")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+    f"({dot_sql('a.embedding', 'b.embedding', EMB_DIM)}) / "
+    f"(({norm_sql('a.embedding', EMB_DIM)}) * ({norm_sql('b.embedding', EMB_DIM)})) AS cosine "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    f"WHERE ({dot_sql('a.embedding', 'b.embedding', EMB_DIM)}) / "
+    f"(({norm_sql('a.embedding', EMB_DIM)}) * ({norm_sql('b.embedding', EMB_DIM)})) "
+    f">= {COSINE_THETA}",
+)
+def dedup_embedding_cosine(t: Tables) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ θ over the full pair space.
+    Brute-force baseline (O(n²) — fine at verification SF); the scale
+    path buckets by LSH/IVF first (see similarity.py). The dot/norm chains
+    are order-pinned so the oracle result is bitwise identical."""
+    a = t.embeddings.alias("a")
+    b = t.embeddings.alias("b")
+    cos = dot_expr("a.embedding", "b.embedding", EMB_DIM) / (
+        norm_expr("a.embedding", EMB_DIM) * norm_expr("b.embedding", EMB_DIM)
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THETA)
+    )

@@ -1,0 +1,139 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: store the raw bytes as a
+``binary`` column next to a typed metadata struct; decode / resize /
+frame-sample run as Arrow-batched ``mapInPandas`` stages so bytes never
+round-trip through Python row-by-row, and partitioning stays byte-size
+aware (``spark.sql.files.maxPartitionBytes``).
+
+The container has no image/audio codecs, so the decode kernel is a
+deterministic stub (clearly marked); the Spark-side plumbing — schema,
+batch shape, UDF signature, partition behavior — is real and tested
+(tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..registry import register
+from ..sources.tables import Tables
+
+#: Output schema of the frame-sampling stage: one row per sampled frame.
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+        StructField("frame_meta", StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("content_len", LongType()),
+        StructField("feature", ArrayType(IntegerType())),
+    ]
+)
+
+
+@register(
+    "mm_ingest",
+    "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS content_len, "
+    "md5(text) AS content_md5, lang AS meta_lang, source AS meta_source FROM documents",
+)
+def mm_ingest(t: Tables) -> DataFrame:
+    """Ingest opaque payloads as binary + typed metadata. ``documents.text``
+    stands in for the raw media bytes (no codecs in this container); the
+    binary column, length and content hash are computed JVM-side."""
+    content = F.encode(F.col("text"), "UTF-8")
+    return t.documents.select(
+        "doc_id",
+        F.octet_length(content).cast("bigint").alias("content_len"),
+        F.md5(content).alias("content_md5"),
+        F.col("lang").alias("meta_lang"),
+        F.col("source").alias("meta_source"),
+    )
+
+
+def multimodal_table(t: Tables) -> DataFrame:
+    """The canonical multimodal layout: (id, content binary, meta struct)."""
+    return t.documents.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+            F.col("n_chars").alias("n_bytes"),
+            F.lit("text/plain").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def _decode_stub(payload: bytes) -> bytes:
+    """STUB decode kernel. A real deployment plugs a codec (PIL/ffmpeg/...)
+    in here; the container has none, so this is a deterministic fake that
+    preserves the batch/shape contract."""
+    return payload  # identity "decode"
+
+
+def sample_frames(mm: DataFrame, every: int = 64, max_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage: for each payload emit ≤ ``max_frames`` chunks
+    of ``every`` bytes ("frames"). Arrow-batched mapInPandas — the bytes
+    stay in columnar batches; no per-row Python dispatch."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                decoded = _decode_stub(bytes(content))
+                for frame_no in range(min(max_frames, (len(decoded) + every - 1) // every)):
+                    chunk = decoded[frame_no * every : (frame_no + 1) * every]
+                    rows.append(
+                        (doc_id, frame_no, chunk, f'{{"len":{len(chunk)},"codec":"stub"}}')
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame_bytes", "frame_meta"])
+
+    return mm.select("doc_id", "content").mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def extract_features(mm: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature-extraction stage (stubbed): deterministic byte-histogram
+    "embedding" per payload, Arrow-batched."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "content_len": [], "feature": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                data = bytes(content)
+                hist = [0] * dim
+                for byte in data:
+                    hist[byte % dim] += 1
+                out["doc_id"].append(doc_id)
+                out["content_len"].append(len(data))
+                out["feature"].append(hist)
+            yield pd.DataFrame(out)
+
+    return mm.select("doc_id", "content").mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+@register("mm_frame_sample")  # no SQL oracle: mapInPandas stage → rows-only check
+def mm_frame_sample(t: Tables) -> DataFrame:
+    """Frame sampling over the multimodal table (stub codec). Registered
+    without an oracle: the kernel is not SQL-expressible; pytest covers
+    the exact chunk semantics."""
+    return sample_frames(multimodal_table(t))

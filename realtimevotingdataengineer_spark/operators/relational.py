@@ -1,0 +1,518 @@
+"""Reference-parity relational operators (SURVEY.md §2.1–§2.7).
+
+Each key maps a capability of jeremyprodata/RealTimeVotingDataEngineer
+(cited file:line into /root/reference) onto the driver's star schema:
+the 3-row candidates dimension ⇔ a 3-row slice of `nation`; the vote
+fact stream ⇔ `events` (ts/event_type/value ⇔ voting_time/candidate_id/
+vote); voters ⇔ `customer`.
+
+Scale notes are attached per operator: which side broadcasts, where the
+shuffle lands, and why the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import PARTIES, TIME_FMT, dec, event_time_str, money_sum, round_robin
+from ..registry import register
+from ..sources.tables import Tables
+
+PARTY_CASE_SQL = (
+    "CASE CAST(c_custkey % 3 AS INT) "
+    "WHEN 0 THEN 'Management_Party' WHEN 1 THEN 'Savior_Party' "
+    "ELSE 'Tech_Republic_Party' END"
+)
+
+
+def candidates_dim(t: Tables) -> DataFrame:
+    """3-row candidates dimension (reference main.py:18-27, 3 rows seeded
+    round-robin over PARTIES at main.py:80,181). Modeled as the first 3
+    nations; always broadcast — it can never be large by construction."""
+    return (
+        t.nation.filter(F.col("n_nationkey") < 3)
+        .select(
+            F.col("n_nationkey").cast("int").alias("candidate_key"),
+            F.col("n_name").alias("candidate_name"),
+            round_robin(F.col("n_nationkey").cast("bigint"), PARTIES).alias("party_affiliation"),
+        )
+    )
+
+
+CANDIDATES_SQL = (
+    "SELECT CAST(n_nationkey AS INT) AS candidate_key, n_name AS candidate_name, "
+    "CASE CAST(n_nationkey % 3 AS INT) WHEN 0 THEN 'Management_Party' "
+    "WHEN 1 THEN 'Savior_Party' ELSE 'Tech_Republic_Party' END AS party_affiliation "
+    "FROM nation WHERE n_nationkey < 3"
+)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 sources / scans
+# ---------------------------------------------------------------------------
+
+@register("scan_table_full", "SELECT r_regionkey, r_name FROM region")
+def scan_table_full(t: Tables) -> DataFrame:
+    """Full dimension scan — reference ``SELECT * FROM candidates``
+    (main.py:170-175). Parquet scan; column pruning via ReadSchema."""
+    return t.region.select("r_regionkey", "r_name")
+
+
+@register("agg_count_rows", "SELECT count(*) AS cnt FROM orders")
+def agg_count_rows(t: Tables) -> DataFrame:
+    """Existence/count check (main.py:175-179, voting.py:66-69).
+    Partial counts combine map-side; one-row shuffle at any scale."""
+    return t.orders.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register("pred_empty_check", "SELECT (count(*) > 0) AS has_rows FROM nation")
+def pred_empty_check(t: Tables) -> DataFrame:
+    """Empty-input guard (voting.py:69-72): hard-fail if no candidates."""
+    return t.nation.agg((F.count(F.lit(1)) > 0).alias("has_rows"))
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / scalar expressions / predicates
+# ---------------------------------------------------------------------------
+
+@register(
+    "proj_field_map",
+    "SELECT c_custkey AS voter_key, c_name AS voter_name, c_mktsegment AS segment "
+    "FROM customer",
+)
+def proj_field_map(t: Tables) -> DataFrame:
+    """Pick-and-rename projection (main.py:77-84, 95-114: randomuser JSON →
+    record shape). Pure narrow op — no shuffle, prunes the scan."""
+    return t.customer.select(
+        F.col("c_custkey").alias("voter_key"),
+        F.col("c_name").alias("voter_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@register(
+    "expr_concat",
+    "SELECT c_custkey, concat_ws(' ', c_name, c_mktsegment) AS display_name FROM customer",
+)
+def expr_concat(t: Tables) -> DataFrame:
+    """String concat — full-name/street assembly (main.py:79,97,103)."""
+    return t.customer.select(
+        "c_custkey",
+        F.concat_ws(" ", F.col("c_name"), F.col("c_mktsegment")).alias("display_name"),
+    )
+
+
+@register(
+    "expr_mod_roundrobin",
+    f"SELECT c_custkey, {PARTY_CASE_SQL} AS party_affiliation FROM customer",
+)
+def expr_mod_roundrobin(t: Tables) -> DataFrame:
+    """Round-robin assignment ``PARTIES[i % 3]`` (main.py:80)."""
+    return t.customer.select(
+        "c_custkey",
+        round_robin(F.col("c_custkey"), PARTIES).alias("party_affiliation"),
+    )
+
+
+@register(
+    "expr_literal",
+    "SELECT r_regionkey, 1 AS vote, 'A brief bio of the candidate.' AS biography FROM region",
+)
+def expr_literal(t: Tables) -> DataFrame:
+    """Constant columns ``vote = 1`` (voting.py:102), literal bio (main.py:81)."""
+    return t.region.select(
+        "r_regionkey",
+        F.lit(1).alias("vote"),
+        F.lit("A brief bio of the candidate.").alias("biography"),
+    )
+
+
+@register(
+    "expr_now_fmt",
+    "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS voting_time_str FROM events",
+)
+def expr_now_fmt(t: Tables) -> DataFrame:
+    """Event-time string stamping, 'yyyy-MM-dd HH:mm:ss' UTC (voting.py:101).
+
+    Deterministic twin: formats the event's own timestamp rather than
+    current_timestamp() so the oracle can reproduce it."""
+    return t.events.select("event_id", event_time_str("ts").alias("voting_time_str"))
+
+
+@register(
+    "expr_ts_convert",
+    "SELECT event_id, strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') "
+    "AS voting_time FROM events",
+)
+def expr_ts_convert(t: Tables) -> DataFrame:
+    """String→timestamp coercion (the truncated tutorial step,
+    spark-streaming.py:77: « convertir l'horodatage du vote »)."""
+    return t.events.select(
+        "event_id",
+        F.to_timestamp(event_time_str("ts"), TIME_FMT).alias("voting_time"),
+    )
+
+
+@register(
+    "proj_struct_build",
+    "SELECT c_custkey, to_json(struct_pack(street := c_name, city := c_mktsegment, "
+    "state := CAST(c_nationkey AS VARCHAR))) AS address_json FROM customer",
+)
+def proj_struct_build(t: Tables) -> DataFrame:
+    """Nested-struct assembly — the ``address`` struct (main.py:102-108).
+    Serialized to JSON so the oracle comparison is representation-stable."""
+    addr = F.struct(
+        F.col("c_name").alias("street"),
+        F.col("c_mktsegment").alias("city"),
+        F.col("c_nationkey").cast("string").alias("state"),
+    )
+    return t.customer.select("c_custkey", F.to_json(addr).alias("address_json"))
+
+
+@register(
+    "proj_struct_flatten",
+    "SELECT c_custkey, c_name AS address_street, c_mktsegment AS address_city FROM customer",
+)
+def proj_struct_flatten(t: Tables) -> DataFrame:
+    """Struct → flat columns, ``address.x → address_x`` (main.py:127-129;
+    ``select("data.*")`` at spark-streaming.py:74). Builds the nested form
+    then genuinely flattens it back out in Spark."""
+    nested = t.customer.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("street"),
+            F.col("c_mktsegment").alias("city"),
+        ).alias("address"),
+    )
+    return nested.select(
+        "c_custkey",
+        F.col("address.street").alias("address_street"),
+        F.col("address.city").alias("address_city"),
+    )
+
+
+@register(
+    "json_parse_schema",
+    "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events",
+)
+def json_parse_schema(t: Tables) -> DataFrame:
+    """JSON parse under a declared schema — ``from_json(value, vote_schema)``
+    (spark-streaming.py:73). `events.props` is the JSON payload column."""
+    return t.events.select(
+        "event_id",
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+    )
+
+
+@register(
+    "json_serialize",
+    "SELECT r_regionkey, to_json(struct_pack(r_regionkey := r_regionkey, "
+    "r_name := r_name)) AS payload FROM region",
+)
+def json_serialize(t: Tables) -> DataFrame:
+    """Record → JSON string (main.py:217, voting.py:131; SQL ``row_to_json``
+    voting.py:50-66) — ``to_json(struct("*"))``."""
+    return t.region.select(
+        "r_regionkey",
+        F.to_json(F.struct(F.col("r_regionkey"), F.col("r_name"))).alias("payload"),
+    )
+
+
+@register(
+    "pred_status_filter",
+    "SELECT event_id, event_type FROM events WHERE event_type <> 'error'",
+)
+def pred_status_filter(t: Tables) -> DataFrame:
+    """Drop failed records (HTTP status filter, main.py:72,93). The
+    predicate reaches the parquet scan as a pushed filter."""
+    return t.events.filter(F.col("event_type") != "error").select("event_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_enrich_random",
+    f"WITH cand AS ({CANDIDATES_SQL}) "
+    "SELECT e.event_id, e.user_id, c.candidate_key, c.candidate_name, c.party_affiliation "
+    "FROM events e JOIN cand c ON CAST(e.event_id % 3 AS INT) = c.candidate_key",
+)
+def join_enrich_random(t: Tables) -> DataFrame:
+    """Per-event candidate assignment + full-record enrichment
+    (voting.py:99-103: ``random.choice(candidates)`` then dict-union).
+
+    The seeded random pick becomes a deterministic key-derivation
+    (event_id % 3) so the golden result is stable; the enrichment is a
+    broadcast hash join against the 3-row dim — zero shuffle of the fact
+    side at any scale."""
+    cand = candidates_dim(t)
+    ev = t.events.select(
+        "event_id", "user_id", F.pmod(F.col("event_id"), F.lit(3)).cast("int").alias("pick")
+    )
+    return (
+        ev.join(F.broadcast(cand), ev.pick == cand.candidate_key)
+        .select("event_id", "user_id", "candidate_key", "candidate_name", "party_affiliation")
+    )
+
+
+@register(
+    "join_votes_candidates",
+    "SELECT s_name, count(*) AS votes, "
+    "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+    "GROUP BY s_name",
+)
+def join_votes_candidates(t: Tables) -> DataFrame:
+    """Fact⨝small-dim tally — votes re-attached to candidate names
+    (FK main.py:56→main.py:20). supplier is broadcast; the aggregation is
+    partial map-side, so the only shuffle is |distinct keys| rows."""
+    return (
+        t.lineitem.join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("votes"), money_sum("l_quantity", "total_qty"))
+    )
+
+
+@register(
+    "join_votes_voters",
+    "SELECT c_mktsegment, count(*) AS orders_cnt, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_mktsegment",
+)
+def join_votes_voters(t: Tables) -> DataFrame:
+    """Fact⨝voters-dim demographic rollup (FK main.py:55→main.py:31).
+    customer is small relative to facts → broadcast; at 100 TB with a
+    huge dim this becomes a shuffle join on o_custkey — Catalyst/AQE
+    picks by size, we only declare the equi-join."""
+    return (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("orders_cnt"),
+            money_sum("o_totalprice", "total_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_votes_per_candidate",
+    "SELECT event_type AS candidate, count(*) AS votes, "
+    "CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value "
+    "FROM events GROUP BY event_type",
+)
+def agg_votes_per_candidate(t: Tables) -> DataFrame:
+    """THE core query (Note...txt:17-19,34-35): total votes per candidate.
+    event_type plays candidate_id. Map-side partial agg → tiny shuffle."""
+    return t.events.groupBy(F.col("event_type").alias("candidate")).agg(
+        F.count(F.lit(1)).alias("votes"),
+        money_sum("value", "total_value", 20, 4),
+    )
+
+
+@register(
+    "agg_votes_per_party",
+    "SELECT o_orderpriority AS party, count(*) AS votes FROM orders GROUP BY o_orderpriority",
+)
+def agg_votes_per_party(t: Tables) -> DataFrame:
+    """Tally by party (3-way low-cardinality group, Note...txt:16-19)."""
+    return t.orders.groupBy(F.col("o_orderpriority").alias("party")).agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+
+
+@register(
+    "agg_turnout_by_location",
+    "SELECT n_name AS location, count(DISTINCT c_custkey) AS turnout "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+)
+def agg_turnout_by_location(t: Tables) -> DataFrame:
+    """Turnout per geographic unit (the reason address_* is denormalized,
+    main.py:37-41,127-129). count(DISTINCT) is a two-phase shuffle; at
+    scale prefer approx_count_distinct unless exactness is required."""
+    return (
+        t.customer.join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("location"))
+        .agg(F.count_distinct(F.col("c_custkey")).alias("turnout"))
+    )
+
+
+@register(
+    "agg_demographics",
+    "SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS band, count(*) AS voters, "
+    "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance "
+    "FROM customer GROUP BY 1",
+)
+def agg_demographics(t: Tables) -> DataFrame:
+    """Demographic banding (age bands via floor(age/10), SURVEY §2.4 —
+    registered_age ⇔ c_acctbal here)."""
+    return t.customer.groupBy(
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band")
+    ).agg(
+        F.count(F.lit(1)).alias("voters"),
+        money_sum("c_acctbal", "total_balance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows / top-k
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_leading_candidate",
+    "SELECT event_type AS candidate, count(*) AS votes FROM events "
+    "GROUP BY event_type ORDER BY votes DESC, candidate LIMIT 1",
+)
+def topk_leading_candidate(t: Tables) -> DataFrame:
+    """« Le candidat qui obtient le plus de vote gagne » (Note...txt:19).
+    orderBy+limit(1) compiles to TakeOrderedAndProject — no full sort,
+    each partition keeps 1 row. Tie-break on name for determinism."""
+    tally = t.events.groupBy(F.col("event_type").alias("candidate")).agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    return tally.orderBy(F.desc("votes"), F.asc("candidate")).limit(1)
+
+
+@register(
+    "window_rank_within_party",
+    "SELECT r_name, n_name, cnt, rank() OVER "
+    "(PARTITION BY r_name ORDER BY cnt DESC, n_name) AS rnk FROM ("
+    "SELECT r_name, n_name, count(*) AS cnt FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name)",
+)
+def window_rank_within_party(t: Tables) -> DataFrame:
+    """Rank candidates within party (SURVEY §2.5): analytic rank() over a
+    partition. The window repartitions by r_name only after the tally has
+    already collapsed cardinality — cheap at any scale."""
+    tally = (
+        t.customer.join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("r_name").orderBy(F.desc("cnt"), F.asc("n_name"))
+    return tally.select("r_name", "n_name", "cnt", F.rank().over(w).alias("rnk"))
+
+
+# ---------------------------------------------------------------------------
+# §2.7 streaming semantics, batch-verifiable twins
+# (true streaming versions live in realtimevotingdataengineer_spark.streaming;
+#  these express the same semantics on the bounded events table so the
+#  DuckDB oracle can check them)
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_dedup_one_vote",
+    "SELECT user_id, event_id, ts, event_type FROM ("
+    "SELECT user_id, event_id, ts, event_type, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1",
+)
+def stream_dedup_one_vote(t: Tables) -> DataFrame:
+    """One vote per voter (UNIQUE(voter_id), main.py:55; insert-then-produce
+    voting.py:112-126). Batch twin: keep each user's earliest event with a
+    deterministic (ts, event_id) order — streaming twin is
+    withWatermark+dropDuplicates (streaming/pipeline.py)."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        t.events.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "window_tumbling",
+    "SELECT date_trunc('minute', ts) AS win_start, event_type, count(*) AS votes, "
+    "CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value "
+    "FROM events GROUP BY 1, 2",
+)
+def window_tumbling(t: Tables) -> DataFrame:
+    """Tumbling 1-minute tallies (« évolution au fur et à mesure »,
+    Note...txt:37). Uses window() so the same expression works under
+    readStream; win_start == date_trunc(minute)."""
+    return (
+        t.events.groupBy(
+            F.window(F.col("ts"), "1 minute").getField("start").alias("win_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("votes"),
+            money_sum("value", "total_value", 20, 4),
+        )
+    )
+
+
+@register(
+    "stream_agg_update",
+    "SELECT win_start, event_type, votes, "
+    "CAST(sum(votes) OVER (PARTITION BY event_type ORDER BY win_start "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_votes "
+    "FROM (SELECT date_trunc('minute', ts) AS win_start, event_type, count(*) AS votes "
+    "FROM events GROUP BY 1, 2)",
+)
+def stream_agg_update(t: Tables) -> DataFrame:
+    """Continuously-updating tally (Note...txt:34-37): the batch view of
+    update-mode output — running totals per candidate over time buckets."""
+    tally = t.events.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("win_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("votes"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("win_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tally.select(
+        "win_start",
+        "event_type",
+        "votes",
+        F.sum("votes").over(w).cast("bigint").alias("running_votes"),
+    )
+
+
+@register(
+    "window_session",
+    "WITH flagged AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL "
+    "OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_session "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "sessions AS (SELECT user_id, ts, CAST(sum(new_session) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS BIGINT) AS session_id FROM flagged) "
+    "SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, "
+    "max(ts) AS session_end FROM sessions GROUP BY user_id, session_id",
+)
+def window_session(t: Tables) -> DataFrame:
+    """Session windows (30-min inactivity gap) — the batch expression of
+    ``F.session_window``; gap-flag + running-sum formulation so the oracle
+    is plain ANSI window SQL. Per-user state only — partitions by user."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_sec = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = t.events.select(
+        "user_id",
+        "ts",
+        F.when(gap_sec.isNull() | (gap_sec > 1800), F.lit(1)).otherwise(F.lit(0)).alias(
+            "new_session"
+        ),
+        "event_id",
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.select(
+        "user_id", "ts", F.sum("new_session").over(w2).cast("bigint").alias("session_id")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

@@ -1,0 +1,156 @@
+"""Similarity search over the ``embeddings`` table (64-dim float vectors).
+
+Two plans for approximate-nearest-neighbor:
+
+- ``sim_bruteforce_topk``: exact cosine top-k — the correctness baseline.
+  Query side is broadcast (few query vectors) against the full corpus, so
+  the corpus is scanned once, embarrassingly parallel, and top-k is a
+  per-partition TakeOrdered — no O(n²) shuffle. This is already the right
+  100 TB plan when |queries| is small.
+- ``sim_ivf_topk``: IVF-style bucketed search — corpus vectors are
+  assigned to their nearest centroid (the coarse quantizer); each query
+  probes only its own centroid's bucket. At scale the bucket assignment
+  is a narrow map + one partitioned write; queries touch 1/n_centroids
+  of the data.
+
+All float math uses order-pinned chains (functions.dot_sql) so the
+DuckDB oracle reproduces every cosine bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import dot_expr, dot_sql, norm_expr, norm_sql
+from ..registry import register
+from ..sources.tables import Tables
+
+EMB_DIM = 64
+TOP_K = 10
+#: Query set: the first N vec_ids (deterministic).
+N_QUERIES = 5
+#: IVF coarse centroids: the first M vec_ids act as the trained codebook
+#: (a deterministic stand-in for k-means — the plumbing, partitioning and
+#: probe path are the real thing).
+N_CENTROIDS = 8
+
+_COS = (
+    f"({dot_sql('q.embedding', 'c.embedding', EMB_DIM)}) / "
+    f"(({norm_sql('q.embedding', EMB_DIM)}) * ({norm_sql('c.embedding', EMB_DIM)}))"
+)
+
+
+@register(
+    "sim_bruteforce_topk",
+    "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < "
+    f"{N_QUERIES}), scored AS ("
+    f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cosine "
+    "FROM q, embeddings c WHERE q.vec_id <> c.vec_id) "
+    "SELECT query_id, neighbor_id, cosine FROM ("
+    "SELECT query_id, neighbor_id, cosine, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM scored) "
+    f"WHERE rn <= {TOP_K}",
+)
+def sim_bruteforce_topk(t: Tables) -> DataFrame:
+    """Exact cosine top-k for each query vector (vec_id < N_QUERIES)
+    against the whole corpus. Queries broadcast; corpus scanned once."""
+    q = t.embeddings.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = t.embeddings.alias("c")
+    cos = dot_expr("q.embedding", "c.embedding", EMB_DIM) / (
+        norm_expr("q.embedding", EMB_DIM) * norm_expr("c.embedding", EMB_DIM)
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+_IVF_SQL = (
+    f"WITH cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings "
+    f"WHERE vec_id < {N_CENTROIDS}), "
+    # assign every corpus vector to its nearest centroid (max cosine,
+    # deterministic tie-break on cent_id); scoring and ranking live in
+    # separate CTEs — DuckDB rejects window functions inside the join
+    "assign_scored AS (SELECT c.vec_id, q.cent_id, "
+    f"({dot_sql('c.embedding', 'q.embedding', EMB_DIM)}) / "
+    f"(({norm_sql('c.embedding', EMB_DIM)}) * ({norm_sql('q.embedding', EMB_DIM)})) AS cos "
+    "FROM embeddings c CROSS JOIN cent q), "
+    "assign AS (SELECT vec_id, cent_id FROM ("
+    "SELECT vec_id, cent_id, row_number() OVER ("
+    "PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM assign_scored) "
+    "WHERE rn = 1), "
+    f"qry AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}), "
+    # each query probes only its own bucket
+    "probe AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    f"{_COS} AS cosine "
+    "FROM qry q JOIN assign qa ON q.vec_id = qa.vec_id "
+    "JOIN assign ca ON ca.cent_id = qa.cent_id "
+    "JOIN embeddings c ON c.vec_id = ca.vec_id AND c.vec_id <> q.vec_id) "
+    "SELECT query_id, neighbor_id, cosine FROM ("
+    "SELECT query_id, neighbor_id, cosine, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM probe) "
+    f"WHERE rn <= {TOP_K}"
+)
+
+
+@register("sim_ivf_topk", _IVF_SQL)
+def sim_ivf_topk(t: Tables) -> DataFrame:
+    """IVF-bucketed ANN: corpus partitioned by nearest centroid; each
+    query probes only its bucket. Recall < 1 vs brute force by design —
+    the oracle checks the bucketed semantics, not equality with exact
+    search. Centroid set is a deterministic codebook stand-in."""
+    cent = t.embeddings.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    c = t.embeddings.alias("c")
+    cos_to_cent = dot_expr("c.embedding", "cent_emb", EMB_DIM) / (
+        norm_expr("c.embedding", EMB_DIM) * norm_expr("cent_emb", EMB_DIM)
+    )
+    assign = (
+        c.crossJoin(F.broadcast(cent))
+        .select(F.col("c.vec_id").alias("vec_id"), "cent_id", cos_to_cent.alias("cos"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    qry = t.embeddings.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    qa = assign.alias("qa")
+    ca = assign.alias("ca")
+    corpus = t.embeddings.alias("cc")
+    cos_qc = dot_expr("q.embedding", "cc.embedding", EMB_DIM) / (
+        norm_expr("q.embedding", EMB_DIM) * norm_expr("cc.embedding", EMB_DIM)
+    )
+    probe = (
+        qry.join(qa, F.col("q.vec_id") == F.col("qa.vec_id"))
+        .join(ca, F.col("ca.cent_id") == F.col("qa.cent_id"))
+        .join(corpus, (F.col("cc.vec_id") == F.col("ca.vec_id")) & (F.col("cc.vec_id") != F.col("q.vec_id")))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("cc.vec_id").alias("neighbor_id"),
+            cos_qc.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        probe.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )

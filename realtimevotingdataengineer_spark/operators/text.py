@@ -1,0 +1,149 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data-pipeline surface (BASELINE.json north star):
+language-ID, quality scoring, token counting, fingerprinting. All pure
+JVM column expressions (split/filter/regexp/md5) — no Python in the hot
+path; every op is embarrassingly parallel per-document (narrow plans,
+no shuffle at all), so throughput scales linearly with executors.
+
+Hashing is md5-based so the DuckDB oracle reproduces values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import normalize_text, tokens
+from ..registry import register
+from ..sources.tables import Tables
+
+#: Disjoint-by-construction stopword lexicons (tie-breaking then stays
+#: deterministic: alphabetical CASE order below).
+LEXICONS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "nicht", "das"),
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "los", "una", "por", "pero"),
+    "fr": ("je", "vous", "avec", "dans", "est"),
+    "zh": ("的", "是", "不", "了", "我"),
+}
+
+#: BPE-ish token pattern: letter runs, digit runs, single punctuation.
+BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_TOKENS_SQL = r"str_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+
+
+def _hits(tok_col: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tok_col, lambda x: x.isin(*words)))
+
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(tk, x -> x IN ({inlist})))"
+
+
+@register(
+    "text_token_count",
+    f"SELECT doc_id, len({_TOKENS_SQL}) AS n_tokens, "
+    f"len(regexp_extract_all(text, '{BPE_PAT}')) AS n_bpe_tokens FROM documents",
+)
+def text_token_count(t: Tables) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (letter runs / digit runs / punctuation singletons)."""
+    return t.documents.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_PAT)).alias("n_bpe_tokens"),
+    )
+
+
+_QUALITY_SQL = f"""
+WITH tk AS (SELECT doc_id, n_chars, text, {_TOKENS_SQL} AS tk FROM documents)
+SELECT doc_id,
+  len(tk) AS n_tokens,
+  CAST(n_chars AS DOUBLE) / len(tk) AS avg_token_len,
+  CAST({_hits_sql(LEXICONS["en"])} AS DOUBLE) / len(tk) AS stopword_ratio,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / n_chars AS punct_ratio
+FROM tk
+""".strip()
+
+
+@register("text_quality_score", _QUALITY_SQL)
+def text_quality_score(t: Tables) -> DataFrame:
+    """Quality signals: length, stopword ratio, punctuation density —
+    the standard pre-training corpus filters (C4/Gopher-style)."""
+    tk = t.documents.select("doc_id", "n_chars", "text", tokens("text").alias("tk"))
+    n_tok = F.size(F.col("tk"))
+    return tk.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (F.col("n_chars").cast("double") / n_tok).alias("avg_token_len"),
+        (_hits(F.col("tk"), LEXICONS["en"]).cast("double") / n_tok).alias("stopword_ratio"),
+        (
+            F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).cast("double")
+            / F.col("n_chars")
+        ).alias("punct_ratio"),
+    )
+
+
+def _langid_case_sql() -> str:
+    langs = sorted(LEXICONS)  # alphabetical ⇒ deterministic tie-break
+    total = " + ".join(f"h_{lang}" for lang in langs)
+    whens = []
+    for i, lang in enumerate(langs):
+        others = [f"h_{o}" for o in langs[i + 1 :]]
+        cond = f"h_{lang} >= greatest({', '.join(others)})" if others else "TRUE"
+        whens.append(f"WHEN {cond} THEN '{lang}'")
+    return f"CASE WHEN {total} = 0 THEN 'und' {' '.join(whens)} END"
+
+
+_LANGID_SQL = (
+    f"WITH tk AS (SELECT doc_id, lang, {_TOKENS_SQL} AS tk FROM documents), "
+    "hits AS (SELECT doc_id, lang, "
+    + ", ".join(f"{_hits_sql(words)} AS h_{lang}" for lang, words in sorted(LEXICONS.items()))
+    + " FROM tk) "
+    f"SELECT doc_id, lang, {_langid_case_sql()} AS pred_lang FROM hits"
+)
+
+
+@register("text_lang_id", _LANGID_SQL)
+def text_lang_id(t: Tables) -> DataFrame:
+    """Stopword-lexicon language ID with deterministic alphabetical
+    tie-break; 'und' when no lexicon hits. Lexicons are disjoint, so the
+    argmax-by-CASE is well-defined in both engines."""
+    tk = t.documents.select("doc_id", "lang", tokens("text").alias("tk"))
+    langs = sorted(LEXICONS)
+    hit_cols = [_hits(F.col("tk"), LEXICONS[lang]).alias(f"h_{lang}") for lang in langs]
+    hits = tk.select("doc_id", "lang", *hit_cols)
+    total = sum((F.col(f"h_{lang}") for lang in langs[1:]), F.col(f"h_{langs[0]}"))
+    pred = F.when(total == 0, F.lit("und"))
+    for i, lang in enumerate(langs):
+        others = [F.col(f"h_{o}") for o in langs[i + 1 :]]
+        if others:
+            cond = F.col(f"h_{lang}") >= F.greatest(*others) if len(others) > 1 else F.col(
+                f"h_{lang}"
+            ) >= others[0]
+            pred = pred.when(cond, F.lit(lang))
+        else:
+            pred = pred.otherwise(F.lit(lang))
+    return hits.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+@register(
+    "text_fingerprint",
+    r"SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp, "
+    f"md5(array_to_string(list_sort(list_distinct({_TOKENS_SQL})), ' ')) AS fp_tokenset "
+    "FROM documents",
+)
+def text_fingerprint(t: Tables) -> DataFrame:
+    """Document fingerprints: md5 of the normalized text (order-sensitive)
+    and md5 of the sorted distinct token set (order-insensitive) — the
+    cheap exact/near dedup keys."""
+    return t.documents.select(
+        "doc_id",
+        F.md5(normalize_text("text")).alias("fp"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokens("text"))))
+        ).alias("fp_tokenset"),
+    )
