@@ -25,6 +25,17 @@ PARTIES = ["Management_Party", "Savior_Party", "Tech_Republic_Party"]
 TIME_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+def spread(df, *cols):
+    """Repartition a small-but-compute-heavy DataFrame across the session's
+    full parallelism. Local single-file parquet reads arrive as ONE
+    partition, which serializes CPU-bound per-row work (notably
+    higher-order functions, which evaluate interpreted outside codegen).
+    On a real cluster the input is already split; this makes the local
+    plan shape match the cluster plan shape."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, *[F.col(c) if isinstance(c, str) else c for c in cols])
+
+
 def dec(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
     """Cast to an exact decimal for associative (parallel-safe) arithmetic."""
     c = F.col(col) if isinstance(col, str) else col

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import dot_expr, dot_sql, norm_expr, norm_sql, normalize_text, tokens
+from ..functions import dot_expr, dot_sql, norm_expr, norm_sql, normalize_text, spread, tokens
 from ..registry import register
 from ..sources.tables import Tables
 
@@ -91,20 +91,23 @@ def dedup_ngram_jaccard(t: Tables) -> DataFrame:
     inverted-index formulation: distinct (doc, gram) → self-join on gram →
     common counts → |A∩B| / (|A|+|B|-|A∩B|). At 100 TB add a gram-df cap
     before the self-join (stop-gram removal) to bound skew."""
-    tk = t.documents.select("doc_id", tokens("text").alias("tk"))
+    tk = spread(t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("tk", i), F.element_at("tk", i + 1)),
+    )
     grams = (
         tk.select(
             "doc_id",
+            # guard: Spark sequence() runs descending when size < 2
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("tk") - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at("tk", i), F.element_at("tk", i + 1)
-                    ),
-                )
+                F.when(F.size("tk") >= 2, bigrams).otherwise(F.array().cast("array<string>"))
             ).alias("g"),
         )
         .distinct()
+        # reused by counts + both sides of the gram self-join; cache stops
+        # the bigram HOF expression being re-evaluated per consumer
+        .persist()
     )
     counts = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.alias("a")
@@ -125,51 +128,87 @@ def dedup_ngram_jaccard(t: Tables) -> DataFrame:
     )
 
 
-_MINHASH_SQL = (
+# Word-trigram shingles: this corpus has a tiny unigram vocabulary, so
+# unigram signatures would collide for nearly every pair (LSH degenerates
+# to O(n²)). Trigrams make the shingle space |V|³ — collisions then mean
+# genuine overlap. This mirrors standard MinHash practice (shingle, don't
+# tokenize).
+_SHINGLES_SQL = (
     f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
-    "toks AS (SELECT DISTINCT doc_id, u.tok FROM tk, LATERAL unnest(tk) AS u(tok)), "
-    f"sig AS (SELECT doc_id, s.i, min(md5('s' || CAST(s.i AS VARCHAR) || ':' || tok)) AS mh "
-    f"FROM toks, (SELECT unnest(range(0, {MINHASH_K})) AS i) s GROUP BY doc_id, s.i), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1), "
+    "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM tk), "
+    "shingle AS (SELECT doc_id, u.g FROM sh, LATERAL unnest(sh) AS u(g)), "
+    f"sig AS (SELECT doc_id, s.i, min(md5('s' || CAST(s.i AS VARCHAR) || ':' || g)) AS mh "
+    f"FROM shingle, (SELECT unnest(range(0, {MINHASH_K})) AS i) s GROUP BY doc_id, s.i), "
     "bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band, "
     "max(CASE WHEN i % 2 = 0 THEN mh END) || max(CASE WHEN i % 2 = 1 THEN mh END) AS bv "
     "FROM sig GROUP BY doc_id, CAST(i // 2 AS INT)), "
     "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
-    "JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id), "
-    "counts AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), "
-    "common AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c "
-    "FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id "
-    "JOIN cand ON cand.doc_a = x.doc_id AND cand.doc_b = y.doc_id GROUP BY 1, 2) "
+    "JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id) "
 )
 
 
 @register(
     "dedup_minhash_lsh",
-    _MINHASH_SQL
-    + "SELECT common.doc_a, common.doc_b, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard "
-    "FROM common JOIN counts na ON common.doc_a = na.doc_id "
-    "JOIN counts nb ON common.doc_b = nb.doc_id "
-    f"WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= {LSH_THETA}",
+    _SHINGLES_SQL
+    + "SELECT doc_a, doc_b, CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / "
+    "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard "
+    "FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id "
+    "WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / "
+    f"(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= {LSH_THETA}",
 )
 def dedup_minhash_lsh(t: Tables) -> DataFrame:
-    """MinHash(k=8) + LSH(4 bands × 2 rows) near-dup detection, candidates
-    verified with exact unigram Jaccard ≥ θ. The banded join touches only
-    colliding buckets — the O(n²) pair space is never materialized. md5
-    signature hashing keeps the oracle bit-identical."""
-    tk = t.documents.select("doc_id", tokens("text").alias("tk"))
-    toks = tk.select("doc_id", F.explode("tk").alias("tok")).distinct()
+    """MinHash(k=8) + LSH(4 bands × 2 rows) near-dup detection over word
+    trigram shingles, candidates verified with exact shingle-set Jaccard
+    (array_intersect on the two docs' shingle arrays — no explode-join in
+    the verification, so work is O(|candidates|), not O(pairs sharing a
+    token)). The banded join touches only colliding buckets — the O(n²)
+    pair space is never materialized. md5 hashing keeps the oracle
+    bit-identical."""
+    tk = spread(t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id")
+    # Guard: Spark's sequence(1, n) runs DESCENDING when n < 1 (short
+    # docs), unlike DuckDB's empty range — emit an empty shingle list.
+    trigrams = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("tk", i),
+            F.element_at("tk", i + 1),
+            F.element_at("tk", i + 2),
+        ),
+    )
+    sh = tk.select(
+        "doc_id",
+        F.array_distinct(
+            F.when(F.size("tk") >= 3, trigrams).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("sh"),
+    )
+    # Materialize the shingle arrays once: the plan reuses `sh` four times
+    # (both sides of the band self-join + both sides of the verify join),
+    # and without a barrier Catalyst pushes the explode's inferred
+    # size()>0 filter below the repartition Exchange, re-evaluating the
+    # whole (interpreted, HOF) trigram expression per consumer on the
+    # single pre-shuffle input partition. At cluster scale the equivalent
+    # is materializing the signature table — same idea, bigger medium.
+    sh = sh.persist()
+    shingle = sh.select("doc_id", F.explode("sh").alias("g"))
     sig = (
-        toks.select("doc_id", "tok", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("i"))
+        shingle.select(
+            "doc_id", "g", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("i")
+        )
         .select(
             "doc_id",
             "i",
-            F.md5(F.concat(F.lit("s"), F.col("i").cast("string"), F.lit(":"), F.col("tok"))).alias("h"),
+            F.md5(
+                F.concat(F.lit("s"), F.col("i").cast("string"), F.lit(":"), F.col("g"))
+            ).alias("h"),
         )
         .groupBy("doc_id", "i")
         .agg(F.min("h").alias("mh"))
     )
-    bands = sig.groupBy(
-        "doc_id", F.floor(F.col("i") / 2).cast("int").alias("band")
-    ).agg(
+    bands = sig.groupBy("doc_id", F.floor(F.col("i") / 2).cast("int").alias("band")).agg(
         F.concat(
             F.max(F.when(F.col("i") % 2 == 0, F.col("mh"))),
             F.max(F.when(F.col("i") % 2 == 1, F.col("mh"))),
@@ -186,26 +225,14 @@ def dedup_minhash_lsh(t: Tables) -> DataFrame:
         )
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
-        .alias("cand")
     )
-    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x = toks.alias("x")
-    y = toks.alias("y")
-    common = (
-        x.join(y, (F.col("x.tok") == F.col("y.tok")) & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .join(
-            cand,
-            (F.col("cand.doc_a") == F.col("x.doc_id")) & (F.col("cand.doc_b") == F.col("y.doc_id")),
-        )
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    na = counts.alias("na")
-    nb = counts.alias("nb")
-    jac = F.col("c").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("c"))
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
-        common.join(na, F.col("doc_a") == F.col("na.doc_id"))
-        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        cand.join(sa, F.col("doc_a") == F.col("a_id"))
+        .join(sb, F.col("doc_b") == F.col("b_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= LSH_THETA)
     )
@@ -228,7 +255,7 @@ def dedup_simhash(t: Tables) -> DataFrame:
     of md5-nibble-MSBs over the distinct token set. Near-dup = small
     hamming distance (pair scan via bit_count(xor) — the per-doc signature
     here is the shuffle-free part that matters at scale)."""
-    tk = t.documents.select("doc_id", tokens("text").alias("tk"))
+    tk = spread(t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id")
     toks = tk.select("doc_id", F.explode("tk").alias("tok")).distinct()
     bits = (
         toks.select("doc_id", F.md5("tok").alias("h"), F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i"))
@@ -271,7 +298,7 @@ def dedup_embedding_cosine(t: Tables) -> DataFrame:
     Brute-force baseline (O(n²) — fine at verification SF); the scale
     path buckets by LSH/IVF first (see similarity.py). The dot/norm chains
     are order-pinned so the oracle result is bitwise identical."""
-    a = t.embeddings.alias("a")
+    a = spread(t.embeddings, "vec_id").alias("a")
     b = t.embeddings.alias("b")
     cos = dot_expr("a.embedding", "b.embedding", EMB_DIM) / (
         norm_expr("a.embedding", EMB_DIM) * norm_expr("b.embedding", EMB_DIM)

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import dot_expr, dot_sql, norm_expr, norm_sql
+from ..functions import dot_expr, dot_sql, norm_expr, norm_sql, spread
 from ..registry import register
 from ..sources.tables import Tables
 
@@ -56,7 +56,7 @@ def sim_bruteforce_topk(t: Tables) -> DataFrame:
     """Exact cosine top-k for each query vector (vec_id < N_QUERIES)
     against the whole corpus. Queries broadcast; corpus scanned once."""
     q = t.embeddings.filter(F.col("vec_id") < N_QUERIES).alias("q")
-    c = t.embeddings.alias("c")
+    c = spread(t.embeddings, "vec_id").alias("c")
     cos = dot_expr("q.embedding", "c.embedding", EMB_DIM) / (
         norm_expr("q.embedding", EMB_DIM) * norm_expr("c.embedding", EMB_DIM)
     )
@@ -115,7 +115,7 @@ def sim_ivf_topk(t: Tables) -> DataFrame:
     cent = t.embeddings.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
-    c = t.embeddings.alias("c")
+    c = spread(t.embeddings, "vec_id").alias("c")
     cos_to_cent = dot_expr("c.embedding", "cent_emb", EMB_DIM) / (
         norm_expr("c.embedding", EMB_DIM) * norm_expr("cent_emb", EMB_DIM)
     )
