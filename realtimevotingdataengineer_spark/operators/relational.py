@@ -66,6 +66,52 @@ def agg_count_rows(t: Tables) -> DataFrame:
     return t.orders.agg(F.count(F.lit(1)).alias("cnt"))
 
 
+@register(
+    "ddl_create_tables",
+    "SELECT candidate_key, candidate_name, party_affiliation FROM (" + CANDIDATES_SQL + ")",
+)
+def ddl_create_tables(t: Tables) -> DataFrame:
+    """Idempotent DDL (CREATE TABLE IF NOT EXISTS ×3, main.py:15-64):
+    expressed as CREATE OR REPLACE TEMPORARY VIEW over the storage layer
+    (schema-on-read parquet — the engine's system of record), then
+    queried through the catalog via spark.sql. Exercises the SQL entry
+    path end-to-end, not just the DataFrame API."""
+    spark = t.spark
+    t.nation.createOrReplaceTempView("_ddl_nation")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW _ddl_candidates AS
+        SELECT CAST(n_nationkey AS INT) AS candidate_key,
+               n_name AS candidate_name,
+               CASE CAST(n_nationkey % 3 AS INT)
+                 WHEN 0 THEN 'Management_Party'
+                 WHEN 1 THEN 'Savior_Party'
+                 ELSE 'Tech_Republic_Party' END AS party_affiliation
+        FROM _ddl_nation WHERE n_nationkey < 3
+        """
+    )
+    return spark.sql(
+        "SELECT candidate_key, candidate_name, party_affiliation FROM _ddl_candidates"
+    )
+
+
+@register(
+    "expr_cast_str",
+    # the binary→string round-trip is the identity on UTF-8 text, so the
+    # oracle states the postcondition directly (DuckDB's BLOB→VARCHAR
+    # cast escapes quotes rather than reinterpreting bytes)
+    "SELECT event_id, props AS value_str FROM events",
+)
+def expr_cast_str(t: Tables) -> DataFrame:
+    """Kafka binary value → string (``CAST(value AS STRING)``,
+    spark-streaming.py:72). props round-trips through binary to exercise
+    the cast both ways."""
+    return t.events.select(
+        "event_id",
+        F.decode(F.encode(F.col("props"), "UTF-8"), "UTF-8").alias("value_str"),
+    )
+
+
 @register("pred_empty_check", "SELECT (count(*) > 0) AS has_rows FROM nation")
 def pred_empty_check(t: Tables) -> DataFrame:
     """Empty-input guard (voting.py:69-72): hard-fail if no candidates."""
@@ -357,6 +403,25 @@ def agg_demographics(t: Tables) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("voters"),
         money_sum("c_acctbal", "total_balance"),
+    )
+
+
+@register(
+    "agg_rollup",
+    "SELECT o_orderpriority AS party, o_orderstatus AS status, count(*) AS votes, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend "
+    "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)",
+)
+def agg_rollup(t: Tables) -> DataFrame:
+    """Hierarchical subtotals (party → candidate → grand total): ROLLUP.
+    Beyond the reference's flat tallies but table stakes for an analytics
+    engine; Spark expands grouping sets before the partial agg, so the
+    shuffle stays |groups|-bounded."""
+    return t.orders.rollup(
+        F.col("o_orderpriority").alias("party"), F.col("o_orderstatus").alias("status")
+    ).agg(
+        F.count(F.lit(1)).alias("votes"),
+        money_sum("o_totalprice", "total_spend"),
     )
 
 

@@ -1,0 +1,72 @@
+"""Plan-shape assertions: the 100 TB posture, enforced structurally.
+
+These tests fail when a code change silently degrades the physical plan
+— a filter stops reaching the scan, a broadcast becomes a shuffle join,
+a projection stops pruning columns.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import realtimevotingdataengineer_spark.operators  # noqa: F401
+from realtimevotingdataengineer_spark.plans import (
+    broadcast_join_count,
+    has_pushed_filter,
+    read_schema_columns,
+    shuffle_count,
+)
+from realtimevotingdataengineer_spark.registry import QUERIES
+from realtimevotingdataengineer_spark.sources.tables import Tables
+
+
+@pytest.fixture(scope="module")
+def t(spark, sf_dir):
+    return Tables(spark, sf_dir)
+
+
+def test_filter_pushed_to_scan(t):
+    """pred_status_filter's predicate must reach the parquet reader."""
+    df = QUERIES["pred_status_filter"](t)
+    assert has_pushed_filter(df, "event_type")
+
+
+def test_q1_pushes_shipdate_and_prunes_columns(t):
+    df = QUERIES["q1_pricing_summary"](t)
+    assert has_pushed_filter(df, "l_shipdate")
+    scans = read_schema_columns(df)
+    # the lineitem scan must NOT read all 11 columns for this 7-column agg
+    assert scans and all(len(cols) <= 7 for cols in scans)
+    assert all("l_partkey" not in cols for cols in scans)
+
+
+def test_join_enrich_random_broadcasts_dim(t):
+    """3-row candidates dim must broadcast — fact side never shuffles."""
+    df = QUERIES["join_enrich_random"](t)
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) == 0
+
+
+def test_q5_broadcasts_small_dims(t):
+    df = QUERIES["q5_local_supplier"](t)
+    assert broadcast_join_count(df) >= 3  # supplier, nation, region at minimum
+
+
+def test_tally_is_single_shuffle(t):
+    """The core tally: partial agg map-side, exactly one shuffle."""
+    df = QUERIES["agg_votes_per_candidate"](t)
+    assert shuffle_count(df) == 1
+
+
+def test_scan_projection_prunes(t):
+    df = QUERIES["proj_field_map"](t)
+    scans = read_schema_columns(df)
+    assert scans == [{"c_custkey", "c_name", "c_mktsegment"}]
+
+
+def test_topk_no_global_sort(t):
+    """orderBy+limit must compile to TakeOrderedAndProject, not Sort."""
+    from realtimevotingdataengineer_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["topk_leading_candidate"](t))
+    assert "TakeOrderedAndProject" in plan
