@@ -407,6 +407,130 @@ def agg_demographics(t: Tables) -> DataFrame:
 
 
 @register(
+    "join_semi_voted",
+    "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+)
+def join_semi_voted(t: Tables) -> DataFrame:
+    """Voters who have voted: LEFT SEMI join (the positive half of the
+    UNIQUE-constraint membership check, main.py:55). Semi joins ship only
+    the key column of the probe side — cheaper than inner+distinct."""
+    return t.customer.join(
+        t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_unvoted",
+    "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "AND o_orderpriority = '1-URGENT')",
+)
+def join_anti_unvoted(t: Tables) -> DataFrame:
+    """Voters with no vote in the filtered cohort: LEFT ANTI join — the
+    explicit form of the reference's insert-unless-exists dedup path
+    (voting.py:112-126: 'insert unless key exists' ≡ anti-join against
+    already-voted keys). Filtered to urgent orders so the result is
+    non-degenerate at every SF (every customer has *some* order)."""
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return t.customer.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "set_ops",
+    "WITH hi AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000), "
+    "build AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') "
+    "SELECT 'union' AS op, count(*) AS cnt FROM (SELECT * FROM hi UNION SELECT * FROM build) "
+    "UNION ALL SELECT 'intersect', count(*) FROM (SELECT * FROM hi INTERSECT SELECT * FROM build) "
+    "UNION ALL SELECT 'except', count(*) FROM (SELECT * FROM hi EXCEPT SELECT * FROM build)",
+)
+def set_ops(t: Tables) -> DataFrame:
+    """Relational set algebra (UNION / INTERSECT / EXCEPT, distinct
+    semantics) over two voter cohorts. The reference needs union only
+    incidentally (SURVEY §2.6); a complete engine carries all three."""
+    hi = t.customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    build = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        hi.union(build).distinct().agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("union").alias("op"), "cnt")
+        .unionByName(
+            hi.intersect(build).agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit("intersect").alias("op"), "cnt")
+        )
+        .unionByName(
+            hi.subtract(build).agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit("except").alias("op"), "cnt")
+        )
+    )
+
+
+_STATS_SQL = (
+    "WITH s AS (SELECT l_returnflag, count(*) AS n, "
+    "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx, "
+    "sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx, "
+    "CAST(min(l_quantity) AS DOUBLE) AS min_qty, CAST(max(l_quantity) AS DOUBLE) AS max_qty "
+    "FROM lineitem GROUP BY l_returnflag) "
+    "SELECT l_returnflag, n, min_qty, max_qty, "
+    "CAST(sx AS DOUBLE) / n AS avg_qty, "
+    "sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) "
+    "AS stddev_qty FROM s"
+)
+
+
+@register("agg_stats", _STATS_SQL)
+def agg_stats(t: Tables) -> DataFrame:
+    """min/max/avg/stddev per group. Variance is computed from exact
+    decimal Σx and Σx² (associative ⇒ partition-order independent), with
+    one identical double expression at the end — so even stddev matches
+    the oracle bitwise, which a running-variance implementation cannot
+    promise across partitionings."""
+    q = dec("l_quantity", 18, 2)
+    s = t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sx"),
+        F.sum(q * q).alias("sxx"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+    )
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        "min_qty",
+        "max_qty",
+        (sx / F.col("n")).alias("avg_qty"),
+        F.sqrt((sxx - sx * sx / F.col("n")) / (F.col("n") - 1)).alias("stddev_qty"),
+    )
+
+
+@register(
+    "pivot_votes_by_type",
+    "SELECT user_id, "
+    "count(*) FILTER (WHERE event_type = 'click') AS click, "
+    "count(*) FILTER (WHERE event_type = 'error') AS error, "
+    "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, "
+    "count(*) FILTER (WHERE event_type = 'signup') AS signup, "
+    "count(*) FILTER (WHERE event_type = 'view') AS view "
+    "FROM events GROUP BY user_id",
+)
+def pivot_votes_by_type(t: Tables) -> DataFrame:
+    """Pivot: per-voter tally matrix (one column per candidate) — the
+    dashboard-facing wide form of the core tally. Pivoting with an
+    explicit value list keeps it one pass + one shuffle (no distinct-
+    values pre-query)."""
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        t.events.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=kinds)
+    )
+
+
+@register(
     "agg_rollup",
     "SELECT o_orderpriority AS party, o_orderstatus AS status, count(*) AS votes, "
     "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend "

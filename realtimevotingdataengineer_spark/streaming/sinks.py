@@ -66,12 +66,17 @@ def write_parquet_batches(
     )
 
 
-def write_memory(df: DataFrame, name: str, output_mode: str = "update") -> StreamingQuery:
+def write_memory(
+    df: DataFrame, name: str, output_mode: str = "update", available_now: bool = False
+) -> StreamingQuery:
     """In-memory table sink for tests: query results with
-    ``spark.sql(f"SELECT * FROM {name}")`` after processAllAvailable()."""
-    return (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
-    )
+    ``spark.sql(f"SELECT * FROM {name}")`` after processAllAvailable().
+
+    ``available_now=True`` runs an AvailableNow trigger that processes
+    the backlog and terminates — required for stateful operators with
+    processing-time timeouts, whose wake-up batches otherwise keep
+    ``processAllAvailable()`` from ever settling."""
+    writer = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
