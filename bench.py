@@ -52,6 +52,10 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # split small local files across cores (a cluster gets this from
+        # having many files; local single-file tables need the nudge)
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "131072")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
@@ -66,10 +70,23 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = QUERIES[name](t)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: first run absorbs codegen/JIT noise
+            # cold persisted-intermediate cache every rep: clearCache()
+            # unpersists (and un-marks) cached plans, so the DataFrame is
+            # rebuilt per rep to re-arm its persist() calls — each rep
+            # pays the full cache build, none reuses a predecessor's
+            spark.catalog.clearCache()
+            df = QUERIES[name](t)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        # settle the JVM between queries: unpersisted cache blocks are
+        # reclaimed lazily and their GC otherwise lands in the next
+        # query's measurement
+        spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+    spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

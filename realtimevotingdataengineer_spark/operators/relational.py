@@ -590,6 +590,135 @@ def window_rank_within_party(t: Tables) -> DataFrame:
     return tally.select("r_name", "n_name", "cnt", F.rank().over(w).alias("rnk"))
 
 
+@register(
+    "window_lead_lag",
+    "SELECT event_id, user_id, ts, "
+    "date_diff('second', lag(ts) OVER w, ts) AS gap_sec, "
+    "lead(event_type) OVER w AS next_type "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)",
+)
+def window_lead_lag(t: Tables) -> DataFrame:
+    """lead/lag analytics: inter-event gap and next action per voter —
+    the building block of funnel/latency analysis. One shuffle on
+    user_id; frames are streaming-friendly (no full sort)."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        gap.alias("gap_sec"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "window_moving_sum",
+    "SELECT win_start, event_type, votes, "
+    "CAST(sum(votes) OVER (PARTITION BY event_type ORDER BY win_start "
+    "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS votes_5m "
+    "FROM (SELECT date_trunc('minute', ts) AS win_start, event_type, "
+    "count(*) AS votes FROM events GROUP BY 1, 2)",
+)
+def window_moving_sum(t: Tables) -> DataFrame:
+    """5-bucket moving total per candidate — the smoothed 'évolution'
+    curve (Note...txt:37). Bounded ROWS frame ⇒ O(1) state per step."""
+    tally = t.events.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("win_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("votes"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("win_start")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return tally.select(
+        "win_start",
+        "event_type",
+        "votes",
+        F.sum("votes").over(w).cast("bigint").alias("votes_5m"),
+    )
+
+
+@register(
+    "join_asof_last_signup",
+    "SELECT event_id, user_id, ts, last_signup, "
+    "date_diff('second', last_signup, ts) AS since_signup_sec FROM ("
+    "SELECT event_id, user_id, ts, event_type, "
+    "max(CASE WHEN event_type = 'signup' THEN ts END) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup "
+    "FROM events) WHERE event_type = 'purchase' AND last_signup IS NOT NULL",
+)
+def join_asof_last_signup(t: Tables) -> DataFrame:
+    """As-of join, the sorted-window formulation: for every purchase,
+    the most recent preceding signup by the same voter. Spark has no
+    native ASOF JOIN; expressing it as a running max over the interleaved
+    event stream needs ONE shuffle + sort (vs. the naive range-join's
+    quadratic per-user blowup) and is exactly how it scales on a cluster
+    (co-partition by user, sort within partition)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_signup = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    enriched = t.events.select(
+        "event_id", "user_id", "ts", "event_type", last_signup.alias("last_signup")
+    )
+    return (
+        enriched.filter(
+            (F.col("event_type") == "purchase") & F.col("last_signup").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "last_signup",
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("last_signup")
+            ).alias("since_signup_sec"),
+        )
+    )
+
+
+@register(
+    "agg_median",
+    "WITH ranked AS (SELECT o_orderpriority, o_totalprice, "
+    "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn, "
+    "count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders) "
+    "SELECT o_orderpriority AS party, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS median_spend "
+    "FROM ranked WHERE rn IN ((n + 1) // 2, (n + 2) // 2) GROUP BY o_orderpriority",
+)
+def agg_median(t: Tables) -> DataFrame:
+    """Exact median per group via the rank formulation (middle one or
+    two rows averaged) — engine-portable where percentile_cont
+    interpolation arithmetic is not. Sort-based: one shuffle + in-group
+    sort, same cost class as any exact percentile at scale (use
+    approx_percentile when error tolerance allows)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = t.orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == ((F.col("n") + 1) / 2).cast("bigint"))
+        | (F.col("rn") == ((F.col("n") + 2) / 2).cast("bigint"))
+    )
+    return mid.groupBy(F.col("o_orderpriority").alias("party")).agg(
+        (
+            F.sum(dec("o_totalprice", 18, 2)).cast("double") / F.count(F.lit(1))
+        ).alias("median_spend")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.7 streaming semantics, batch-verifiable twins
 # (true streaming versions live in realtimevotingdataengineer_spark.streaming;

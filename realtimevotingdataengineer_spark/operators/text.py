@@ -131,6 +131,36 @@ def text_lang_id(t: Tables) -> DataFrame:
 
 
 @register(
+    "text_top_ngrams",
+    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+    "grams AS (SELECT u.g FROM tk, LATERAL unnest(list_transform(range(1, len(tk)), "
+    "i -> tk[i] || ' ' || tk[i+1])) AS u(g)) "
+    "SELECT g AS bigram, count(*) AS freq FROM grams GROUP BY g "
+    "ORDER BY freq DESC, bigram LIMIT 20",
+)
+def text_top_ngrams(t: Tables) -> DataFrame:
+    """Corpus-level top-20 bigram frequencies — the vocabulary/stop-gram
+    profile a dedup df-cap needs. explode → partial count map-side →
+    |vocab²|-bounded shuffle → TakeOrdered."""
+    tk = t.documents.select(tokens("text").alias("tk"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("tk", i), F.element_at("tk", i + 1)),
+    )
+    grams = tk.select(
+        F.explode(
+            F.when(F.size("tk") >= 2, bigrams).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@register(
     "text_fingerprint",
     r"SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp, "
     f"md5(array_to_string(list_sort(list_distinct({_TOKENS_SQL})), ' ')) AS fp_tokenset "
