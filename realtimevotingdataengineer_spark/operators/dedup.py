@@ -283,6 +283,83 @@ def dedup_simhash(t: Tables) -> DataFrame:
     )
 
 
+_CLUSTERS_SQL = (
+    "WITH RECURSIVE "
+    + _SHINGLES_SQL[5:]  # reuse shingle/sig/band/cand CTE chain (strip "WITH ")
+    + ", edges AS (SELECT doc_a, doc_b FROM cand "
+    "JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id "
+    "WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / "
+    f"(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= {LSH_THETA}), "
+    "sym AS (SELECT doc_a AS a, doc_b AS b FROM edges "
+    "UNION SELECT doc_b, doc_a FROM edges), "
+    # transitive closure of the (tiny) near-dup graph
+    "reach(a, b) AS (SELECT a, b FROM sym "
+    "UNION SELECT reach.a, sym.b FROM reach JOIN sym ON reach.b = sym.a), "
+    "clus AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a) "
+    "SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id "
+    "FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id"
+)
+
+
+@register("dedup_clusters", _CLUSTERS_SQL)
+def dedup_clusters(t: Tables) -> DataFrame:
+    """Near-dup clustering: connected components over the verified
+    MinHash pair graph, cluster id = min doc_id in the component (the
+    canonical survivor — the actual deliverable of corpus dedup).
+
+    Spark side: Pregel-style min-label propagation to fixpoint — each
+    iteration is one join + aggregate, state persisted between rounds.
+    Near-dup graphs are forests of tiny cliques, so convergence is a
+    handful of rounds regardless of corpus size; at 100 TB each round is
+    a co-partitioned join on doc_id. The oracle states the same fixpoint
+    as a recursive transitive closure (fine at oracle SF, not the
+    cluster plan)."""
+    edges = dedup_minhash_lsh(t).select("doc_a", "doc_b")
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(32):  # graph diameter bound; tiny-clique forests converge in ~log rounds
+        neighbor_min = (
+            sym.join(labels, sym.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    docs = t.documents.select("doc_id")
+    return (
+        docs.join(labels.withColumnRenamed("label", "cluster_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+        )
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

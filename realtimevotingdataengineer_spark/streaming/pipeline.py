@@ -123,6 +123,38 @@ def turnout_by_state(events: DataFrame) -> DataFrame:
     )
 
 
+def join_votes_with_registrations(
+    votes: DataFrame, registrations: DataFrame, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: each vote matched to the same voter's
+    registration event within the event-time horizon (vote must follow
+    registration). Both sides carry watermarks so Spark can GC join
+    state; the interval condition bounds how long a registration waits
+    for its vote. This is the streaming form of join_votes_voters
+    (SURVEY §2.3) when the voter dimension is itself a stream.
+
+    registrations schema: (voter_id, registered_at timestamp, ...).
+    """
+    v = (
+        with_event_time(votes)
+        .withWatermark("voting_time", WATERMARK)
+        .select("voter_id", "voting_time", "candidate_id", "vote")
+    )
+    r = registrations.withWatermark("registered_at", horizon).select(
+        F.col("voter_id").alias("reg_voter_id"), "registered_at"
+    )
+    return v.join(
+        r,
+        (F.col("voter_id") == F.col("reg_voter_id"))
+        & (F.col("voting_time") >= F.col("registered_at"))
+        & (
+            F.col("voting_time")
+            <= F.col("registered_at") + F.expr(f"INTERVAL {horizon}")
+        ),
+        "inner",
+    ).drop("reg_voter_id")
+
+
 def leading_candidate_batch(tally: DataFrame) -> DataFrame:
     """« Le candidat qui obtient le plus de vote gagne » (Note...txt:19).
     Streaming sort is illegal in update mode — compute the winner per
