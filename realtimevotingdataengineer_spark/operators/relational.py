@@ -531,6 +531,50 @@ def pivot_votes_by_type(t: Tables) -> DataFrame:
 
 
 @register(
+    "agg_skew_salted",
+    "SELECT event_type AS candidate, count(*) AS votes FROM events GROUP BY event_type",
+)
+def agg_skew_salted(t: Tables) -> DataFrame:
+    """The core tally under key skew: two-phase salted aggregation.
+    Phase 1 groups by (key, salt) — a hot key's rows spread over SALT
+    buckets instead of hammering one reducer; phase 2 merges the partial
+    counts per key. Result identical to the direct groupBy (the oracle
+    states exactly that); the plan trades one extra tiny shuffle for
+    skew immunity. With AQE skew handling on, Spark can do this
+    adaptively for joins — salting remains the explicit tool for
+    aggregations with pathological key distributions."""
+    salt = F.pmod(F.xxhash64(F.col("event_id")), F.lit(16)).alias("salt")
+    partial = (
+        t.events.select(F.col("event_type").alias("candidate"), salt)
+        .groupBy("candidate", "salt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return partial.groupBy("candidate").agg(F.sum("c").cast("bigint").alias("votes"))
+
+
+@register(
+    "sql_votes_tally",
+    "SELECT event_type AS candidate, count(*) AS votes, "
+    "CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value "
+    "FROM events GROUP BY event_type",
+)
+def sql_votes_tally(t: Tables) -> DataFrame:
+    """The flagship tally through the SQL-text entry path: temp view +
+    spark.sql — proving the engine's SQL surface produces the same plan
+    and results as the DataFrame API (both compile to the same Catalyst
+    logical plan)."""
+    t.events.createOrReplaceTempView("_sql_events")
+    return t.spark.sql(
+        """
+        SELECT event_type AS candidate,
+               count(*) AS votes,
+               CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value
+        FROM _sql_events GROUP BY event_type
+        """
+    )
+
+
+@register(
     "agg_rollup",
     "SELECT o_orderpriority AS party, o_orderstatus AS status, count(*) AS votes, "
     "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend "
