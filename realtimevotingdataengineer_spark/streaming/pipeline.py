@@ -91,6 +91,20 @@ def dedup_one_vote(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
     )
 
 
+def dedup_one_vote_within(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` variant of the one-vote rule:
+    deduplicates events whose event times fall within the watermark
+    delay of each other, without requiring the event-time column in the
+    key — the right tool when duplicates are *retries* (same vote,
+    slightly different timestamps), which is exactly the reference's
+    Kafka at-least-once producer behavior (main.py:227)."""
+    return (
+        with_event_time(events)
+        .withWatermark("voting_time", watermark)
+        .dropDuplicatesWithinWatermark(["voter_id"])
+    )
+
+
 def tally_per_candidate(events: DataFrame) -> DataFrame:
     """THE core aggregation (Note...txt:17-19,34-35): running vote totals
     per candidate, for outputMode('update'). The event is pre-joined

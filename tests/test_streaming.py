@@ -55,6 +55,17 @@ def test_streaming_dedup_one_vote(spark, event_dir):
     assert out.count() == out.select("voter_id").distinct().count() == 100
 
 
+def test_streaming_dedup_within_watermark(spark, event_dir):
+    """dropDuplicatesWithinWatermark: retries (same voter, nearby
+    timestamps) collapse to one vote."""
+    path, _ = event_dir
+    raw = pipeline.read_text_stream(spark, path)
+    events = pipeline.parse_vote_events(raw)
+    deduped = pipeline.dedup_one_vote_within(events)
+    out = _run_stream(spark, deduped, "deduped_within", "append")
+    assert out.count() == out.select("voter_id").distinct().count() == 100
+
+
 def test_streaming_tally_matches_batch(spark, event_dir):
     path, _ = event_dir
     raw = pipeline.read_text_stream(spark, path)
