@@ -106,6 +106,69 @@ _IVF_SQL = (
 )
 
 
+@register("sim_bruteforce_topk_arrow")  # numpy float math ⇒ no bitwise SQL oracle; rows-only + pytest
+def sim_bruteforce_topk_arrow(t: Tables) -> DataFrame:
+    """Arrow-batched numpy kernel for the same cosine top-k: queries are
+    closed over (broadcast with the pickled function), the corpus
+    streams through mapInPandas in columnar batches, each batch does one
+    BLAS matmul, and only per-batch top-k candidates leave Python. The
+    global top-k reduction stays in Spark. This is the scale path when
+    dim is large (codegen chains grow linearly in dim; BLAS doesn't).
+    pytest asserts neighbor-set parity with the exact operator."""
+    import numpy as np
+
+    qrows = (
+        t.embeddings.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = [r.vec_id for r in qrows]
+    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = q_norm @ c_norm.T  # (n_queries, batch)
+            out = {"query_id": [], "neighbor_id": [], "cosine": []}
+            k = min(TOP_K + 1, sims.shape[1])
+            for qi, qid in enumerate(q_ids):
+                top = np.argpartition(-sims[qi], k - 1)[:k]
+                for ci in top:
+                    if ids[ci] != qid:
+                        out["query_id"].append(qid)
+                        out["neighbor_id"].append(int(ids[ci]))
+                        out["cosine"].append(float(sims[qi, ci]))
+            yield pd.DataFrame(out)
+
+    candidates = t.embeddings.select("vec_id", "embedding").mapInPandas(kernel, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 @register("sim_ivf_topk", _IVF_SQL)
 def sim_ivf_topk(t: Tables) -> DataFrame:
     """IVF-bucketed ANN: corpus partitioned by nearest centroid; each

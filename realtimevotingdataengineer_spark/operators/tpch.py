@@ -12,7 +12,7 @@ executors — and bitwise-reproducible by the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import charge, dec, disc_price
@@ -85,6 +85,90 @@ def q3_shipping_priority(t: Tables) -> DataFrame:
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "CAST(year(l_shipdate) AS INT) AS l_year, "
+    f"CAST(sum({_DP}) AS DOUBLE) AS revenue "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+    "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+    "WHERE n1.n_name < n2.n_name "
+    "GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS INT)",
+)
+def q7_volume_shipping(t: Tables) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between nation pairs by year. Two
+    broadcast dims (nation via supplier/customer), one orderkey shuffle;
+    the (n1,n2,year) group space is tiny so partial agg collapses it
+    map-side."""
+    n1 = t.nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t.nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        t.lineitem.join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+        )
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q2_cheapest_supplier",
+    "SELECT l_partkey, s_name, min_price FROM ("
+    "SELECT l_partkey, s_name, l_extendedprice AS min_price, "
+    "row_number() OVER (PARTITION BY l_partkey "
+    "ORDER BY l_extendedprice, s_name) AS rn "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey) WHERE rn = 1",
+)
+def q2_cheapest_supplier(t: Tables) -> DataFrame:
+    """TPC-H Q2 shape: argmin-per-group (the supplier quoting each
+    part's lowest price) via row_number — one shuffle on partkey; at
+    scale prefer this over a min-join-back (one pass, no re-join)."""
+    w = Window.partitionBy("l_partkey").orderBy(F.asc("min_price"), F.asc("s_name"))
+    return (
+        t.lineitem.join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", "s_name", F.col("l_extendedprice").alias("min_price"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "q10_returned_items",
+    "SELECT c_custkey, c_name, "
+    f"CAST(sum({_DP}) AS DOUBLE) AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE l_returnflag = 'R' "
+    "GROUP BY c_custkey, c_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+)
+def q10_returned_items(t: Tables) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top-20.
+    Selective returnflag filter pushes to the scan; TakeOrdered top-k."""
+    li = t.lineitem.filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
     )
 
 

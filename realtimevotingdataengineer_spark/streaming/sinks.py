@@ -66,6 +66,52 @@ def write_parquet_batches(
     )
 
 
+def upsert_parquet_batches(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key: str,
+    version_col: str,
+) -> StreamingQuery:
+    """foreachBatch upsert: latest row per key wins (ties by batch
+    recency). The reference's INSERT ... UNIQUE(voter_id) conflict
+    semantics (main.py:55, voting.py:112-126) expressed as a merge: each
+    micro-batch is unioned with the current table and deduplicated by
+    (key, max version). Plain parquet stand-in for a MERGE-capable table
+    format — on a cluster this is Delta/Iceberg MERGE INTO; the
+    per-batch logic is identical."""
+    from pyspark.sql import Window as W
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            current = spark.read.parquet(path)
+        except Exception:
+            current = None
+        merged = batch if current is None else current.unionByName(batch)
+        w = W.partitionBy(key).orderBy(F.desc(version_col))
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # write to a staging dir then swap — plain parquet cannot
+        # read+overwrite the same path in one job
+        staging = f"{path}__staging"
+        latest.write.mode("overwrite").parquet(staging)
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.move(staging, path)
+
+    return (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+
+
 def write_memory(
     df: DataFrame, name: str, output_mode: str = "update", available_now: bool = False
 ) -> StreamingQuery:

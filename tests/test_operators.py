@@ -47,8 +47,8 @@ def test_every_query_runs_and_has_rows(t):
 
 def test_every_query_has_oracle_or_reason(t):
     sql_free = set(QUERIES) - set(ORACLES)
-    # only mapInPandas-backed ops may skip the SQL oracle
-    assert sql_free == {"mm_frame_sample"}
+    # only mapInPandas/numpy-backed ops may skip the SQL oracle
+    assert sql_free == {"mm_frame_sample", "sim_bruteforce_topk_arrow"}
 
 
 def test_topk_tiebreak_deterministic(t):
@@ -88,6 +88,21 @@ def test_sim_topk_exactly_k_per_query(t):
     # cosine within [-1, 1]
     bad = out.filter((F.col("cosine") > 1.000001) | (F.col("cosine") < -1.000001))
     assert bad.count() == 0
+
+
+def test_arrow_topk_matches_exact(t):
+    """The numpy/Arrow ANN kernel must agree with the exact codegen
+    operator on neighbor sets (cosines may differ in the last ulp)."""
+    exact = {}
+    for r in QUERIES["sim_bruteforce_topk"](t).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    arrow = {}
+    for r in QUERIES["sim_bruteforce_topk_arrow"](t).collect():
+        arrow.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(exact) == set(arrow)
+    for qid in exact:
+        overlap = len(exact[qid] & arrow[qid])
+        assert overlap >= len(exact[qid]) - 1, (qid, exact[qid], arrow[qid])
 
 
 def test_ivf_recall_vs_bruteforce(t):
