@@ -47,8 +47,13 @@ def test_every_query_runs_and_has_rows(t):
 
 def test_every_query_has_oracle_or_reason(t):
     sql_free = set(QUERIES) - set(ORACLES)
-    # only mapInPandas/numpy-backed ops may skip the SQL oracle
-    assert sql_free == {"mm_frame_sample", "sim_bruteforce_topk_arrow"}
+    # only mapInPandas/numpy kernels and the fitted-codebook IVF (double
+    # means have no portable SQL twin) may skip the SQL oracle
+    assert sql_free == {
+        "mm_frame_sample",
+        "sim_bruteforce_topk_arrow",
+        "sim_ivf_kmeans_topk",
+    }
 
 
 def test_topk_tiebreak_deterministic(t):
@@ -116,6 +121,20 @@ def test_ivf_recall_vs_bruteforce(t):
     assert ivf, "IVF returned nothing"
     recall = len(exact & ivf) / len(exact)
     assert recall > 0.05, f"implausibly low IVF recall {recall}"
+
+
+def test_ivf_kmeans_recall(t):
+    """Fitted-codebook IVF: valid top-k shape and sane recall@10."""
+    exact = {}
+    for r in QUERIES["sim_bruteforce_topk"](t).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in QUERIES["sim_ivf_kmeans_topk"](t).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert got, "kmeans IVF returned nothing"
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total > 0.05, f"recall {hits}/{total}"
 
 
 def test_lang_id_beats_chance(t):

@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis): engine invariants on generated
+inputs, not fixed fixtures. Few examples per property — each example is
+a real Spark job."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+BASE = dt.datetime(2024, 5, 1, 9, 0, 0)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # user
+        st.integers(min_value=0, max_value=7200),  # offset seconds
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, evs):
+    rows = [
+        (i, f"u{u}", BASE + dt.timedelta(seconds=off)) for i, (u, off) in enumerate(evs)
+    ]
+    return spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp")
+
+
+@given(evs=events_strategy)
+@SET
+def test_dedup_idempotent_and_one_per_user(spark, evs):
+    from pyspark.sql import Window
+
+    df = _df(spark, evs)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dedup = (
+        df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    once = dedup.collect()
+    twice = (
+        dedup.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    ).collect()
+    assert sorted(once) == sorted(twice)  # idempotent
+    users = {r.user_id for r in df.collect()}
+    assert len(once) == len(users)
+    # kept row is that user's (min ts, min event_id)
+    best = {}
+    for i, (u, off) in enumerate(evs):
+        key = (off, i)
+        if f"u{u}" not in best or key < best[f"u{u}"]:
+            best[f"u{u}"] = key
+    for r in once:
+        off, i = best[r.user_id]
+        assert r.event_id == i
+
+
+@given(evs=events_strategy, gap=st.integers(min_value=60, max_value=1800))
+@SET
+def test_session_count_matches_reference(spark, evs, gap):
+    """Session windows: Spark's gap-flag formulation vs a plain-Python
+    reference on the same data."""
+    from pyspark.sql import Window
+
+    df = _df(spark, evs)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = df.select(
+        "user_id",
+        F.when(gap_sec.isNull() | (gap_sec > gap), 1).otherwise(0).alias("new_s"),
+    )
+    got = flagged.agg(F.sum("new_s")).collect()[0][0]
+    # python reference
+    per_user: dict[str, list[tuple[int, int]]] = {}
+    for i, (u, off) in enumerate(evs):
+        per_user.setdefault(f"u{u}", []).append((off, i))
+    want = 0
+    for times in per_user.values():
+        times.sort()
+        want += 1
+        for (a, _), (b, _) in zip(times, times[1:]):
+            if b - a > gap:
+                want += 1
+    assert got == want
+
+
+@given(evs=events_strategy, parts=st.integers(min_value=1, max_value=7))
+@SET
+def test_tally_invariant_under_partitioning(spark, evs, parts):
+    """Aggregation results must not depend on physical partitioning."""
+    df = _df(spark, evs)
+    base = {
+        r.user_id: r.c
+        for r in df.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    re = {
+        r.user_id: r.c
+        for r in df.repartition(parts)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert base == re
