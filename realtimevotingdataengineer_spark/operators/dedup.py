@@ -360,6 +360,42 @@ def dedup_clusters(t: Tables) -> DataFrame:
     )
 
 
+_CLEAN_SQL = (
+    _CLUSTERS_SQL.replace(
+        "SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id "
+        "FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id",
+        "",
+    )
+    + ", labels AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id "
+    "FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id), "
+    "quality AS (SELECT doc_id, lang, "
+    f"len({_TOKENS_SQL}) AS n_tokens FROM documents) "
+    "SELECT q.doc_id, q.lang, q.n_tokens FROM quality q "
+    "JOIN labels l ON q.doc_id = l.doc_id "
+    "WHERE q.n_tokens >= 20 AND l.cluster_id = q.doc_id"
+)
+
+
+@register("pipeline_clean_corpus", _CLEAN_SQL)
+def pipeline_clean_corpus(t: Tables) -> DataFrame:
+    """The capstone composition — a training-corpus cleaning pass as ONE
+    declarative query: quality gate (≥20 tokens) ∘ near-dup clustering
+    (keep only each cluster's canonical doc). Demonstrates that the
+    dedup/text operators compose relationally: Catalyst plans the whole
+    thing; no materialization between 'stages'. At 100 TB each piece is
+    the already-analyzed plan (narrow quality scan + LSH candidate join
+    + label propagation)."""
+    labels = dedup_clusters(t)
+    quality = t.documents.select(
+        "doc_id", "lang", F.size(tokens("text")).alias("n_tokens")
+    )
+    return (
+        quality.join(labels, "doc_id")
+        .filter((F.col("n_tokens") >= 20) & (F.col("cluster_id") == F.col("doc_id")))
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
