@@ -30,10 +30,14 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q7_volume_shipping",
+    "q10_returned_items",
     "agg_votes_per_candidate",
+    "agg_stats",
     "stream_dedup_one_vote",
     "window_tumbling",
     "window_session",
+    "window_lead_lag",
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_lang_id",
