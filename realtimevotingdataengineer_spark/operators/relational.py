@@ -275,6 +275,73 @@ def pred_status_filter(t: Tables) -> DataFrame:
     return t.events.filter(F.col("event_type") != "error").select("event_id", "event_type")
 
 
+@register(
+    "expr_string_funcs",
+    "SELECT c_custkey, upper(c_name) AS uname, lower(c_mktsegment) AS lseg, "
+    "substring(c_name, 1, 8) AS prefix8, replace(c_name, '#', '-') AS dashed, "
+    "lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key, "
+    "length(c_name) AS name_len "
+    "FROM customer",
+)
+def expr_string_funcs(t: Tables) -> DataFrame:
+    """String function battery (§2.9 census closure): case mapping,
+    substring, replace, padding, length — all codegen'd JVM-side."""
+    return t.customer.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.substring("c_name", 1, 8).alias("prefix8"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("dashed"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+    )
+
+
+@register(
+    "expr_date_funcs",
+    "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y, "
+    "CAST(month(o_orderdate) AS INT) AS m, CAST(day(o_orderdate) AS INT) AS d, "
+    "date_trunc('month', o_orderdate) AS month_start, "
+    "o_orderdate + INTERVAL 30 DAY AS due_date "
+    "FROM orders",
+)
+def expr_date_funcs(t: Tables) -> DataFrame:
+    """Date/time battery: component extraction, truncation, interval
+    arithmetic (engine-portable subset — day-of-week numbering
+    deliberately excluded: Spark counts from Sunday=1, others differ)."""
+    return t.orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.dayofmonth("o_orderdate").cast("int").alias("d"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+    )
+
+
+@register(
+    "expr_null_funcs",
+    "SELECT c_custkey, "
+    "coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other, "
+    "(c_acctbal IS NULL) AS bal_missing, "
+    "CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_nonneg "
+    "FROM customer",
+)
+def expr_null_funcs(t: Tables) -> DataFrame:
+    """NULL-semantics battery: nullif/coalesce/IS NULL/CASE-to-NULL —
+    three-valued logic handled identically to the oracle."""
+    return t.customer.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+        F.col("c_acctbal").isNull().alias("bal_missing"),
+        F.when(F.col("c_acctbal") < 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_nonneg"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.3 joins
 # ---------------------------------------------------------------------------
@@ -527,6 +594,32 @@ def pivot_votes_by_type(t: Tables) -> DataFrame:
         .pivot("event_type", kinds)
         .agg(F.count(F.lit(1)))
         .fillna(0, subset=kinds)
+    )
+
+
+@register(
+    "join_outer_votes",
+    "SELECT c_custkey, c_name, coalesce(u.cnt, 0) AS urgent_orders FROM customer "
+    "LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders "
+    "WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u "
+    "ON c_custkey = u.o_custkey",
+)
+def join_outer_votes(t: Tables) -> DataFrame:
+    """LEFT OUTER join with null-filling: every voter listed with their
+    urgent-vote count, zero when absent. Aggregate-then-join keeps the
+    outer side's row count stable and the join input small."""
+    urgent = (
+        t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        t.customer.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("urgent_orders"),
+        )
     )
 
 

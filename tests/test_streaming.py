@@ -111,6 +111,29 @@ def test_windowed_tally_covers_event_range(spark, event_dir):
         assert r.votes >= 1
 
 
+def test_complete_mode_leaderboard(spark, event_dir):
+    """Complete-mode sorted tally — the live dashboard view. Sorting a
+    streaming agg is only legal in complete mode (3-group cardinality
+    makes it cheap); the memory table then holds the ranked leaderboard."""
+    path, _ = event_dir
+    raw = pipeline.read_text_stream(spark, path)
+    events = pipeline.parse_vote_events(raw)
+    board = pipeline.tally_per_candidate(events).orderBy(
+        F.desc("total_votes"), F.asc("candidate_name")
+    )
+    q = sinks.write_memory(board, "leaderboard", "complete")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM leaderboard").collect()
+    # ≥3 groups: the 3 candidates, plus fixture-injected inconsistent
+    # duplicate rows (candidate_id rewritten, name kept) form extra keys
+    assert len(rows) >= 3
+    votes = [r.total_votes for r in rows]
+    assert votes == sorted(votes, reverse=True)
+    # every event counted (no dedup in this view)
+    assert sum(votes) == 114  # 100 base + 10 duplicate votes + 4 late replays
+
+
 def test_foreachbatch_leading_candidate(spark, event_dir, tmp_path):
     path, _ = event_dir
     raw = pipeline.read_text_stream(spark, path)
