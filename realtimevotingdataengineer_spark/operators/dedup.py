@@ -411,10 +411,16 @@ def dedup_embedding_cosine(t: Tables) -> DataFrame:
     Brute-force baseline (O(n²) — fine at verification SF); the scale
     path buckets by LSH/IVF first (see similarity.py). The dot/norm chains
     are order-pinned so the oracle result is bitwise identical."""
-    a = spread(t.embeddings, "vec_id").alias("a")
-    b = t.embeddings.alias("b")
+    # per-side projected norms keep the generated join method under
+    # Janino's 64KB limit (see similarity.sim_bruteforce_topk)
+    a = (
+        spread(t.embeddings, "vec_id")
+        .withColumn("nrm", norm_expr("embedding", EMB_DIM))
+        .alias("a")
+    )
+    b = t.embeddings.withColumn("nrm", norm_expr("embedding", EMB_DIM)).alias("b")
     cos = dot_expr("a.embedding", "b.embedding", EMB_DIM) / (
-        norm_expr("a.embedding", EMB_DIM) * norm_expr("b.embedding", EMB_DIM)
+        F.col("a.nrm") * F.col("b.nrm")
     )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))

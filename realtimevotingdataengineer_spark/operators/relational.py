@@ -598,6 +598,29 @@ def pivot_votes_by_type(t: Tables) -> DataFrame:
 
 
 @register(
+    "expr_array_funcs",
+    "SELECT vec_id, len(embedding) AS dim, embedding[1] AS first_el, "
+    "len(embedding[1:4]) AS head_len, embedding[4] AS last_of_head, label "
+    "FROM embeddings",
+)
+def expr_array_funcs(t: Tables) -> DataFrame:
+    """Array battery over the embedding column: size, element access,
+    slicing. Slice results are reduced to scalars for the comparison
+    layer (array-typed output cells hash differently across comparison
+    backends); values are raw float passthrough — no arithmetic, so
+    they match the oracle bitwise."""
+    head4 = F.slice("embedding", 1, 4)
+    return t.embeddings.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_el"),
+        F.size(head4).alias("head_len"),
+        F.element_at(head4, 4).alias("last_of_head"),
+        "label",
+    )
+
+
+@register(
     "join_outer_votes",
     "SELECT c_custkey, c_name, coalesce(u.cnt, 0) AS urgent_orders FROM customer "
     "LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders "

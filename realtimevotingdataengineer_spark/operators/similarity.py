@@ -55,10 +55,23 @@ _COS = (
 def sim_bruteforce_topk(t: Tables) -> DataFrame:
     """Exact cosine top-k for each query vector (vec_id < N_QUERIES)
     against the whole corpus. Queries broadcast; corpus scanned once."""
-    q = t.embeddings.filter(F.col("vec_id") < N_QUERIES).alias("q")
-    c = spread(t.embeddings, "vec_id").alias("c")
+    # norms are projected per side BEFORE the join: the three 64-term
+    # chains in one generated join method exceed Janino's 64KB limit and
+    # fall back to interpreted eval; one chain per projection + one in
+    # the join keeps every method codegen-compiled. IEEE-identical to
+    # inlining (the oracle SQL's norm subexpressions evaluate the same).
+    q = (
+        t.embeddings.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("nrm", norm_expr("embedding", EMB_DIM))
+        .alias("q")
+    )
+    c = (
+        spread(t.embeddings, "vec_id")
+        .withColumn("nrm", norm_expr("embedding", EMB_DIM))
+        .alias("c")
+    )
     cos = dot_expr("q.embedding", "c.embedding", EMB_DIM) / (
-        norm_expr("q.embedding", EMB_DIM) * norm_expr("c.embedding", EMB_DIM)
+        F.col("q.nrm") * F.col("c.nrm")
     )
     scored = (
         F.broadcast(q)

@@ -52,11 +52,15 @@ def compare(name, spark_df, sql) -> str:
         return f"SCHEMA cols spark={list(sp.columns)} duck={list(du.columns)}"
     if len(sp) != len(du):
         return f"ROWS spark={len(sp)} duck={len(du)}"
-    # normalize timestamps to pandas datetime64[us]
+    # normalize timestamps to pandas datetime64[us]; make list cells
+    # hashable/sortable (array-typed outputs)
     for df in (sp, du):
         for c in df.columns:
             if str(df[c].dtype).startswith("datetime64"):
                 df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            elif df[c].map(lambda v: isinstance(v, (list, tuple))
+                           or type(v).__name__ == "ndarray").any():
+                df[c] = df[c].map(lambda v: tuple(v) if v is not None else None)
     key = list(sp.columns)
     sp_s = sp.sort_values(key, kind="mergesort").reset_index(drop=True)
     du_s = du.sort_values(key, kind="mergesort").reset_index(drop=True)
