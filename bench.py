@@ -132,7 +132,12 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()  # noqa: SLF001
     spark.catalog.clearCache()
 
-    timings["stream_votes_pipeline"] = round(bench_stream(spark), 3)
+    try:
+        timings["stream_votes_pipeline"] = round(bench_stream(spark), 3)
+    except Exception as ex:  # never lose the whole bench record to one section
+        import sys
+
+        print(f"stream bench failed: {ex!r}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
