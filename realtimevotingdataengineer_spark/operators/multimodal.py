@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -129,6 +129,91 @@ def extract_features(mm: DataFrame, dim: int = 8) -> DataFrame:
             yield pd.DataFrame(out)
 
     return mm.select("doc_id", "content").mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+_HIST_COLS = ", ".join(
+    f"len(list_filter(list_transform(range(1, len(text) + 1), "
+    f"i -> ascii(text[i]) % 8), x -> x = {b})) AS h{b}"
+    for b in range(8)
+)
+
+_FEATURE_SQL_CTE = (
+    f"feat AS (SELECT doc_id, {_HIST_COLS} FROM documents)"
+)
+
+
+def _dot8(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST({a}.h{i} AS DOUBLE) * CAST({b}.h{i} AS DOUBLE)" for i in range(8)
+    )
+
+
+def _norm8(a: str) -> str:
+    return f"sqrt({_dot8(a, a)})"
+
+
+@register(
+    "mm_feature_topk",
+    f"WITH {_FEATURE_SQL_CTE} "
+    "SELECT query_id, neighbor_id, cosine FROM ("
+    "SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, "
+    f"({_dot8('q', 'c')}) / (({_norm8('q')}) * ({_norm8('c')})) AS cosine, "
+    "row_number() OVER (PARTITION BY q.doc_id ORDER BY "
+    f"({_dot8('q', 'c')}) / (({_norm8('q')}) * ({_norm8('c')})) DESC, c.doc_id) AS rn "
+    "FROM feat q CROSS JOIN feat c "
+    "WHERE q.doc_id < 3 AND q.doc_id <> c.doc_id) WHERE rn <= 5",
+)
+def mm_feature_topk(t: Tables) -> DataFrame:
+    """Multimodal composition: byte-histogram features (the relational
+    twin of the Arrow ``extract_features`` kernel — ascii%8 counts over
+    the payload) fed straight into cosine top-5 similarity. End-to-end
+    SQL-expressible, so the whole decode→featurize→search pipeline has
+    an exact oracle; pytest additionally asserts the relational features
+    equal the Python kernel's (tests/test_multimodal.py)."""
+    chars = F.split(F.col("text"), "")
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length("text")),
+        lambda i: F.ascii(F.element_at(chars, i)) % 8,
+    )
+
+    def eq(bucket: int):
+        # NB: a `lambda x, bb=b:` default-argument trick must NOT be used
+        # here — PySpark reads the lambda's arity, and a second parameter
+        # selects the (element, index) filter variant, silently comparing
+        # values against positions. Close over the bucket instead.
+        return lambda x: x == bucket
+
+    feat = t.documents.select(
+        "doc_id",
+        *[F.size(F.filter(codes, eq(b))).alias(f"h{b}") for b in range(8)],
+    )
+    q = feat.filter(F.col("doc_id") < 3).alias("q")
+    c = feat.alias("c")
+
+    def dot(x, y):
+        acc = None
+        for i in range(8):
+            term = F.col(f"{x}.h{i}").cast("double") * F.col(f"{y}.h{i}").cast("double")
+            acc = term if acc is None else acc + term
+        return acc
+
+    cos = dot("q", "c") / (F.sqrt(dot("q", "q")) * F.sqrt(dot("c", "c")))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q.doc_id") != F.col("c.doc_id"))
+        .select(
+            F.col("q.doc_id").alias("query_id"),
+            F.col("c.doc_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cosine")
+    )
 
 
 @register("mm_frame_sample")  # no SQL oracle: mapInPandas stage → rows-only check

@@ -50,6 +50,36 @@ def test_feature_extraction_histogram(t):
         assert sum(r.feature) == r.content_len == len(src[r.doc_id])
 
 
+def test_relational_features_match_kernel(t):
+    """The SQL-expressible byte-histogram features (mm_feature_topk's
+    first stage) must equal the Arrow kernel's output — proving the
+    declarative twin and the Python kernel compute the same thing."""
+    from pyspark.sql import functions as F
+
+    mm = multimodal.multimodal_table(t).limit(30)
+    kernel_feats = {
+        r.doc_id: tuple(r.feature) for r in multimodal.extract_features(mm, dim=8).collect()
+    }
+    chars = F.split(F.col("text"), "")
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length("text")),
+        lambda i: F.ascii(F.element_at(chars, i)) % 8,
+    )
+
+    def eq(bucket):
+        return lambda x: x == bucket
+
+    rel = t.documents.join(
+        mm.select("doc_id"), "doc_id"
+    ).select(
+        "doc_id", *[F.size(F.filter(codes, eq(b))).alias(f"h{b}") for b in range(8)]
+    )
+    rel_feats = {
+        r.doc_id: tuple(r[f"h{b}"] for b in range(8)) for r in rel.collect()
+    }
+    assert rel_feats == kernel_feats
+
+
 def test_mm_ingest_hash_matches_payload(t):
     out = {r.doc_id: (r.content_md5, r.content_len) for r in multimodal.mm_ingest(t).collect()}
     import hashlib
