@@ -111,6 +111,20 @@ def test_windowed_tally_covers_event_range(spark, event_dir):
         assert r.votes >= 1
 
 
+def test_streaming_turnout_by_state(spark, event_dir):
+    """Turnout per address.state over the deduped stream: nested-struct
+    access + dedup + count, summing to the distinct-voter total."""
+    path, _ = event_dir
+    raw = pipeline.read_text_stream(spark, path)
+    events = pipeline.parse_vote_events(raw)
+    turnout = pipeline.turnout_by_state(events)
+    out = _run_stream(spark, turnout, "state_turnout", "update")
+    latest = out.groupBy("state").agg(F.max("turnout").alias("t"))
+    rows = latest.collect()
+    assert sum(r.t for r in rows) == 100  # one vote per distinct voter
+    assert all(r.state for r in rows)  # struct field extracted, non-null
+
+
 def test_complete_mode_leaderboard(spark, event_dir):
     """Complete-mode sorted tally — the live dashboard view. Sorting a
     streaming agg is only legal in complete mode (3-group cardinality
