@@ -13,8 +13,6 @@ touching operator code.
 
 from __future__ import annotations
 
-from functools import cached_property
-
 from pyspark.sql import DataFrame, SparkSession
 
 from ..session import configure_for_queries

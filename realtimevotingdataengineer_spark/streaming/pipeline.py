@@ -42,20 +42,33 @@ def read_kafka_votes(
     """Kafka source, earliest offsets (spark-streaming.py:66-71;
     consumer config voting.py:15-22 — with its 'boostrap.servers' and
     'earLiest' typos corrected, bug 3 in SURVEY.md)."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
-        .load()
-    )
+    try:
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", "earliest")
+            .load()
+        )
+    except Exception as ex:  # connector JAR absent → actionable guidance
+        msg = str(ex)
+        if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find data source" in msg:
+            raise RuntimeError(
+                "Kafka connector not on the classpath. Launch with --packages "
+                "org.apache.spark:spark-sql-kafka-0-10_<scala-suffix>:<spark-version> "
+                "(the Scala suffix must match the Spark build: 2.12 for Spark 3.x "
+                "pip wheels, 2.13 for Spark 4.x; the reference pins the same "
+                "package at spark-streaming.py:17). For broker-less runs use "
+                "read_text_stream(), which feeds the identical parse chain."
+            ) from ex
+        raise
 
 
 def read_text_stream(spark: SparkSession, path: str) -> DataFrame:
     """Broker-less stand-in for the Kafka topic: a directory of text
     files, one JSON event per line, presented with the same `value`
     column contract as the Kafka source."""
-    return spark.readStream.format("text").load(path).withColumnRenamed("value", "value")
+    return spark.readStream.format("text").load(path)  # text source emits `value`
 
 
 def parse_vote_events(raw: DataFrame) -> DataFrame:

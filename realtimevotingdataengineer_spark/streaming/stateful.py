@@ -17,8 +17,6 @@ batches — no per-row Python dispatch.
 from __future__ import annotations
 
 from collections.abc import Iterable
-from typing import Any
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
