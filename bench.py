@@ -77,8 +77,14 @@ def bench_stream(spark) -> float:
         q = sinks.write_memory(tally, "bench_tally", "update", available_now=True)
         q.awaitTermination(570)
         dt = time.perf_counter() - t0
+        # group by the FULL tally key: the raw fixture contains
+        # inconsistent duplicate rows (candidate_id rewritten, name kept),
+        # and which row survives dropDuplicates is an arrival-order
+        # implementation detail — summing max-per-full-group counts each
+        # deduped voter exactly once no matter which row won
         n = spark.sql(
-            "SELECT sum(v) FROM (SELECT max(total_votes) v FROM bench_tally GROUP BY candidate_id)"
+            "SELECT sum(v) FROM (SELECT max(total_votes) v FROM bench_tally "
+            "GROUP BY candidate_id, candidate_name, party_affiliation)"
         ).collect()[0][0]
         assert n == 50_000, f"streaming tally wrong: {n}"
         return dt

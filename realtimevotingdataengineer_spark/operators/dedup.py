@@ -324,7 +324,12 @@ def dedup_clusters(t: Tables) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
-    for _ in range(32):  # graph diameter bound; tiny-clique forests converge in ~log rounds
+    converged = False
+    # min-label propagation needs O(component diameter) rounds; near-dup
+    # graphs are clique forests (tiny diameter) but a pathological chain
+    # must fail LOUDLY rather than silently mislabel (the oracle computes
+    # the true fixpoint)
+    for _ in range(100):
         neighbor_min = (
             sym.join(labels, sym.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
@@ -350,7 +355,15 @@ def dedup_clusters(t: Tables) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            "dedup_clusters: label propagation did not converge in 100 "
+            "rounds — a near-dup component has diameter > 100; raise the "
+            "bound or switch to pointer-jumping for this corpus"
+        )
+    sym.unpersist()  # labels are materialized; the edge cache is done
     docs = t.documents.select("doc_id")
     return (
         docs.join(labels.withColumnRenamed("label", "cluster_id"), "doc_id", "left")

@@ -138,7 +138,10 @@ _HIST_COLS = ", ".join(
 )
 
 _FEATURE_SQL_CTE = (
-    f"feat AS (SELECT doc_id, {_HIST_COLS} FROM documents)"
+    # empty payloads are excluded on BOTH engines: a zero histogram has a
+    # zero norm (division blows up under ANSI) and Spark's sequence(1,0)
+    # would run descending where DuckDB's range(1,1) is empty
+    f"feat AS (SELECT doc_id, {_HIST_COLS} FROM documents WHERE len(text) > 0)"
 )
 
 
@@ -183,9 +186,12 @@ def mm_feature_topk(t: Tables) -> DataFrame:
         # values against positions. Close over the bucket instead.
         return lambda x: x == bucket
 
-    feat = t.documents.select(
-        "doc_id",
-        *[F.size(F.filter(codes, eq(b))).alias(f"h{b}") for b in range(8)],
+    feat = (
+        t.documents.filter(F.length("text") > 0)  # see _FEATURE_SQL_CTE note
+        .select(
+            "doc_id",
+            *[F.size(F.filter(codes, eq(b))).alias(f"h{b}") for b in range(8)],
+        )
     )
     q = feat.filter(F.col("doc_id") < 3).alias("q")
     c = feat.alias("c")

@@ -30,13 +30,30 @@ def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
     return False
 
 
+def _split_top_level(fields: str) -> list[str]:
+    """Split a struct field list on commas at bracket depth 0 only —
+    nested struct types (`address:struct<street:string,...>`) must not
+    be torn apart."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(fields):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(fields[start:i])
+            start = i + 1
+    parts.append(fields[start:])
+    return [p for p in parts if p.strip()]
+
+
 def read_schema_columns(df: DataFrame) -> list[set[str]]:
     """The column sets each parquet scan actually reads (ReadSchema) —
     the observable form of column pruning."""
     plan = formatted_plan(df)
     out = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        cols = {c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()}
+    for m in re.finditer(r"ReadSchema: struct<(.*)>$", plan, re.M):
+        cols = {c.split(":")[0].strip() for c in _split_top_level(m.group(1))}
         out.append(cols)
     return out
 

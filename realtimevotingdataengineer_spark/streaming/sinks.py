@@ -88,12 +88,19 @@ def upsert_parquet_batches(
             current = spark.read.parquet(path)
         except Exception:
             current = None
-        merged = batch if current is None else current.unionByName(batch)
-        w = W.partitionBy(key).orderBy(F.desc(version_col))
+        # incoming batch wins version ties ("batch recency"): an
+        # at-least-once redelivery with an identical version must not
+        # nondeterministically resurrect the stored row
+        tagged_batch = batch.withColumn("_is_new", F.lit(1))
+        if current is None:
+            merged = tagged_batch
+        else:
+            merged = current.withColumn("_is_new", F.lit(0)).unionByName(tagged_batch)
+        w = W.partitionBy(key).orderBy(F.desc(version_col), F.desc("_is_new"))
         latest = (
             merged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            .drop("_rn", "_is_new")
         )
         # write to a staging dir then swap — plain parquet cannot
         # read+overwrite the same path in one job

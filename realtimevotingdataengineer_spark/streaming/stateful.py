@@ -59,6 +59,12 @@ def _make_track(gc_ms: int):
         batches: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle-voter eviction: drop the state and emit nothing — a
+            # timeout wake-up carries no new attempts, and re-writing the
+            # state here would defeat the GC this timeout exists for
+            state.remove()
+            return
         prev_attempts, first_us, last_us = state.get if state.exists else (0, None, None)
         new = 0
         for pdf in batches:
@@ -69,7 +75,7 @@ def _make_track(gc_ms: int):
                 new += 1
         total = prev_attempts + new
         state.update((total, first_us, last_us))
-        if gc_ms > 0 and not state.hasTimedOut:
+        if gc_ms > 0:
             state.setTimeoutDuration(gc_ms)
         yield pd.DataFrame(
             {

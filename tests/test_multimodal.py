@@ -25,8 +25,6 @@ def test_frame_sample_chunk_semantics(t):
     mm = multimodal.multimodal_table(t).limit(20)
     frames = multimodal.sample_frames(mm, every=64, max_frames=4).collect()
     by_doc: dict[int, list] = {}
-    for fr in by_doc.values():
-        fr.sort(key=lambda r: r.frame_no)
     for r in frames:
         by_doc.setdefault(r.doc_id, []).append(r)
     src = {r.doc_id: bytes(r.content) for r in mm.collect()}
