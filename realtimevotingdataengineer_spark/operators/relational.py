@@ -956,6 +956,34 @@ def stream_agg_update(t: Tables) -> DataFrame:
 
 
 @register(
+    "window_sliding",
+    # 2-minute windows sliding by 1 minute: each event belongs to the
+    # window starting at its own minute and the one starting a minute
+    # earlier — stated explicitly so the oracle needs no window() builtin
+    "WITH starts AS (SELECT event_type, value, u.ws FROM events, "
+    "LATERAL unnest([date_trunc('minute', ts), "
+    "date_trunc('minute', ts) - INTERVAL 1 MINUTE]) AS u(ws)) "
+    "SELECT ws AS win_start, event_type, count(*) AS votes, "
+    "CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value "
+    "FROM starts GROUP BY ws, event_type",
+)
+def window_sliding(t: Tables) -> DataFrame:
+    """Sliding windows (2-minute span, 1-minute hop) — the smoothed
+    real-time tally curve. Spark's window() emits one row per covering
+    window; works identically under readStream with a watermark."""
+    return (
+        t.events.groupBy(
+            F.window("ts", "2 minutes", "1 minute").getField("start").alias("win_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("votes"),
+            money_sum("value", "total_value", 20, 4),
+        )
+    )
+
+
+@register(
     "window_session",
     "WITH flagged AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL "
     "OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_session "

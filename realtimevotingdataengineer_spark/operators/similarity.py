@@ -303,6 +303,65 @@ def sim_ivf_kmeans_topk(t: Tables) -> DataFrame:
     )
 
 
+@register("sim_ivf_multiprobe_topk")  # fitted double-mean codebook → rows-only + pytest
+def sim_ivf_multiprobe_topk(t: Tables, n_probe: int = 2) -> DataFrame:
+    """Multi-probe IVF over the fitted codebook: each query searches its
+    `n_probe` nearest centroids' buckets instead of one — the standard
+    recall/latency dial (recall rises toward exact as n_probe→k while
+    probe cost stays n_probe/k of the corpus). pytest asserts recall ≥
+    the single-probe variant's."""
+    cent = kmeans_fit(t.embeddings).persist()
+    corpus = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def cosine(a, b):
+        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+        na = F.sqrt(F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
+        nb = F.sqrt(F.aggregate(F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
+        return dot / (na * nb)
+
+    scored = corpus.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cent_id", cosine(F.col("v"), F.col("cent_emb")).alias("cos")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    )
+    # corpus vectors live in exactly one bucket; queries probe n_probe
+    assign = scored.withColumn("rn", rn).filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    q_probes = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("vec_id").alias("q_id"), "cent_id")
+    )
+    qry = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v")
+    )
+    ca = assign.alias("ca")
+    probe = (
+        qry.join(q_probes, "q_id")
+        .join(ca, "cent_id")
+        .join(
+            corpus.withColumnRenamed("vec_id", "c_id").withColumnRenamed("v", "c_v"),
+            F.col("ca.vec_id") == F.col("c_id"),
+        )
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            cosine(F.col("q_v"), F.col("c_v")).alias("cosine"),
+        )
+        .distinct()  # a neighbor can surface via both probed buckets
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        probe.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 @register("sim_ivf_topk", _IVF_SQL)
 def sim_ivf_topk(t: Tables) -> DataFrame:
     """IVF-bucketed ANN: corpus partitioned by nearest centroid; each

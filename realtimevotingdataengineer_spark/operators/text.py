@@ -130,6 +130,39 @@ def text_lang_id(t: Tables) -> DataFrame:
     return hits.select("doc_id", "lang", pred.alias("pred_lang"))
 
 
+_GOPHER_SQL = f"""
+WITH tk AS (SELECT doc_id, n_chars, text, {_TOKENS_SQL} AS tk FROM documents)
+SELECT doc_id,
+  (len(tk) < 10) AS flag_too_short,
+  (len(tk) > 1000) AS flag_too_long,
+  (CAST(n_chars AS DOUBLE) / len(tk) > 12.0) AS flag_long_tokens,
+  (CAST({_hits_sql(LEXICONS["en"])} AS DOUBLE) / len(tk) < 0.005) AS flag_no_stopwords,
+  ((len(tk) >= 10) AND (len(tk) <= 1000)
+   AND (CAST(n_chars AS DOUBLE) / len(tk) <= 12.0)) AS quality_pass
+FROM tk
+""".strip()
+
+
+@register("text_quality_gopher", _GOPHER_SQL)
+def text_quality_gopher(t: Tables) -> DataFrame:
+    """Gopher-style rule flags: length bounds, mean-token-length bound,
+    stopword floor, plus the combined pass verdict — the standard
+    pre-training corpus gate expressed as pure column predicates
+    (each flag is independently auditable downstream)."""
+    tk = t.documents.select("doc_id", "n_chars", "text", tokens("text").alias("tk"))
+    n_tok = F.size("tk")
+    mean_len = F.col("n_chars").cast("double") / n_tok
+    stop_ratio = _hits(F.col("tk"), LEXICONS["en"]).cast("double") / n_tok
+    return tk.select(
+        "doc_id",
+        (n_tok < 10).alias("flag_too_short"),
+        (n_tok > 1000).alias("flag_too_long"),
+        (mean_len > 12.0).alias("flag_long_tokens"),
+        (stop_ratio < 0.005).alias("flag_no_stopwords"),
+        ((n_tok >= 10) & (n_tok <= 1000) & (mean_len <= 12.0)).alias("quality_pass"),
+    )
+
+
 @register(
     "text_top_ngrams",
     f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "

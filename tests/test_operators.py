@@ -53,6 +53,7 @@ def test_every_query_has_oracle_or_reason(t):
         "mm_frame_sample",
         "sim_bruteforce_topk_arrow",
         "sim_ivf_kmeans_topk",
+        "sim_ivf_multiprobe_topk",
     }
 
 
@@ -135,6 +136,25 @@ def test_ivf_kmeans_recall(t):
     hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total > 0.05, f"recall {hits}/{total}"
+
+
+def test_multiprobe_recall_dominates_single(t):
+    """Probing 2 buckets must recall at least as much of the exact
+    top-10 as probing 1 (monotone in n_probe)."""
+    exact = {}
+    for r in QUERIES["sim_bruteforce_topk"](t).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(key):
+        got = {}
+        for r in QUERIES[key](t).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    single = recall("sim_ivf_kmeans_topk")
+    multi = recall("sim_ivf_multiprobe_topk")
+    assert multi >= single, (multi, single)
 
 
 def test_lang_id_beats_chance(t):
