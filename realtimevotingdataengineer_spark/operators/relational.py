@@ -647,6 +647,54 @@ def join_outer_votes(t: Tables) -> DataFrame:
 
 
 @register(
+    "join_range_bands",
+    "WITH bands AS (SELECT u.lo AS band_lo, u.lo + 100 AS band_hi FROM "
+    "(SELECT unnest([0, 100, 200, 300, 400]) AS lo) u) "
+    "SELECT band_lo, count(*) AS events_in_band, "
+    "CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS band_value "
+    "FROM events JOIN bands ON value >= band_lo AND value < band_hi "
+    "GROUP BY band_lo",
+)
+def join_range_bands(t: Tables) -> DataFrame:
+    """Range (non-equi) join: events matched to value bands by interval
+    containment. The tiny band dim broadcasts, so the plan is a
+    BroadcastNestedLoopJoin over 5 rows — the right physical shape;
+    with a large band table you'd bin with width_bucket instead."""
+    spark = t.spark
+    bands = spark.range(5).select(
+        (F.col("id") * 100).alias("band_lo"), (F.col("id") * 100 + 100).alias("band_hi")
+    )
+    return (
+        t.events.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("band_lo")) & (F.col("value") < F.col("band_hi")),
+        )
+        .groupBy("band_lo")
+        .agg(
+            F.count(F.lit(1)).alias("events_in_band"),
+            money_sum("value", "band_value", 20, 4),
+        )
+    )
+
+
+@register(
+    "expr_regexp_extract",
+    "SELECT doc_id, source, regexp_extract(source, '([0-9]+)', 1) AS src_num, "
+    "regexp_matches(source, '^src[0-9]+$') AS src_wellformed "
+    "FROM documents",
+)
+def expr_regexp_extract(t: Tables) -> DataFrame:
+    """Regex battery: group extraction + full-match predicate (the URL/
+    id-parsing workhorse; Java regex and RE2 agree on this subset)."""
+    return t.documents.select(
+        "doc_id",
+        "source",
+        F.regexp_extract("source", r"([0-9]+)", 1).alias("src_num"),
+        F.col("source").rlike(r"^src[0-9]+$").alias("src_wellformed"),
+    )
+
+
+@register(
     "agg_skew_salted",
     "SELECT event_type AS candidate, count(*) AS votes FROM events GROUP BY event_type",
 )
