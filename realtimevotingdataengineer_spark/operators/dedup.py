@@ -105,9 +105,13 @@ def dedup_ngram_jaccard(t: Tables) -> DataFrame:
             ).alias("g"),
         )
         .distinct()
-        # reused by counts + both sides of the gram self-join; cache stops
-        # the bigram HOF expression being re-evaluated per consumer
-        .persist()
+        # reused by counts + both sides of the gram self-join; the eager
+        # localCheckpoint materializes it ONCE and truncates lineage so
+        # the (interpreted, HOF) bigram expression is never re-evaluated
+        # per consumer — and unlike persist() it leaves no CacheManager
+        # entry to leak across invocations in a long-lived session (the
+        # ContextCleaner reclaims the blocks when the result is released)
+        .localCheckpoint(eager=True)
     )
     counts = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.alias("a")
@@ -190,9 +194,11 @@ def dedup_minhash_lsh(t: Tables) -> DataFrame:
     # and without a barrier Catalyst pushes the explode's inferred
     # size()>0 filter below the repartition Exchange, re-evaluating the
     # whole (interpreted, HOF) trigram expression per consumer on the
-    # single pre-shuffle input partition. At cluster scale the equivalent
-    # is materializing the signature table — same idea, bigger medium.
-    sh = sh.persist()
+    # single pre-shuffle input partition. Eager localCheckpoint (not
+    # persist) so nothing accumulates in the CacheManager across calls.
+    # At cluster scale the equivalent is materializing the signature
+    # table — same idea, bigger medium.
+    sh = sh.localCheckpoint(eager=True)
     shingle = sh.select("doc_id", F.explode("sh").alias("g"))
     sig = (
         shingle.select(
@@ -283,7 +289,10 @@ def dedup_simhash(t: Tables) -> DataFrame:
     )
 
 
-_CLUSTERS_SQL = (
+# Shared CTE chain ending at `clus`, and the final SELECT over it — kept
+# as separate constants so _CLUSTERS_SQL and _CLEAN_SQL are both plain
+# concatenations (no post-hoc string surgery that could silently no-op).
+_CLUSTERS_CTES = (
     "WITH RECURSIVE "
     + _SHINGLES_SQL[5:]  # reuse shingle/sig/band/cand CTE chain (strip "WITH ")
     + ", edges AS (SELECT doc_a, doc_b FROM cand "
@@ -296,9 +305,14 @@ _CLUSTERS_SQL = (
     "reach(a, b) AS (SELECT a, b FROM sym "
     "UNION SELECT reach.a, sym.b FROM reach JOIN sym ON reach.b = sym.a), "
     "clus AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a) "
+)
+
+_CLUSTERS_FINAL = (
     "SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id "
     "FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id"
 )
+
+_CLUSTERS_SQL = _CLUSTERS_CTES + _CLUSTERS_FINAL
 
 
 @register("dedup_clusters", _CLUSTERS_SQL)
@@ -315,14 +329,18 @@ def dedup_clusters(t: Tables) -> DataFrame:
     as a recursive transitive closure (fine at oracle SF, not the
     cluster plan)."""
     edges = dedup_minhash_lsh(t).select("doc_a", "doc_b")
+    # eager localCheckpoints: the edge set and label state are reused
+    # every round; checkpointing materializes them without CacheManager
+    # entries that would accumulate across invocations (storage is
+    # reclaimed when the references drop)
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     converged = False
     # min-label propagation needs O(component diameter) rounds; near-dup
@@ -343,7 +361,7 @@ def dedup_clusters(t: Tables) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -352,7 +370,6 @@ def dedup_clusters(t: Tables) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True
@@ -363,7 +380,6 @@ def dedup_clusters(t: Tables) -> DataFrame:
             "rounds — a near-dup component has diameter > 100; raise the "
             "bound or switch to pointer-jumping for this corpus"
         )
-    sym.unpersist()  # labels are materialized; the edge cache is done
     docs = t.documents.select("doc_id")
     return (
         docs.join(labels.withColumnRenamed("label", "cluster_id"), "doc_id", "left")
@@ -374,13 +390,8 @@ def dedup_clusters(t: Tables) -> DataFrame:
 
 
 _CLEAN_SQL = (
-    _CLUSTERS_SQL.replace(
-        "SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id "
-        "FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id",
-        "",
-    )
-    + ", labels AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id "
-    "FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id), "
+    _CLUSTERS_CTES
+    + f", labels AS ({_CLUSTERS_FINAL}), "
     "quality AS (SELECT doc_id, lang, "
     f"len({_TOKENS_SQL}) AS n_tokens FROM documents) "
     "SELECT q.doc_id, q.lang, q.n_tokens FROM quality q "

@@ -255,7 +255,7 @@ def sim_ivf_kmeans_topk(t: Tables) -> DataFrame:
     instead of the fixed codebook of sim_ivf_topk. Same probe plan:
     assign corpus to nearest centroid, each query searches only its
     bucket. pytest checks recall@10 against exact search."""
-    cent = kmeans_fit(t.embeddings).persist()
+    cent = kmeans_fit(t.embeddings).localCheckpoint(eager=True)
     corpus = t.embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -310,7 +310,7 @@ def sim_ivf_multiprobe_topk(t: Tables, n_probe: int = 2) -> DataFrame:
     recall/latency dial (recall rises toward exact as n_probe→k while
     probe cost stays n_probe/k of the corpus). pytest asserts recall ≥
     the single-probe variant's."""
-    cent = kmeans_fit(t.embeddings).persist()
+    cent = kmeans_fit(t.embeddings).localCheckpoint(eager=True)
     corpus = t.embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )

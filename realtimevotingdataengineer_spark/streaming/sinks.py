@@ -47,16 +47,32 @@ def write_parquet_batches(
     checkpoint: str,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     mode: str = "append",
+    idempotent: bool = False,
 ) -> StreamingQuery:
     """foreachBatch parquet sink: applies an optional per-batch transform
     (e.g. leading_candidate_batch — batch-only ops like sort/limit are
-    legal here) then writes the micro-batch. Checkpointing makes the
-    pipeline restartable with at-least-once output (idempotent overwrite
-    per batch id gives effectively-once for deterministic transforms)."""
+    legal here) then writes the micro-batch.
+
+    Delivery semantics: with the default ``mode="append"`` the output is
+    **at-least-once** — a restart after a written-but-uncheckpointed batch
+    replays it and appends duplicate rows. Pass ``idempotent=True`` for
+    effectively-once: each micro-batch lands in its own
+    ``batch_id=<id>`` partition via dynamic partition overwrite, so a
+    replayed batch overwrites its own partition instead of duplicating
+    (readers see ``batch_id`` as an extra partition column)."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         out = transform(batch) if transform is not None else batch
-        out.write.mode(mode).parquet(path)
+        if idempotent:
+            (
+                out.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(path)
+            )
+        else:
+            out.write.mode(mode).parquet(path)
 
     return (
         df.writeStream.foreachBatch(handle)
@@ -79,14 +95,29 @@ def upsert_parquet_batches(
     micro-batch is unioned with the current table and deduplicated by
     (key, max version). Plain parquet stand-in for a MERGE-capable table
     format — on a cluster this is Delta/Iceberg MERGE INTO; the
-    per-batch logic is identical."""
+    per-batch logic is identical.
+
+    Durability: the swap is a local-filesystem directory shuffle, not an
+    atomic commit — the previous table version is kept aside during the
+    swap and restored if the swap fails, but a hard crash between the two
+    moves can still leave the table at the *previous* version (never a
+    torn mix). A transactional table format is the real fix at scale."""
+    import shutil
+    import uuid
+
+    from pyspark.errors import AnalysisException
     from pyspark.sql import Window as W
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         try:
             current = spark.read.parquet(path)
-        except Exception:
+        except AnalysisException as exc:
+            # only "table does not exist yet" means start fresh; any other
+            # analysis/read error (corrupt footer, permissions) must NOT
+            # silently rebuild the table from this micro-batch alone
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
             current = None
         # incoming batch wins version ties ("batch recency"): an
         # at-least-once redelivery with an identical version must not
@@ -103,13 +134,25 @@ def upsert_parquet_batches(
             .drop("_rn", "_is_new")
         )
         # write to a staging dir then swap — plain parquet cannot
-        # read+overwrite the same path in one job
+        # read+overwrite the same path in one job. Move the old table
+        # aside (not rmtree-first) so a failed swap can restore it.
         staging = f"{path}__staging"
         latest.write.mode("overwrite").parquet(staging)
-        import shutil
-
-        shutil.rmtree(path, ignore_errors=True)
-        shutil.move(staging, path)
+        backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+        had_previous = False
+        try:
+            shutil.move(path, backup)
+            had_previous = True
+        except FileNotFoundError:
+            pass
+        try:
+            shutil.move(staging, path)
+        except Exception:
+            if had_previous:
+                shutil.move(backup, path)
+            raise
+        if had_previous:
+            shutil.rmtree(backup, ignore_errors=True)
 
     return (
         df.writeStream.foreachBatch(handle)
