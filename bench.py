@@ -32,6 +32,8 @@ HEADLINE = [
     "q5_local_supplier",
     "q7_volume_shipping",
     "q10_returned_items",
+    "q6_forecast_revenue",
+    "q18_large_orders",
     "agg_votes_per_candidate",
     "agg_stats",
     "stream_dedup_one_vote",

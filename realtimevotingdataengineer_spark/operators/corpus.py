@@ -1,0 +1,158 @@
+"""Corpus-level training-data operations over ``documents``.
+
+The remaining pieces of a 100 TB pretraining-data pipeline beyond
+dedup/text-quality (see dedup.py / text.py): benchmark decontamination,
+deterministic sampling, per-domain statistics, within-document
+repetition. Each is pure DataFrame ops with a DuckDB oracle twin.
+
+Scale notes:
+- decontamination joins the corpus n-gram stream against a BROADCAST
+  probe set (eval benchmarks are tiny vs the corpus); the corpus side
+  never shuffles.
+- hash sampling is a stateless filter — no shuffle, no RNG state, the
+  same rows selected on any cluster topology (md5 is the portable,
+  seed-free determinism device; rand(seed) is partition-sensitive).
+- domain stats are one partial-agg shuffle on `source` (low
+  cardinality ⇒ map-side collapse; a skewed mega-domain is exactly the
+  salted-agg case shown in agg_skew_salted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import spread, tokens
+from ..registry import register
+from ..sources.tables import Tables
+
+_TOKENS_SQL = r"str_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+
+#: doc_id < _BENCH_MAX is the stand-in "evaluation benchmark" split the
+#: corpus must be decontaminated against.
+_BENCH_MAX = 20
+#: shingle width for contamination detection (13 in the GPT-3/PaLM
+#: protocol; 5 here because the synthetic docs are ~40 tokens).
+_NGRAM = 5
+
+_GRAMS_CTE = (
+    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+    "grams AS (SELECT DISTINCT doc_id, g FROM tk, "
+    f"LATERAL unnest(list_transform(range(1, len(tk) - {_NGRAM - 2}), "
+    "i -> tk[i]"
+    + "".join(f" || ' ' || tk[i+{j}]" for j in range(1, _NGRAM))
+    + ")) AS u(g)) "
+)
+
+
+@register(
+    "text_decontaminate",
+    _GRAMS_CTE
+    + f"SELECT c.doc_id, count(*) AS n_hits FROM grams c "
+    f"JOIN (SELECT DISTINCT g FROM grams WHERE doc_id < {_BENCH_MAX}) b "
+    f"ON c.g = b.g WHERE c.doc_id >= {_BENCH_MAX} "
+    "GROUP BY c.doc_id ORDER BY n_hits DESC, c.doc_id",
+)
+def text_decontaminate(t: Tables) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word 5-gram
+    with the held-out benchmark split (doc_id < 20), with the count of
+    distinct shared 5-grams. The benchmark gram set broadcasts (eval
+    suites are KBs against a PB corpus); the corpus side is a narrow
+    scan → explode → broadcast-hash probe, no corpus shuffle until the
+    tiny per-doc count agg."""
+    tk = spread(t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id")
+
+    def gram(i):
+        return F.concat_ws(
+            " ", *[F.element_at("tk", i + j) for j in range(_NGRAM)]
+        )
+
+    grams_expr = F.transform(F.sequence(F.lit(1), F.size("tk") - (_NGRAM - 1)), gram)
+    grams = tk.select(
+        "doc_id",
+        F.explode(
+            # sequence(1, n) runs DESCENDING for n < 1 — emit empty instead
+            F.when(F.size("tk") >= _NGRAM, grams_expr).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("g"),
+    ).distinct()
+    bench = (
+        grams.filter(F.col("doc_id") < _BENCH_MAX).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") >= _BENCH_MAX)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+    )
+
+
+@register(
+    "sample_hash_bernoulli",
+    "SELECT doc_id, lang, source FROM documents "
+    "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' ORDER BY doc_id",
+)
+def sample_hash_bernoulli(t: Tables) -> DataFrame:
+    """Deterministic ~10% Bernoulli sample by key hash: md5(doc_id)
+    first byte < 0x1a (26/256 ≈ 10.2%). Unlike rand(seed) — whose draw
+    depends on partition layout — the selected set is a pure function of
+    the key: identical on local[32] and 1000 executors, stable across
+    reruns, and stratifiable by hashing a composite key. Plans as a
+    stateless pushed-down filter: no shuffle, no state."""
+    return (
+        t.documents.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_domain_stats",
+    "SELECT source, count(*) AS n_docs, "
+    f"sum(len({_TOKENS_SQL})) AS total_tokens, "
+    "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars, "
+    "count(DISTINCT lang) AS n_langs FROM documents "
+    "GROUP BY source ORDER BY source",
+)
+def corpus_domain_stats(t: Tables) -> DataFrame:
+    """Per-domain corpus profile (the `source` column stands in for a
+    URL domain): doc count, total token volume, mean doc length,
+    language spread — the table a curation pass ranks/filters domains
+    by. Exact integer sums; one low-cardinality shuffle."""
+    return (
+        t.documents.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens("text")).cast("bigint")).alias("total_tokens"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    f"SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_distinct, "
+    "1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS rep_ratio "
+    f"FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents) "
+    "ORDER BY doc_id",
+)
+def text_repetition_ratio(t: Tables) -> DataFrame:
+    """Within-document repetition (Gopher-style): fraction of tokens
+    that are repeats of an earlier token, 1 − |distinct|/|tokens|.
+    Computed entirely inside the row (array ops, no explode) — zero
+    shuffle; composes with text_quality_gopher as another filter gate."""
+    tk = t.documents.select("doc_id", tokens("text").alias("tk"))
+    n = F.size("tk")
+    d = F.size(F.array_distinct("tk"))
+    return tk.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        d.alias("n_distinct"),
+        (F.lit(1.0) - d.cast("double") / n).alias("rep_ratio"),
+    ).orderBy("doc_id")

@@ -38,6 +38,10 @@ def test_every_query_runs_and_has_rows(t):
         "dedup_minhash_lsh",
         "dedup_embedding_cosine",
         "join_anti_unvoted",  # empty when every voter has voted (sf0.001)
+        "q11_important_stock",  # empty when no supplier sits in the two
+        # filtered nations at sf0.001 (non-empty and oracle-matched at sf0.01)
+        "q22_global_sales_opportunity",  # empty when every wealthy pooled
+        # customer has orders at sf0.001 (non-empty at sf0.01)
     }
     for key, fn in QUERIES.items():
         n = fn(t).count()

@@ -70,3 +70,39 @@ def test_topk_no_global_sort(t):
 
     plan = formatted_plan(QUERIES["topk_leading_candidate"](t))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sample_is_pushed_filter_no_shuffle(t):
+    """Hash sampling must plan as a stateless scan filter: zero shuffles
+    (the orderBy compiles away under noop/driver sort comparisons —
+    assert none BEFORE the sort by checking the filter subplan)."""
+    from pyspark.sql import functions as F
+
+    df = t.documents.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
+    ).select("doc_id")
+    assert shuffle_count(df) == 0
+
+
+def test_decontaminate_broadcasts_benchmark(t):
+    """The benchmark gram set must broadcast — the corpus-side gram
+    stream may not shuffle for the probe join."""
+    df = QUERIES["text_decontaminate"](t)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_q6_pushes_all_predicates(t):
+    df = QUERIES["q6_forecast_revenue"](t)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert has_pushed_filter(df, col), col
+    scans = read_schema_columns(df)
+    assert scans and all(len(cols) <= 4 for cols in scans)
+
+
+def test_q18_having_before_customer_join(t):
+    """q18 joins only qualifying orders: the lineitem agg (1 shuffle) +
+    orders/customer joins — no join before the HAVING filter multiplies
+    the fact."""
+    df = QUERIES["q18_large_orders"](t)
+    # lineitem agg, orders join, customer join = bounded shuffle count
+    assert shuffle_count(df) <= 5
