@@ -68,6 +68,11 @@ def bench_stream(spark) -> float:
         )
     except Exception:
         pass  # fall back to the HDFS-backed store
+    # Stateful-op parallelism is per-query (fixed by the first checkpoint):
+    # size it to state volume, not core count — 32 state partitions at this
+    # volume is pure per-batch task overhead (measured 8.1s vs 3.4s at 8).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         ev = generator.vote_events_raw(spark, 50_000)
         ev.select("value").write.mode("overwrite").text(d)
@@ -91,6 +96,7 @@ def bench_stream(spark) -> float:
         assert n == 50_000, f"streaming tally wrong: {n}"
         return dt
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(d, ignore_errors=True)
 
 

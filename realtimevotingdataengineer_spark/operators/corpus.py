@@ -135,6 +135,70 @@ def corpus_domain_stats(t: Tables) -> DataFrame:
     )
 
 
+def _pretrain_sql() -> str:
+    """Compose the full-corpus gate from the shared CTE constants (plain
+    concatenation — see dedup._CLUSTERS_CTES; no string surgery)."""
+    from .dedup import _CLUSTERS_CTES, _CLUSTERS_FINAL
+
+    grams = (
+        "cgrams AS (SELECT DISTINCT doc_id, g FROM tk, "
+        f"LATERAL unnest(list_transform(range(1, len(tk) - {_NGRAM - 2}), "
+        "i -> tk[i]"
+        + "".join(f" || ' ' || tk[i+{j}]" for j in range(1, _NGRAM))
+        + ")) AS u(g))"
+    )
+    return (
+        _CLUSTERS_CTES
+        + f", labels AS ({_CLUSTERS_FINAL}), "
+        + grams
+        + f", bench AS (SELECT DISTINCT g FROM cgrams WHERE doc_id < {_BENCH_MAX}), "
+        "contaminated AS (SELECT DISTINCT c.doc_id FROM cgrams c "
+        f"JOIN bench b ON c.g = b.g WHERE c.doc_id >= {_BENCH_MAX}), "
+        "quality AS (SELECT doc_id, len(tk) AS n_tokens, "
+        "1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS rep FROM tk) "
+        "SELECT q.doc_id, q.n_tokens FROM quality q "
+        "JOIN labels l ON q.doc_id = l.doc_id "
+        f"WHERE q.doc_id >= {_BENCH_MAX} AND q.n_tokens >= 20 AND q.rep < 0.6 "
+        "AND l.cluster_id = q.doc_id "
+        "AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = q.doc_id) "
+        "ORDER BY q.doc_id"
+    )
+
+
+@register("pipeline_pretrain_corpus", _pretrain_sql())
+def pipeline_pretrain_corpus(t: Tables) -> DataFrame:
+    """The end-to-end pretraining-corpus gate as ONE declarative plan:
+    length floor ∘ repetition cap ∘ benchmark decontamination ∘ near-dup
+    cluster survivorship (canonical doc only), excluding the benchmark
+    split itself. Each stage reuses an already-tested operator; Catalyst
+    plans the whole composition — broadcast probes for contamination,
+    the LSH candidate join for dedup, in-row array math for quality. The
+    100 TB shape is the same plan over partitioned parquet."""
+    from .dedup import dedup_clusters
+
+    labels = dedup_clusters(t)
+    contaminated = text_decontaminate(t).select("doc_id")
+    tk = t.documents.select("doc_id", tokens("text").alias("tk"))
+    n = F.size("tk")
+    quality = tk.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (F.lit(1.0) - F.size(F.array_distinct("tk")).cast("double") / n).alias("rep"),
+    )
+    return (
+        quality.join(labels, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .filter(
+            (F.col("doc_id") >= _BENCH_MAX)
+            & (F.col("n_tokens") >= 20)
+            & (F.col("rep") < 0.6)
+            & (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "text_repetition_ratio",
     f"SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_distinct, "
