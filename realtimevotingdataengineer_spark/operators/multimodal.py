@@ -228,3 +228,55 @@ def mm_frame_sample(t: Tables) -> DataFrame:
     without an oracle: the kernel is not SQL-expressible; pytest covers
     the exact chunk semantics."""
     return sample_frames(multimodal_table(t))
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orig_len", LongType()),
+        StructField("resized", BinaryType()),
+        StructField("resized_len", LongType()),
+        StructField("resize_meta", StringType()),
+    ]
+)
+
+
+def resize_payloads(mm: DataFrame, target: int = 32) -> DataFrame:
+    """Resize stage (stub codec): downsample each payload to ≤ ``target``
+    bytes by stride-sampling — the plumbing twin of an image thumbnail /
+    audio resample kernel. Arrow-batched mapInPandas; the output is a
+    pure per-row function of the input bytes, so results are identical
+    under any partitioning (asserted in tests/test_multimodal.py)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "orig_len": [],
+                "resized": [],
+                "resized_len": [],
+                "resize_meta": [],
+            }
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                data = _decode_stub(bytes(content))
+                stride = max(1, -(-len(data) // target))  # ceil div
+                small = data[::stride][:target]
+                out["doc_id"].append(doc_id)
+                out["orig_len"].append(len(data))
+                out["resized"].append(small)
+                out["resized_len"].append(len(small))
+                out["resize_meta"].append(
+                    f'{{"stride":{stride},"target":{target},"codec":"stub"}}'
+                )
+            yield pd.DataFrame(out)
+
+    return mm.select("doc_id", "content").mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+@register("mm_resize")  # no SQL oracle: mapInPandas stage → rows-only check
+def mm_resize(t: Tables) -> DataFrame:
+    """Payload resize over the multimodal table (stub codec): one output
+    row per input, bounded-size binary + provenance metadata. Rows-only
+    driver check; pytest asserts size bounds, determinism across
+    partitionings, and the exact stride semantics."""
+    return resize_payloads(multimodal_table(t))

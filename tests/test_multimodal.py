@@ -85,3 +85,29 @@ def test_mm_ingest_hash_matches_payload(t):
     for r in t.documents.select("doc_id", "text").limit(25).collect():
         md5 = hashlib.md5(r.text.encode()).hexdigest()
         assert out[r.doc_id] == (md5, len(r.text.encode()))
+
+
+def test_resize_bounds_and_determinism(t):
+    """Resize: one row per payload, ≤32 bytes out, exact stride
+    semantics, and identical results under different partitionings."""
+    from realtimevotingdataengineer_spark.operators.multimodal import (
+        multimodal_table,
+        resize_payloads,
+    )
+
+    mm = multimodal_table(t)
+    out = resize_payloads(mm, target=32)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == mm.count()
+    src = {r["doc_id"]: bytes(r["content"]) for r in mm.collect()}
+    for doc_id, r in rows.items():
+        data = src[doc_id]
+        stride = max(1, -(-len(data) // 32))
+        assert bytes(r["resized"]) == data[::stride][:32]
+        assert r["resized_len"] <= 32
+        assert r["orig_len"] == len(data)
+    alt = {
+        r["doc_id"]: bytes(r["resized"])
+        for r in resize_payloads(mm.repartition(7), target=32).collect()
+    }
+    assert alt == {k: bytes(r["resized"]) for k, r in rows.items()}
