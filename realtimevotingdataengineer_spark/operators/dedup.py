@@ -86,11 +86,19 @@ _BIGRAMS_SQL = (
     "JOIN counts nb ON common.doc_b = nb.doc_id "
     f"WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= {JACCARD_THETA}",
 )
-def dedup_ngram_jaccard(t: Tables) -> DataFrame:
+def dedup_ngram_jaccard(t: Tables, df_cap: int | None = None) -> DataFrame:
     """Near-dup pairs by word-bigram Jaccard ≥ θ, via the relational
     inverted-index formulation: distinct (doc, gram) → self-join on gram →
-    common counts → |A∩B| / (|A|+|B|-|A∩B|). At 100 TB add a gram-df cap
-    before the self-join (stop-gram removal) to bound skew."""
+    common counts → |A∩B| / (|A|+|B|-|A∩B|).
+
+    ``df_cap`` is the 100 TB skew bound: grams appearing in more than
+    ``df_cap`` documents are dropped before the self-join (stop-gram
+    removal) — a gram with df=d contributes d² candidate pairs, so one
+    hot gram ("in the") otherwise dominates the whole shuffle. Capping
+    loses only pairs whose ENTIRE overlap is stop-grams — near-dups at
+    θ=0.85 share many rare grams too (subset relation asserted in
+    tests/test_operators.py). Default None = exact (the oracle's
+    semantics, fine at oracle SF)."""
     tk = spread(t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size("tk") - 1),
@@ -114,8 +122,18 @@ def dedup_ngram_jaccard(t: Tables) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     counts = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = grams.alias("a")
-    b = grams.alias("b")
+    joinable = grams
+    if df_cap is not None:
+        hot = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("g")
+        )
+        # |hot| is tiny by construction (heavy hitters) → broadcast anti
+        joinable = grams.join(F.broadcast(hot), "g", "left_anti")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     common = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

@@ -55,6 +55,7 @@ def test_every_query_has_oracle_or_reason(t):
     # means have no portable SQL twin) may skip the SQL oracle
     assert sql_free == {
         "mm_frame_sample",
+        "mm_resize",
         "sim_bruteforce_topk_arrow",
         "sim_ivf_kmeans_topk",
         "sim_ivf_multiprobe_topk",
@@ -176,3 +177,23 @@ def test_q1_group_count(t):
     for r in rows:
         assert r.sum_disc_price <= r.sum_base_price
         assert r.sum_charge >= r.sum_disc_price
+
+
+def test_ngram_jaccard_df_cap_is_subset(t):
+    """The gram-df cap (100 TB skew bound) may only LOSE pairs — capped
+    common-counts shrink Jaccard monotonically — and must still find
+    pairs whose overlap includes rare grams."""
+    from realtimevotingdataengineer_spark.operators.dedup import dedup_ngram_jaccard
+
+    exact = {
+        (r["doc_a"], r["doc_b"]) for r in dedup_ngram_jaccard(t).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(t, df_cap=50).collect()
+    }
+    assert capped <= exact
+    # near-dups at theta=0.85 share mostly rare bigrams; a generous cap
+    # must not wipe out detection entirely when exact finds pairs
+    if exact:
+        assert capped

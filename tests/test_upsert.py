@@ -49,3 +49,58 @@ def test_upsert_latest_wins(spark, tmp_path):
         "v3": "cand-0",
         "v4": "cand-0",
     }
+
+
+def test_idempotent_parquet_batches_survives_replay(spark, tmp_path):
+    """idempotent=True: re-running from a wiped checkpoint replays the
+    same batch ids; dynamic partition overwrite on batch_id must leave
+    the table duplicate-free (append mode would double every row)."""
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        "\n".join(json.dumps({"voter_id": f"v{i}", "n": i}) for i in range(10))
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("voter_id string, n long").json(str(src))
+        q = sinks.write_parquet_batches(stream, out, ckpt, idempotent=True)
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    shutil.rmtree(ckpt)  # lose the checkpoint -> batch id 0 replays
+    run_once()
+    back = spark.read.parquet(out)
+    assert back.count() == 10
+    assert {r["voter_id"] for r in back.collect()} == {f"v{i}" for i in range(10)}
+    assert "batch_id" in back.columns
+
+
+def test_upsert_raises_on_corrupt_table(spark, tmp_path):
+    """A corrupt existing table must FAIL the micro-batch, not silently
+    rebuild the table from the incoming batch alone."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.jsonl").write_text(json.dumps({"voter_id": "v0", "ts": 1}))
+    table = tmp_path / "table"
+    table.mkdir()
+    # a parquet "file" with a valid magic-length but garbage content
+    (table / "part-00000.parquet").write_bytes(b"PAR1garbagegarbage")
+    q = sinks.upsert_parquet_batches(
+        spark.readStream.schema("voter_id string, ts long").json(str(src)),
+        str(table),
+        str(tmp_path / "ckpt2"),
+        key="voter_id",
+        version_col="ts",
+    )
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException):
+        q.processAllAvailable()
+    q.stop()
+    # the corrupt file must still be there -- NOT replaced by the batch
+    assert (table / "part-00000.parquet").read_bytes().startswith(b"PAR1garbage")
