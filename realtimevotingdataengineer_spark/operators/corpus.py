@@ -135,6 +135,50 @@ def corpus_domain_stats(t: Tables) -> DataFrame:
     )
 
 
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+_PHONE_RE = "[0-9]{6,}"
+
+
+@register(
+    "text_pii_scrub",
+    "WITH aug AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) "
+    "|| '@example.com or call 555' || CAST(1000000 + doc_id AS VARCHAR) AS raw "
+    "FROM documents) "
+    "SELECT doc_id, "
+    f"len(regexp_extract_all(raw, '{_EMAIL_RE}')) + "
+    f"len(regexp_extract_all(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'), "
+    f"'{_PHONE_RE}')) AS n_redactions, "
+    f"md5(regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'), "
+    f"'{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5 "
+    "FROM aug ORDER BY doc_id",
+)
+def text_pii_scrub(t: Tables) -> DataFrame:
+    """PII redaction: emails then long digit runs replaced by typed
+    placeholders, counting redactions per document. The raw text is
+    augmented with a deterministic synthetic email+phone per doc (the
+    corpus itself contains none) so the scrub path is genuinely
+    exercised and oracle-checked, md5 pinning the exact output text.
+    Pure regexp built-ins — whole-stage codegen, zero shuffle; patterns
+    kept in the Java∩RE2 common subset so both engines agree."""
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555"),
+        (F.col("doc_id") + 1000000).cast("string"),
+    )
+    no_email = F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(no_email, _PHONE_RE, "<PHONE>")
+    n = F.regexp_count(raw, F.lit(_EMAIL_RE)) + F.regexp_count(
+        no_email, F.lit(_PHONE_RE)
+    )
+    return t.documents.select(
+        "doc_id",
+        n.alias("n_redactions"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
 def _pretrain_sql() -> str:
     """Compose the full-corpus gate from the shared CTE constants (plain
     concatenation — see dedup._CLUSTERS_CTES; no string surgery)."""
