@@ -1,4 +1,14 @@
 """Operator modules. Importing this package registers every operator key
 (SURVEY.md §2 + extensions) into :mod:`..registry`."""
 
-from . import corpus, dedup, multimodal, relational, similarity, text, tpch, tpch_full  # noqa: F401
+from . import (  # noqa: F401
+    corpus,
+    dedup,
+    events_analytics,
+    multimodal,
+    relational,
+    similarity,
+    text,
+    tpch,
+    tpch_full,
+)

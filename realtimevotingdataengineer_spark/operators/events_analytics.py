@@ -1,0 +1,98 @@
+"""Event-stream analytics over the ``events`` table: funnel conversion
+and retention cohorts — the batch twins of the reference's "observer
+l'évolution au fur et à mesure" intent (Note...txt:37) at product-
+analytics shape, and the standard queries any event pipeline must run.
+
+Both are single-pass-per-stage DataFrame plans: per-user aggregates
+shuffle once on user_id (uniform key), then tiny result-space joins.
+At 100 TB the user_id shuffle is the only heavy exchange and is
+co-partitionable across stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import Tables
+
+
+@register(
+    "events_funnel_conversion",
+    "WITH v AS (SELECT user_id, min(ts) AS vt FROM events "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e "
+    "JOIN v ON e.user_id = v.user_id AND e.ts > v.vt "
+    "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+    "p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e "
+    "JOIN c ON e.user_id = c.user_id AND e.ts > c.ct "
+    "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+    "SELECT (SELECT count(*) FROM v) AS n_view, "
+    "(SELECT count(*) FROM c) AS n_click_after_view, "
+    "(SELECT count(*) FROM p) AS n_purchase_after_click",
+)
+def events_funnel_conversion(t: Tables) -> DataFrame:
+    """Ordered funnel view → click → purchase: users whose first click
+    follows their first view, and whose first purchase follows that
+    click. Each stage is a per-user min over a filtered scan joined to
+    the previous stage's result — strictly-ordered funnel semantics
+    (not mere event presence). Three user_id shuffles over shrinking
+    sets; the final counts are single-row."""
+    ev = t.events
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+@register(
+    "events_retention_cohort",
+    "WITH first AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0 "
+    "FROM events GROUP BY user_id), "
+    "act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events) "
+    # cohort day as an ISO string: DuckDB DATE surfaces as a pandas
+    # Timestamp through fetch_df, which would never equal Spark's date
+    "SELECT strftime(d0, '%Y-%m-%d') AS cohort_day, "
+    "CAST(d - d0 AS INT) AS day_offset, "
+    "count(*) AS n_users FROM act JOIN first USING (user_id) "
+    "GROUP BY d0, day_offset ORDER BY cohort_day, day_offset",
+)
+def events_retention_cohort(t: Tables) -> DataFrame:
+    """Retention triangle: users grouped by first-active day (cohort),
+    counted on each subsequent active day. Two user_id aggs (first-seen,
+    distinct active days) and one join — the (cohort × offset) result
+    space is tiny regardless of event volume, so the shuffles carry
+    per-user rows, never raw events."""
+    ev = t.events.select("user_id", F.to_date("ts").alias("d"))
+    first = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    act = ev.distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "d0").cast("int").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
