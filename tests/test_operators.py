@@ -197,3 +197,37 @@ def test_ngram_jaccard_df_cap_is_subset(t):
     # must not wipe out detection entirely when exact finds pairs
     if exact:
         assert capped
+
+
+def test_connected_components_chain(spark):
+    """Pointer jumping must resolve a 1000-link chain in O(log n)
+    rounds — plain min-propagation would need ~1000."""
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.range(999).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    labels, rounds = connected_components(chain)
+    assert rounds <= 15, f"took {rounds} rounds"
+    rows = labels.collect()
+    assert len(rows) == 1000
+    assert all(r["label"] == 0 for r in rows)
+
+
+def test_connected_components_two_components(spark):
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 11)], ["doc_a", "doc_b"]
+    )
+    labels, _ = connected_components(edges)
+    got = {r["doc_id"]: r["label"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
