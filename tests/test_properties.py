@@ -109,3 +109,48 @@ def test_tally_invariant_under_partitioning(spark, evs, parts):
         .collect()
     }
     assert base == re
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=25),
+        st.integers(min_value=0, max_value=25),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(edges=edges_strategy)
+@SET
+def test_connected_components_matches_union_find(spark, edges):
+    """Pointer-jumping CC must agree with a sequential union-find on
+    arbitrary small graphs (self-loops and duplicates included)."""
+    from realtimevotingdataengineer_spark.operators.dedup import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    labels, _ = connected_components(df)
+    got = {r["doc_id"]: r["label"] for r in labels.collect()}
+    # min-label CC labels every component by its min vertex; union-find
+    # with min-root merging yields the same canonical representative
+    assert got == expected
