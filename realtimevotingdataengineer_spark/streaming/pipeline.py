@@ -142,6 +142,21 @@ def windowed_tally(events: DataFrame, window: str = "1 minute") -> DataFrame:
     ).agg(F.sum("vote").alias("votes"))
 
 
+def session_activity(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Per-voter session windows over the vote stream using Spark's
+    NATIVE session_window (dynamic-gap merging state op) — sessions
+    close after ``gap`` of inactivity; the watermark both bounds state
+    and finalizes sessions. The batch twin (window_session) states the
+    same sessionization as lag-flag + running sum, which a SQL oracle
+    can express; this is the streaming-native form with mergeable
+    state."""
+    ev = with_event_time(events).withWatermark("voting_time", WATERMARK)
+    return ev.groupBy(
+        F.session_window("voting_time", gap).alias("session"),
+        F.col("voter_id"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
 def turnout_by_state(events: DataFrame) -> DataFrame:
     """Turnout per address.state — the reason the schema denormalizes
     address (main.py:37-41). Streaming-safe: dedup first, then count."""

@@ -164,3 +164,29 @@ def test_foreachbatch_leading_candidate(spark, event_dir, tmp_path):
     winners = spark.read.parquet(str(tmp_path / "winners")).collect()
     assert len(winners) >= 1
     assert all(w.total_votes >= 1 for w in winners)
+
+
+def test_streaming_session_window_native(spark, event_dir):
+    """Native session_window sessionization: every parsed event lands in
+    exactly one session of its voter, session bounds are ordered, and
+    multi-vote voters (the every-10th duplicates) produce sessions
+    spanning their 30s-apart votes (gap 5m merges them)."""
+    path, _ = event_dir
+    raw = pipeline.read_text_stream(spark, path)
+    events = pipeline.parse_vote_events(raw)
+    sess = pipeline.session_activity(events)
+    # session-window aggs reject update mode; complete emits all sessions
+    out = _run_stream(spark, sess, "sess_native", "complete")
+    rows = out.collect()
+    assert rows, "no sessions emitted"
+    # parsed events (malformed line dropped) must all be accounted for
+    n_parsed = _run_stream(
+        spark, pipeline.parse_vote_events(pipeline.read_text_stream(spark, path)),
+        "sess_parsed", "append",
+    ).count()
+    assert sum(r["n_events"] for r in rows) == n_parsed
+    for r in rows:
+        assert r["session"]["start"] <= r["session"]["end"]
+    # duplicate voters vote twice 30s apart -> one merged session with 2+ events
+    multi = [r for r in rows if r["n_events"] >= 2]
+    assert multi, "expected at least one merged multi-event session"
