@@ -162,6 +162,75 @@ def upsert_parquet_batches(
     )
 
 
+def scd2_parquet_batches(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key: str,
+    version_col: str,
+) -> StreamingQuery:
+    """foreachBatch SCD-type-2 sink: full change history per key. Each
+    row is stored with (valid_from = its version, valid_to = next
+    version of the same key or NULL, is_current). Where
+    upsert_parquet_batches keeps only the latest row, this keeps every
+    version — the dimension-history pattern of a warehouse load.
+
+    Same durability posture as upsert_parquet_batches (staged rewrite +
+    move-aside swap; a transactional format is the scale answer), and
+    the same corrupt-table guard: only PATH_NOT_FOUND means 'new
+    table'. At-least-once replays of an identical (key, version) row
+    collapse via the distinct() — redelivery does not fork history."""
+    import shutil
+    import uuid
+
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window as W
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        incoming = batch.select(*batch.columns).withColumn(
+            "valid_from", F.col(version_col)
+        )
+        try:
+            current = spark.read.parquet(path).drop("valid_to", "is_current")
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
+            current = None
+        merged = (
+            incoming if current is None else current.unionByName(incoming)
+        ).distinct()
+        w = W.partitionBy(key).orderBy(F.asc("valid_from"))
+        history = merged.select(
+            "*",
+            F.lead("valid_from").over(w).alias("valid_to"),
+        ).withColumn("is_current", F.col("valid_to").isNull())
+        staging = f"{path}__staging"
+        history.write.mode("overwrite").parquet(staging)
+        backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+        had_previous = False
+        try:
+            shutil.move(path, backup)
+            had_previous = True
+        except FileNotFoundError:
+            pass
+        try:
+            shutil.move(staging, path)
+        except Exception:
+            if had_previous:
+                shutil.move(backup, path)
+            raise
+        if had_previous:
+            shutil.rmtree(backup, ignore_errors=True)
+
+    return (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+
+
 def write_memory(
     df: DataFrame, name: str, output_mode: str = "update", available_now: bool = False
 ) -> StreamingQuery:

@@ -104,3 +104,54 @@ def test_upsert_raises_on_corrupt_table(spark, tmp_path):
     q.stop()
     # the corrupt file must still be there -- NOT replaced by the batch
     assert (table / "part-00000.parquet").read_bytes().startswith(b"PAR1garbage")
+
+
+def test_scd2_keeps_full_history(spark, tmp_path):
+    """SCD2 sink: every version retained, valid_from/valid_to chain
+    correctly, exactly one current row per key, redelivery of an
+    identical version does not fork history."""
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = [
+        {"voter_id": "v0", "candidate_id": "cand-0", "voting_time": "2024-05-01 09:00:00"},
+        {"voter_id": "v1", "candidate_id": "cand-1", "voting_time": "2024-05-01 09:00:00"},
+    ]
+    b2 = [
+        {"voter_id": "v0", "candidate_id": "cand-9", "voting_time": "2024-05-01 09:30:00"},
+        # exact redelivery of v1's first version:
+        {"voter_id": "v1", "candidate_id": "cand-1", "voting_time": "2024-05-01 09:00:00"},
+    ]
+    b3 = [
+        {"voter_id": "v0", "candidate_id": "cand-5", "voting_time": "2024-05-01 10:00:00"},
+    ]
+    for i, b in enumerate((b1, b2, b3)):
+        (src / f"b{i}.jsonl").write_text("\n".join(json.dumps(r) for r in b))
+    stream = (
+        spark.readStream.schema(
+            "voter_id string, candidate_id string, voting_time timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = sinks.scd2_parquet_batches(
+        stream,
+        str(tmp_path / "hist"),
+        str(tmp_path / "ckpt_scd2"),
+        key="voter_id",
+        version_col="voting_time",
+    )
+    q.processAllAvailable()
+    q.stop()
+    hist = spark.read.parquet(str(tmp_path / "hist"))
+    v0 = sorted(
+        hist.filter(F.col("voter_id") == "v0").collect(),
+        key=lambda r: r["valid_from"],
+    )
+    assert [r["candidate_id"] for r in v0] == ["cand-0", "cand-9", "cand-5"]
+    # chain: each valid_to equals the next valid_from; only last is open
+    assert v0[0]["valid_to"] == v0[1]["valid_from"]
+    assert v0[1]["valid_to"] == v0[2]["valid_from"]
+    assert v0[2]["valid_to"] is None and v0[2]["is_current"]
+    assert [r["is_current"] for r in v0] == [False, False, True]
+    v1 = hist.filter(F.col("voter_id") == "v1").collect()
+    assert len(v1) == 1 and v1[0]["is_current"]  # redelivery collapsed
