@@ -757,6 +757,53 @@ def agg_rollup(t: Tables) -> DataFrame:
     )
 
 
+@register(
+    "agg_cube",
+    "SELECT o_orderpriority AS priority, o_orderstatus AS status, count(*) AS n, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend "
+    "FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)",
+)
+def agg_cube(t: Tables) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one pass (ROLLUP's
+    lattice completion) — Spark expands the grouping sets before the
+    partial agg, so the shuffle carries |priority|×|status| ×4 rows,
+    not the fact table."""
+    return t.orders.cube(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum("o_totalprice", "total_spend"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    "SELECT o_orderpriority AS priority, o_orderstatus AS status, count(*) AS n "
+    "FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))",
+)
+def agg_grouping_sets(t: Tables) -> DataFrame:
+    """Explicit GROUPING SETS — the two one-dimensional marginals
+    without the cross terms or grand total (what a dashboard's two
+    independent breakdown widgets ask for, in one scan)."""
+    # grouping columns must be the same unaliased expressions as the set
+    # definitions (an alias breaks the binding and NULLs every key);
+    # rename afterwards instead
+    return (
+        t.orders.groupingSets(
+            [[F.col("o_orderpriority")], [F.col("o_orderstatus")]],
+            F.col("o_orderpriority"),
+            F.col("o_orderstatus"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+            "n",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 windows / top-k
 # ---------------------------------------------------------------------------
