@@ -895,6 +895,36 @@ def window_moving_sum(t: Tables) -> DataFrame:
 
 
 @register(
+    "window_rank_battery",
+    "SELECT c_custkey, c_mktsegment, "
+    "ntile(4) OVER w AS quartile, "
+    "percent_rank() OVER w AS pct_rank, "
+    "cume_dist() OVER w AS cum_dist, "
+    "dense_rank() OVER w AS drank "
+    "FROM customer WINDOW w AS "
+    "(PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)",
+)
+def window_rank_battery(t: Tables) -> DataFrame:
+    """Distribution-rank battery per market segment: ntile quartiles,
+    percent_rank, cume_dist, dense_rank over account balance — the
+    remaining analytic window functions beyond rank/row_number/lead/lag.
+    One segment shuffle; the full order-by is deterministic via the
+    custkey tie-break (percent_rank/cume_dist values would otherwise be
+    tie-order dependent)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return t.customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+@register(
     "join_asof_last_signup",
     "SELECT event_id, user_id, ts, last_signup, "
     "date_diff('second', last_signup, ts) AS since_signup_sec FROM ("
