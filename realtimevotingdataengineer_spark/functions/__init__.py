@@ -100,6 +100,26 @@ def md5_hex(col: Column) -> Column:
     return F.md5(col)
 
 
+#: The DuckDB-SQL twin of ``tokens("text")`` — THE single definition all
+#: oracle strings must build on (dedup/text/corpus compose their CTEs
+#: from it; a second copy drifting from normalize_text/tokens would
+#: silently break Spark↔oracle parity).
+TOKENS_SQL = r"str_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+
+
+def ngram_cte_sql(name: str, n: int, source_cte: str = "tk") -> str:
+    """A DuckDB CTE computing distinct word ``n``-grams per doc_id from a
+    token-array CTE ``source_cte`` (columns: doc_id, tk). Shared by the
+    decontamination oracle and the pretrain-corpus capstone so the gram
+    construction cannot diverge between them."""
+    concat = "tk[i]" + "".join(f" || ' ' || tk[i+{j}]" for j in range(1, n))
+    return (
+        f"{name} AS (SELECT DISTINCT doc_id, g FROM {source_cte}, "
+        f"LATERAL unnest(list_transform(range(1, len(tk) - {n - 2}), "
+        f"i -> {concat})) AS u(g))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding math — explicit left-associated chains so the IEEE evaluation
 # order is pinned and a SQL oracle that writes the same chain gets the

@@ -22,11 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import spread, tokens
+from ..functions import TOKENS_SQL, ngram_cte_sql, spread, tokens
 from ..registry import register
 from ..sources.tables import Tables
 
-_TOKENS_SQL = r"str_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+_TOKENS_SQL = TOKENS_SQL  # single shared definition (functions.TOKENS_SQL)
 
 #: doc_id < _BENCH_MAX is the stand-in "evaluation benchmark" split the
 #: corpus must be decontaminated against.
@@ -37,11 +37,8 @@ _NGRAM = 5
 
 _GRAMS_CTE = (
     f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
-    "grams AS (SELECT DISTINCT doc_id, g FROM tk, "
-    f"LATERAL unnest(list_transform(range(1, len(tk) - {_NGRAM - 2}), "
-    "i -> tk[i]"
-    + "".join(f" || ' ' || tk[i+{j}]" for j in range(1, _NGRAM))
-    + ")) AS u(g)) "
+    + ngram_cte_sql("grams", _NGRAM)
+    + " "
 )
 
 
@@ -184,13 +181,7 @@ def _pretrain_sql() -> str:
     concatenation — see dedup._CLUSTERS_CTES; no string surgery)."""
     from .dedup import _CLUSTERS_CTES, _CLUSTERS_FINAL
 
-    grams = (
-        "cgrams AS (SELECT DISTINCT doc_id, g FROM tk, "
-        f"LATERAL unnest(list_transform(range(1, len(tk) - {_NGRAM - 2}), "
-        "i -> tk[i]"
-        + "".join(f" || ' ' || tk[i+{j}]" for j in range(1, _NGRAM))
-        + ")) AS u(g))"
-    )
+    grams = ngram_cte_sql("cgrams", _NGRAM)
     return (
         _CLUSTERS_CTES
         + f", labels AS ({_CLUSTERS_FINAL}), "

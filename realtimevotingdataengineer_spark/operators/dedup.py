@@ -26,7 +26,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import dot_expr, dot_sql, norm_expr, norm_sql, normalize_text, spread, tokens
+from ..functions import (
+    TOKENS_SQL,
+    dot_expr,
+    dot_sql,
+    norm_expr,
+    norm_sql,
+    normalize_text,
+    spread,
+    tokens,
+)
 from ..registry import register
 from ..sources.tables import Tables
 
@@ -42,7 +51,7 @@ LSH_THETA = 0.9
 COSINE_THETA = 0.4
 EMB_DIM = 64
 
-_TOKENS_SQL = r"str_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+_TOKENS_SQL = TOKENS_SQL  # single shared definition (functions.TOKENS_SQL)
 
 
 @register(
@@ -94,11 +103,14 @@ def dedup_ngram_jaccard(t: Tables, df_cap: int | None = None) -> DataFrame:
     ``df_cap`` is the 100 TB skew bound: grams appearing in more than
     ``df_cap`` documents are dropped before the self-join (stop-gram
     removal) — a gram with df=d contributes d² candidate pairs, so one
-    hot gram ("in the") otherwise dominates the whole shuffle. Capping
-    loses only pairs whose ENTIRE overlap is stop-grams — near-dups at
-    θ=0.85 share many rare grams too (subset relation asserted in
-    tests/test_operators.py). Default None = exact (the oracle's
-    semantics, fine at oracle SF)."""
+    hot gram ("in the") otherwise dominates the whole shuffle. The cap
+    only shrinks common-counts (denominators stay uncapped), so capped
+    Jaccard is a LOWER BOUND: results are a strict subset of exact
+    (asserted in tests/test_operators.py), and a pair whose measured
+    overlap leans heavily on hot grams can drop below θ and be lost —
+    size the cap from the gram-df profile (text_top_ngrams), not as a
+    free win. Default None = exact (the oracle's semantics, fine at
+    oracle SF)."""
     tk = spread(t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size("tk") - 1),

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import normalize_text, tokens
+from ..functions import TOKENS_SQL, normalize_text, tokens
 from ..registry import register
 from ..sources.tables import Tables
 
@@ -31,7 +31,7 @@ LEXICONS: dict[str, tuple[str, ...]] = {
 #: BPE-ish token pattern: letter runs, digit runs, single punctuation.
 BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
-_TOKENS_SQL = r"str_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+_TOKENS_SQL = TOKENS_SQL  # single shared definition (functions.TOKENS_SQL)
 
 
 def _hits(tok_col: Column, words: tuple[str, ...]) -> Column:

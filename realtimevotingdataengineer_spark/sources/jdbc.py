@@ -25,7 +25,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+#: Embedded Derby's public JDBC driver class (the bundled test double
+#: for the reference's org.postgresql.Driver).
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
 def derby_url(path: str) -> str:
@@ -63,6 +65,12 @@ def read_jdbc(
     """JDBC scan. With ``partition_column`` + bounds the scan becomes
     ``num_partitions`` range-parallel queries — the distributed form of
     scan_table_full."""
+    if partition_column is not None and (lower_bound is None or upper_bound is None):
+        raise ValueError(
+            "read_jdbc: partition_column requires both lower_bound and "
+            "upper_bound (str(None) would reach the JDBC source as the "
+            "literal string 'None')"
+        )
     r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if driver:
         r = r.option("driver", driver)

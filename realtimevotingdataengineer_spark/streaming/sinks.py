@@ -82,6 +82,73 @@ def write_parquet_batches(
     )
 
 
+def _recover_swap(path: str) -> None:
+    """Crash recovery for the staged-swap protocol: a previous run may
+    have died between moving the table aside (``path__old_<uuid>``) and
+    moving staging in — in that state the table path is absent and the
+    only full copy is the newest backup. Restore it BEFORE any read, so
+    a restart never mistakes a mid-swap crash for 'table does not exist
+    yet' and silently rebuilds from one micro-batch. Stale staging
+    output is deleted (its batch replays from the checkpoint); stale
+    backups left by a crash after a completed swap are pruned."""
+    import glob
+    import os
+    import shutil
+
+    shutil.rmtree(f"{path}__staging", ignore_errors=True)
+    backups = sorted(glob.glob(f"{path}__old_*"), key=os.path.getmtime)
+    if backups and not os.path.exists(path):
+        shutil.move(backups[-1], path)
+        backups = backups[:-1]
+    for stale in backups:
+        shutil.rmtree(stale, ignore_errors=True)
+
+
+def _read_current(spark, path: str) -> DataFrame | None:
+    """Read the sink's current table, running crash recovery first.
+    Returns None only for a genuinely absent table; any other read
+    error (corrupt footer, permissions) propagates — it must NOT be
+    treated as 'start fresh'."""
+    from pyspark.errors import AnalysisException
+
+    _recover_swap(path)
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
+        return None
+
+
+def _swap_in(latest: DataFrame, path: str) -> None:
+    """Stage-then-swap a rewritten table into ``path``. Not atomic (a
+    plain filesystem has no directory rename transaction) but crash-safe
+    in combination with _recover_swap: at every instant either ``path``
+    or exactly one ``path__old_*`` backup holds a complete previous
+    version, never a torn mix. A transactional table format
+    (Delta/Iceberg) is the real fix at scale."""
+    import shutil
+    import uuid
+
+    staging = f"{path}__staging"
+    latest.write.mode("overwrite").parquet(staging)
+    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    had_previous = False
+    try:
+        shutil.move(path, backup)
+        had_previous = True
+    except FileNotFoundError:
+        pass
+    try:
+        shutil.move(staging, path)
+    except Exception:
+        if had_previous:
+            shutil.move(backup, path)
+        raise
+    if had_previous:
+        shutil.rmtree(backup, ignore_errors=True)
+
+
 def upsert_parquet_batches(
     df: DataFrame,
     path: str,
@@ -95,30 +162,12 @@ def upsert_parquet_batches(
     micro-batch is unioned with the current table and deduplicated by
     (key, max version). Plain parquet stand-in for a MERGE-capable table
     format — on a cluster this is Delta/Iceberg MERGE INTO; the
-    per-batch logic is identical.
-
-    Durability: the swap is a local-filesystem directory shuffle, not an
-    atomic commit — the previous table version is kept aside during the
-    swap and restored if the swap fails, but a hard crash between the two
-    moves can still leave the table at the *previous* version (never a
-    torn mix). A transactional table format is the real fix at scale."""
-    import shutil
-    import uuid
-
-    from pyspark.errors import AnalysisException
+    per-batch logic is identical. Durability: see _swap_in/_recover_swap
+    (mid-swap crashes restore the previous version on restart)."""
     from pyspark.sql import Window as W
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        try:
-            current = spark.read.parquet(path)
-        except AnalysisException as exc:
-            # only "table does not exist yet" means start fresh; any other
-            # analysis/read error (corrupt footer, permissions) must NOT
-            # silently rebuild the table from this micro-batch alone
-            if "PATH_NOT_FOUND" not in str(exc):
-                raise
-            current = None
+        current = _read_current(batch.sparkSession, path)
         # incoming batch wins version ties ("batch recency"): an
         # at-least-once redelivery with an identical version must not
         # nondeterministically resurrect the stored row
@@ -133,26 +182,7 @@ def upsert_parquet_batches(
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_is_new")
         )
-        # write to a staging dir then swap — plain parquet cannot
-        # read+overwrite the same path in one job. Move the old table
-        # aside (not rmtree-first) so a failed swap can restore it.
-        staging = f"{path}__staging"
-        latest.write.mode("overwrite").parquet(staging)
-        backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
-        had_previous = False
-        try:
-            shutil.move(path, backup)
-            had_previous = True
-        except FileNotFoundError:
-            pass
-        try:
-            shutil.move(staging, path)
-        except Exception:
-            if had_previous:
-                shutil.move(backup, path)
-            raise
-        if had_previous:
-            shutil.rmtree(backup, ignore_errors=True)
+        _swap_in(latest, path)
 
     return (
         df.writeStream.foreachBatch(handle)
@@ -175,28 +205,21 @@ def scd2_parquet_batches(
     upsert_parquet_batches keeps only the latest row, this keeps every
     version — the dimension-history pattern of a warehouse load.
 
-    Same durability posture as upsert_parquet_batches (staged rewrite +
-    move-aside swap; a transactional format is the scale answer), and
-    the same corrupt-table guard: only PATH_NOT_FOUND means 'new
-    table'. At-least-once replays of an identical (key, version) row
-    collapse via the distinct() — redelivery does not fork history."""
-    import shutil
-    import uuid
-
-    from pyspark.errors import AnalysisException
+    Same durability posture as upsert_parquet_batches (_swap_in +
+    _recover_swap: mid-swap crashes restore the previous version on
+    restart), and the same corrupt-table guard: only PATH_NOT_FOUND
+    means 'new table'. At-least-once replays of an identical (key,
+    version) row collapse via the distinct() — redelivery does not fork
+    history."""
     from pyspark.sql import Window as W
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
         incoming = batch.select(*batch.columns).withColumn(
             "valid_from", F.col(version_col)
         )
-        try:
-            current = spark.read.parquet(path).drop("valid_to", "is_current")
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" not in str(exc):
-                raise
-            current = None
+        current = _read_current(batch.sparkSession, path)
+        if current is not None:
+            current = current.drop("valid_to", "is_current")
         merged = (
             incoming if current is None else current.unionByName(incoming)
         ).distinct()
@@ -205,23 +228,7 @@ def scd2_parquet_batches(
             "*",
             F.lead("valid_from").over(w).alias("valid_to"),
         ).withColumn("is_current", F.col("valid_to").isNull())
-        staging = f"{path}__staging"
-        history.write.mode("overwrite").parquet(staging)
-        backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
-        had_previous = False
-        try:
-            shutil.move(path, backup)
-            had_previous = True
-        except FileNotFoundError:
-            pass
-        try:
-            shutil.move(staging, path)
-        except Exception:
-            if had_previous:
-                shutil.move(backup, path)
-            raise
-        if had_previous:
-            shutil.rmtree(backup, ignore_errors=True)
+        _swap_in(history, path)
 
     return (
         df.writeStream.foreachBatch(handle)

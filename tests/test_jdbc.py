@@ -83,3 +83,15 @@ def test_streaming_jdbc_sink(spark, tmp_path_factory):
     back = jdbc.read_jdbc(spark, url, "ids")
     assert back.count() == 100
     assert back.agg(F.sum("id")).first()[0] == sum(range(100))
+
+
+def test_jdbc_explicit_driver_and_bounds_guard(spark, t, tmp_path_factory):
+    """Passing the public embedded-Derby driver class explicitly works,
+    and partition_column without bounds raises instead of shipping the
+    string 'None' to the JVM."""
+    url = jdbc.derby_url(str(tmp_path_factory.mktemp("derby") / "db"))
+    jdbc.write_jdbc(t.region, url, "region", mode="overwrite", driver=jdbc.DERBY_DRIVER)
+    back = jdbc.read_jdbc(spark, url, "region", driver=jdbc.DERBY_DRIVER)
+    assert back.count() == t.region.count()
+    with pytest.raises(ValueError, match="lower_bound"):
+        jdbc.read_jdbc(spark, url, "region", partition_column="r_regionkey")

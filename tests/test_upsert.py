@@ -155,3 +155,29 @@ def test_scd2_keeps_full_history(spark, tmp_path):
     assert [r["is_current"] for r in v0] == [False, False, True]
     v1 = hist.filter(F.col("voter_id") == "v1").collect()
     assert len(v1) == 1 and v1[0]["is_current"]  # redelivery collapsed
+
+
+def test_recover_swap_restores_mid_crash_state(spark, tmp_path):
+    """Simulated crash between the two swap moves: table path absent,
+    newest __old_ backup holds the only full copy. Recovery must
+    restore it — NOT treat the sink as a fresh table."""
+    import shutil
+    import time as _time
+
+    table = str(tmp_path / "table")
+    spark.range(5).withColumnRenamed("id", "voter_id").write.parquet(table)
+    # crash state: table moved aside, staging half-written, plus an
+    # older stale backup from an earlier completed swap
+    shutil.copytree(table, f"{table}__old_stale")
+    _time.sleep(0.05)  # mtime-distinguishable
+    shutil.move(table, f"{table}__old_fresh")
+    (tmp_path / "table__staging").mkdir()
+    (tmp_path / "table__staging" / "junk").write_text("partial")
+
+    current = sinks._read_current(spark, table)
+    assert current is not None and current.count() == 5
+    import os
+
+    assert not os.path.exists(f"{table}__staging")
+    assert not os.path.exists(f"{table}__old_stale")
+    assert not os.path.exists(f"{table}__old_fresh")

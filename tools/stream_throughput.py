@@ -81,13 +81,20 @@ def main() -> None:
     # recentProgress yields StreamingQueryProgress objects (PySpark 4.x)
     progress = [json.loads(p.json) for p in q.recentProgress]
     q.stop()
-    rates = [
-        p["processedRowsPerSecond"]
-        for p in progress[1:]  # drop warm-up batch
-        if p.get("numInputRows", 0) > 0
+    # volume-weighted estimator: total rows / total processing time.
+    # A per-batch mean of processedRowsPerSecond would weight a tiny
+    # trailing batch equally with a huge catch-up batch. Warm-up is
+    # excluded by batchId (recentProgress is a rolling buffer, so
+    # position 0 is not necessarily the first batch).
+    steady = [
+        p
+        for p in progress
+        if p.get("numInputRows", 0) > 0 and p.get("batchId", 0) > 0
     ]
-    n_batches = len(rates)
-    sustained = sum(rates) / n_batches if n_batches else 0.0
+    n_batches = len(steady)
+    rows = sum(p["numInputRows"] for p in steady)
+    secs = sum(p["durationMs"]["triggerExecution"] for p in steady) / 1000.0
+    sustained = rows / secs if secs > 0 else 0.0
     print(
         json.dumps(
             {
