@@ -130,13 +130,13 @@ def main() -> None:
     for name in HEADLINE:
         best = float("inf")
         for _ in range(2):  # best-of-2: first run absorbs codegen/JIT noise
-            # cold persisted-intermediate cache every rep: clearCache()
-            # unpersists (and un-marks) cached plans, so the DataFrame is
-            # rebuilt per rep to re-arm its persist() calls — each rep
-            # pays the full cache build, none reuses a predecessor's
             spark.catalog.clearCache()
-            df = QUERIES[name](t)
+            # construction INSIDE the timer: operators that eagerly
+            # localCheckpoint shared intermediates (minhash shingles,
+            # IVF codebooks) do that work at build time, and it must
+            # count — timing only the final noop write would hide it
             t0 = time.perf_counter()
+            df = QUERIES[name](t)
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
