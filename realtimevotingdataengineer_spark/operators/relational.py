@@ -598,6 +598,38 @@ def pivot_votes_by_type(t: Tables) -> DataFrame:
 
 
 @register(
+    "unpivot_votes_by_type",
+    "WITH wide AS (SELECT user_id, "
+    "count(*) FILTER (WHERE event_type = 'click') AS click, "
+    "count(*) FILTER (WHERE event_type = 'error') AS error, "
+    "count(*) FILTER (WHERE event_type = 'purchase') AS purchase "
+    "FROM events GROUP BY user_id) "
+    "SELECT user_id, kind, n FROM wide "
+    "UNPIVOT (n FOR kind IN (click, error, purchase)) "
+    "WHERE n > 0 ORDER BY user_id, kind",
+)
+def unpivot_votes_by_type(t: Tables) -> DataFrame:
+    """Unpivot (melt): the wide per-voter tally matrix back to long
+    (user, kind, n) form — pivot's inverse, the normalization step
+    before re-aggregation or storage. Spark's native unpivot keeps it a
+    single narrow generate (no shuffle beyond the source agg); zero
+    rows are dropped to make the round-trip equal the long form."""
+    kinds = ["click", "error", "purchase"]
+    wide = (
+        t.events.filter(F.col("event_type").isin(kinds))
+        .groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=kinds)
+    )
+    return (
+        wide.unpivot("user_id", kinds, "kind", "n")
+        .filter(F.col("n") > 0)
+        .orderBy("user_id", "kind")
+    )
+
+
+@register(
     "expr_array_funcs",
     "SELECT vec_id, len(embedding) AS dim, embedding[1] AS first_el, "
     "len(embedding[1:4]) AS head_len, embedding[4] AS last_of_head, label "

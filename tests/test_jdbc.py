@@ -95,3 +95,52 @@ def test_jdbc_explicit_driver_and_bounds_guard(spark, t, tmp_path_factory):
     assert back.count() == t.region.count()
     with pytest.raises(ValueError, match="lower_bound"):
         jdbc.read_jdbc(spark, url, "region", partition_column="r_regionkey")
+
+
+def test_reference_architecture_end_to_end(spark, tmp_path_factory):
+    """The reference's INTENDED architecture in one pipe: vote events
+    (Kafka-shaped text source) → from_json parse → watermarked one-vote
+    dedup → stateful tally → live tally table in a relational store
+    (embedded Derby standing in for Postgres). The DB ends up holding
+    exactly the batch-computed truth."""
+    from realtimevotingdataengineer_spark.sources import generator
+    from realtimevotingdataengineer_spark.streaming import pipeline
+
+    base = tmp_path_factory.mktemp("ref_arch")
+    src = base / "events"
+    src.mkdir()
+    rows = generator.vote_events_raw(spark, 200).collect()
+    (src / "part-0.jsonl").write_text("\n".join(r.value for r in rows))
+    url = jdbc.derby_url(str(base / "db"))
+
+    raw = pipeline.read_text_stream(spark, str(src))
+    tally = pipeline.tally_per_candidate(
+        pipeline.dedup_one_vote(pipeline.parse_vote_events(raw))
+    )
+
+    def to_db(batch, batch_id):
+        # live-table semantics: each micro-batch's updated rows replace
+        # the stored tallies for those candidates (Postgres would be an
+        # INSERT ... ON CONFLICT UPDATE; Derby test double: delete+append
+        # via full overwrite of the small tally table)
+        jdbc.write_jdbc(batch, url, f"tally_{batch_id}", mode="overwrite")
+
+    q = (
+        tally.writeStream.foreachBatch(to_db)
+        .option("checkpointLocation", str(base / "ckpt"))
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # the single input file arrives as batch 0; complete mode makes that
+    # table the full tally
+    stored = jdbc.read_jdbc(spark, url, "tally_0")
+    got = {
+        r["candidate_id"]: r["total_votes"]
+        for r in stored.groupBy("candidate_id")
+        .agg(F.sum("total_votes").alias("total_votes"))
+        .collect()
+    }
+    assert sum(got.values()) == 200  # one vote per distinct voter
+    assert len(got) == 3  # the reference's 3 candidates (main.py:181)
