@@ -231,3 +231,15 @@ def test_connected_components_two_components(spark):
     labels, _ = connected_components(edges)
     got = {r["doc_id"]: r["label"] for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_q1_cents_equals_decimal(t):
+    """The int64-cents fast path must produce bitwise-identical values
+    to the DECIMAL flagship (both exact; different arithmetic)."""
+    key = lambda r: (r["l_returnflag"], r["l_linestatus"])  # noqa: E731
+    a = {key(r): tuple(r)[2:] for r in QUERIES["q1_pricing_summary"](t).collect()}
+    b = {
+        key(r): tuple(r)[2:]
+        for r in QUERIES["q1_pricing_summary_cents"](t).collect()
+    }
+    assert a == b
