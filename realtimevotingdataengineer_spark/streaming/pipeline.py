@@ -165,6 +165,25 @@ def turnout_by_state(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_candidates(events: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Stream-static broadcast join: re-attach the (3-row) candidate
+    dimension to the vote stream by candidate_id — the runtime form of
+    join_votes_candidates (SURVEY §2.3) for events that arrive WITHOUT
+    the denormalized candidate fields. Stream-static joins need no
+    watermark (the static side is re-read per micro-batch, so dimension
+    updates between batches are picked up); broadcasting keeps the
+    stream side shuffle-free."""
+    dim = F.broadcast(
+        candidates.select(
+            F.col("candidate_id").alias("cand_id"),
+            "candidate_name",
+            "party_affiliation",
+        )
+    )
+    slim = events.drop("candidate_name", "party_affiliation")
+    return slim.join(dim, slim["candidate_id"] == dim["cand_id"]).drop("cand_id")
+
+
 def join_votes_with_registrations(
     votes: DataFrame, registrations: DataFrame, horizon: str = "30 minutes"
 ) -> DataFrame:

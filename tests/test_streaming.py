@@ -190,3 +190,19 @@ def test_streaming_session_window_native(spark, event_dir):
     # duplicate voters vote twice 30s apart -> one merged session with 2+ events
     multi = [r for r in rows if r["n_events"] >= 2]
     assert multi, "expected at least one merged multi-event session"
+
+
+def test_stream_static_enrich(spark, event_dir):
+    """Stream-static broadcast enrich: candidate fields re-attached from
+    the static dim match what the (denormalized) events carried."""
+    path, _ = event_dir
+    raw = pipeline.read_text_stream(spark, path)
+    events = pipeline.parse_vote_events(raw)
+    static = generator.candidates(spark)
+    enriched = pipeline.enrich_with_candidates(events, static)
+    out = _run_stream(spark, enriched, "enriched_votes", "append")
+    assert out.count() > 0
+    # names re-attached from the dim must agree with the dim itself
+    dim = {r["candidate_id"]: r["candidate_name"] for r in static.collect()}
+    for r in out.select("candidate_id", "candidate_name").distinct().collect():
+        assert dim[r["candidate_id"]] == r["candidate_name"]
