@@ -45,3 +45,14 @@ def to_parquet_partitioned(
     directory, readers with a date predicate never open other days."""
     out = df.withColumn("event_date", F.to_date(F.col(ts_col)))
     out.write.mode("overwrite").partitionBy(*parts).parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (PushedFilters / ReadSchema appear in the plan identically); the
+    format choice is a storage-team decision, not an engine constraint."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)

@@ -50,3 +50,21 @@ def test_partitioned_write_prunes(spark, t, tmp_path):
     # row parity with the unpartitioned filter
     want = t.events.filter(F.to_date("ts") == "2024-01-05").count()
     assert one_day.count() == want > 0
+
+
+def test_orc_round_trip_with_pushdown(spark, t):
+    """ORC round-trip preserves the relation, and predicates push into
+    the ORC scan just like parquet."""
+    import tempfile
+
+    from realtimevotingdataengineer_spark.plans import has_pushed_filter
+    from realtimevotingdataengineer_spark.sources import formats
+
+    with tempfile.TemporaryDirectory() as d:
+        src = t.supplier
+        formats.write_orc(src, d)
+        back = formats.read_orc(spark, d)
+        assert back.count() == src.count()
+        assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
+        filtered = back.filter(back["s_suppkey"] > 10).select("s_suppkey")
+        assert has_pushed_filter(filtered, "s_suppkey")
