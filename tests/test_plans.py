@@ -106,3 +106,28 @@ def test_q18_having_before_customer_join(t):
     df = QUERIES["q18_large_orders"](t)
     # lineitem agg, orders join, customer join = bounded shuffle count
     assert shuffle_count(df) <= 5
+
+
+def test_q8_broadcasts_all_dims(t):
+    """q8's 8-table join: everything except lineitem⨝orders broadcasts."""
+    df = QUERIES["q8_market_share"](t)
+    assert broadcast_join_count(df) >= 5  # part, supplier, n1, n2, region
+
+
+def test_q21_semi_anti_no_explosion(t):
+    """EXISTS + NOT EXISTS compile to semi/anti joins — bounded shuffle
+    count, no fact-side row multiplication operators."""
+    from realtimevotingdataengineer_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["q21_waiting_supplier"](t))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q1_cents_avoids_decimal_arithmetic(t):
+    """The int64-cents q1 variant's whole point: every aggregate runs on
+    primitive longs — no decimal type may appear anywhere in its plan
+    (the decimal flagship's plan is full of them)."""
+    from realtimevotingdataengineer_spark.plans import formatted_plan
+
+    assert "decimal" not in formatted_plan(QUERIES["q1_pricing_summary_cents"](t)).lower()
+    assert "decimal" in formatted_plan(QUERIES["q1_pricing_summary"](t)).lower()
