@@ -249,26 +249,20 @@ def kmeans_fit(emb: DataFrame, k: int = N_CENTROIDS, iters: int = 2) -> DataFram
     return cent
 
 
-@register("sim_ivf_kmeans_topk")  # double-mean codebook has no portable SQL twin; rows-only + pytest
-def sim_ivf_kmeans_topk(t: Tables) -> DataFrame:
-    """IVF with a genuinely fitted coarse quantizer (2 Lloyd rounds)
-    instead of the fixed codebook of sim_ivf_topk. Same probe plan:
-    assign corpus to nearest centroid, each query searches only its
-    bucket. pytest checks recall@10 against exact search."""
-    cent = kmeans_fit(t.embeddings).localCheckpoint(eager=True)
-    corpus = t.embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+def _hof_cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
 
-    def cosine(a, b):
-        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-        na = F.sqrt(F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
-        nb = F.sqrt(F.aggregate(F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
-        return dot / (na * nb)
 
-    assign = (
+def assign_to_centroids(corpus: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid bucket per vector: broadcast the (k-row)
+    codebook, argmax cosine with deterministic tie-break. (vec_id,
+    cent_id) — the IVF inverted list."""
+    return (
         corpus.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cent_id", cosine(F.col("v"), F.col("cent_emb")).alias("cos"))
+        .select("vec_id", "cent_id", _hof_cosine(F.col("v"), F.col("cent_emb")).alias("cos"))
         .withColumn(
             "rn",
             F.row_number().over(
@@ -278,6 +272,11 @@ def sim_ivf_kmeans_topk(t: Tables) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cent_id")
     )
+
+
+def _probe_assigned(corpus: DataFrame, assign: DataFrame) -> DataFrame:
+    """Single-probe IVF search given the inverted list: each query joins
+    only its own bucket's vectors; per-query top-k."""
     qry = corpus.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("q_v")
     )
@@ -292,7 +291,7 @@ def sim_ivf_kmeans_topk(t: Tables) -> DataFrame:
         .select(
             F.col("q_id").alias("query_id"),
             F.col("c_id").alias("neighbor_id"),
-            cosine(F.col("q_v"), F.col("c_v")).alias("cosine"),
+            _hof_cosine(F.col("q_v"), F.col("c_v")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -301,6 +300,41 @@ def sim_ivf_kmeans_topk(t: Tables) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+def build_ivf_index(emb: DataFrame, path: str) -> None:
+    """Persist the IVF index: the fitted codebook and the inverted list
+    as parquet tables. The build-once / search-many lifecycle — at
+    100 TB the index is a maintained table refreshed with the corpus,
+    not recomputed per query (searches then read two small parquet
+    tables and touch ~1/k of the corpus)."""
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cent = kmeans_fit(emb).localCheckpoint(eager=True)
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    assign_to_centroids(corpus, cent).write.mode("overwrite").parquet(f"{path}/assignments")
+
+
+def search_ivf_index(emb: DataFrame, path: str) -> DataFrame:
+    """Search against a PERSISTED index (build_ivf_index): reads the
+    stored inverted list instead of re-fitting — byte-identical results
+    to the in-memory path (asserted in tests/test_operators.py)."""
+    spark = emb.sparkSession
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    assign = spark.read.parquet(f"{path}/assignments")
+    return _probe_assigned(corpus, assign)
+
+
+@register("sim_ivf_kmeans_topk")  # double-mean codebook has no portable SQL twin; rows-only + pytest
+def sim_ivf_kmeans_topk(t: Tables) -> DataFrame:
+    """IVF with a genuinely fitted coarse quantizer (2 Lloyd rounds)
+    instead of the fixed codebook of sim_ivf_topk. Same probe plan:
+    assign corpus to nearest centroid, each query searches only its
+    bucket. pytest checks recall@10 against exact search."""
+    cent = kmeans_fit(t.embeddings).localCheckpoint(eager=True)
+    corpus = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return _probe_assigned(corpus, assign_to_centroids(corpus, cent))
 
 
 @register("sim_ivf_multiprobe_topk")  # fitted double-mean codebook → rows-only + pytest

@@ -243,3 +243,25 @@ def test_q1_cents_equals_decimal(t):
         for r in QUERIES["q1_pricing_summary_cents"](t).collect()
     }
     assert a == b
+
+
+def test_ivf_index_persist_and_search(t, tmp_path_factory):
+    """The persisted-index lifecycle: build_ivf_index → search against
+    the stored inverted list must equal the in-memory fitted-kmeans
+    search exactly."""
+    from realtimevotingdataengineer_spark.operators.similarity import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivf_index"))
+    build_ivf_index(t.embeddings, path)
+    stored = {
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in search_ivf_index(t.embeddings, path).collect()
+    }
+    memory = {
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in QUERIES["sim_ivf_kmeans_topk"](t).collect()
+    }
+    assert stored == memory and stored
