@@ -432,6 +432,31 @@ def dedup_clusters(t: Tables) -> DataFrame:
     )
 
 
+def build_cluster_labels(t: Tables, path: str) -> None:
+    """Materialize the near-dup cluster labels as a parquet table — the
+    at-scale posture for every downstream consumer (pipeline_clean_corpus,
+    pipeline_pretrain_corpus re-run label propagation per invocation;
+    a 100 TB corpus computes labels once per corpus refresh and every
+    cleaning query joins the stored table instead)."""
+    dedup_clusters(t).write.mode("overwrite").parquet(path)
+
+
+def clean_corpus_from_labels(t: Tables, path: str) -> DataFrame:
+    """pipeline_clean_corpus against MATERIALIZED labels: identical
+    semantics (tests assert result equality), but the iterative
+    label-propagation cost is paid at build time, not per query — the
+    cleaning pass itself becomes one scan + one co-partitioned join."""
+    labels = t.spark.read.parquet(path)
+    quality = t.documents.select(
+        "doc_id", "lang", F.size(tokens("text")).alias("n_tokens")
+    )
+    return (
+        quality.join(labels, "doc_id")
+        .filter((F.col("n_tokens") >= 20) & (F.col("cluster_id") == F.col("doc_id")))
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
 _CLEAN_SQL = (
     _CLUSTERS_CTES
     + f", labels AS ({_CLUSTERS_FINAL}), "

@@ -265,3 +265,18 @@ def test_ivf_index_persist_and_search(t, tmp_path_factory):
         for r in QUERIES["sim_ivf_kmeans_topk"](t).collect()
     }
     assert stored == memory and stored
+
+
+def test_materialized_cluster_labels(t, tmp_path_factory):
+    """Build-once labels: cleaning against the stored label table equals
+    the recompute-every-time pipeline exactly."""
+    from realtimevotingdataengineer_spark.operators.dedup import (
+        build_cluster_labels,
+        clean_corpus_from_labels,
+    )
+
+    path = str(tmp_path_factory.mktemp("labels") / "clusters")
+    build_cluster_labels(t, path)
+    stored = {tuple(r) for r in clean_corpus_from_labels(t, path).collect()}
+    live = {tuple(r) for r in QUERIES["pipeline_clean_corpus"](t).collect()}
+    assert stored == live and stored

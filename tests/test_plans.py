@@ -131,3 +131,45 @@ def test_q1_cents_avoids_decimal_arithmetic(t):
 
     assert "decimal" not in formatted_plan(QUERIES["q1_pricing_summary_cents"](t)).lower()
     assert "decimal" in formatted_plan(QUERIES["q1_pricing_summary"](t)).lower()
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling, demonstrated: a 95%-one-key fact joined
+    without broadcast gets its hot partition split at runtime (the
+    executed adaptive plan marks the sort-merge join skew=true). This is
+    the runtime complement to the salted-agg operator — joins lean on
+    AQE, aggregations on salting."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(200_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        joined = fact.join(dim, "k")
+        # execute THIS DataFrame's plan (count() would build a separate
+        # QueryExecution and leave this one un-finalized)
+        assert len(joined.collect()) == 200_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
