@@ -67,6 +67,64 @@ def events_funnel_conversion(t: Tables) -> DataFrame:
 
 
 @register(
+    "events_error_rate_daily",
+    "SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, "
+    "count(*) AS n_events, "
+    "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors, "
+    "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) "
+    "/ count(*) AS error_rate "
+    "FROM events GROUP BY CAST(ts AS DATE) ORDER BY day",
+)
+def events_error_rate_daily(t: Tables) -> DataFrame:
+    """Daily error-rate monitor: conditional count over total per day —
+    the ops-dashboard staple. One date-bucketed shuffle; the ratio is a
+    single double division of exact integer counts."""
+    day = F.to_date("ts")
+    errors = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return (
+        t.events.groupBy(day.alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            errors.alias("n_errors"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "n_errors",
+            (F.col("n_errors").cast("double") / F.col("n_events")).alias("error_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_rolling_active_users",
+    "WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events), "
+    "user_days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS ud FROM events) "
+    "SELECT strftime(d, '%Y-%m-%d') AS day, "
+    "count(DISTINCT user_id) AS wau FROM days JOIN user_days "
+    "ON ud BETWEEN d - 6 AND d GROUP BY d ORDER BY day",
+)
+def events_rolling_active_users(t: Tables) -> DataFrame:
+    """Exact rolling 7-day active users (WAU) per day: distinct (user,
+    day) pairs range-joined to the day spine, then distinct-count per
+    day. A rolling DISTINCT cannot be a window frame (frames aggregate
+    rows, not sets) — the range join over the deduplicated per-user-day
+    relation is the exact formulation, and its input is |users|·|days|,
+    not raw events. At extreme scale the approximate path is an HLL
+    sketch per (user, day) bucket merged over the window."""
+    ev = t.events.select("user_id", F.to_date("ts").alias("ud")).distinct()
+    days = ev.select(F.col("ud").alias("d")).distinct()
+    return (
+        days.join(ev, F.col("ud").between(F.date_sub(F.col("d"), 6), F.col("d")))
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "wau")
+        .orderBy("day")
+    )
+
+
+@register(
     "events_retention_cohort",
     "WITH first AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0 "
     "FROM events GROUP BY user_id), "
