@@ -1,0 +1,43 @@
+"""Custom Python DataSource (PySpark 4 API): the reference's HTTP voter
+generator as a registered, partition-parallel `format("voters")` source."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtimevotingdataengineer_spark.sources.voter_datasource import (
+    register_voter_source,
+)
+
+
+def test_voter_source_reads_partitioned(spark):
+    register_voter_source(spark)
+    df = spark.read.format("voters").option("n", "500").load()
+    assert df.count() == 500
+    assert df.select("voter_id").distinct().count() == 500
+    assert df.rdd.getNumPartitions() == 8
+    ages = df.agg(F.min("registered_age"), F.max("registered_age")).first()
+    assert 18 <= ages[0] and ages[1] <= 87
+
+
+def test_voter_source_partition_invariant(spark):
+    """Record i is a pure function of (seed, i): the same voters come
+    back under any partitioning — the reference's seeded-generator
+    intent (main.py:12) made cluster-stable."""
+    register_voter_source(spark)
+    one = spark.read.format("voters").option("n", "200").option("numPartitions", "1")
+    many = spark.read.format("voters").option("n", "200").option("numPartitions", "7")
+    a = {tuple(r) for r in one.load().collect()}
+    b = {tuple(r) for r in many.load().collect()}
+    assert a == b and len(a) == 200
+
+
+def test_voter_source_feeds_tally(spark):
+    """The source slots into the analytic pipeline: turnout by state
+    over generated voters (scan → agg, no driver-side generation)."""
+    register_voter_source(spark)
+    df = spark.read.format("voters").option("n", "300").load()
+    by_state = df.groupBy("address_state").agg(F.count(F.lit(1)).alias("n"))
+    rows = by_state.collect()
+    assert sum(r["n"] for r in rows) == 300
+    assert len(rows) == 5
