@@ -20,7 +20,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 VOTER_READER_SCHEMA = (
@@ -68,8 +73,34 @@ class VoterReader(DataSourceReader):
             yield _voter_row(self.seed, i)
 
 
+class VoterStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form: the reference's continuous voter production
+    (main.py:205-227 produced one voter at a time to Kafka) as a custom
+    micro-batch stream source. The offset is simply the next record
+    index — replayable (readBetweenOffsets regenerates any committed
+    range exactly, since records are pure functions of (seed, i)), so
+    checkpoint recovery gets the same rows a failed batch saw."""
+
+    def __init__(self, options: dict):
+        self.seed = int(options.get("seed", 21))
+        self.per_batch = int(options.get("rowsPerBatch", 100))
+        self.limit = int(options.get("n", 1_000_000))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = min(lo + self.per_batch, self.limit)
+        return (iter([_voter_row(self.seed, i) for i in range(lo, hi)]), {"i": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_voter_row(self.seed, i) for i in range(start["i"], end["i"])])
+
+
 class VoterDataSource(DataSource):
-    """`spark.read.format("voters")` after `register_voter_source`."""
+    """`spark.read.format("voters")` / `spark.readStream.format("voters")`
+    after `register_voter_source`."""
 
     @classmethod
     def name(cls) -> str:
@@ -80,6 +111,9 @@ class VoterDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return VoterReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return VoterStreamReader(self.options)
 
 
 def register_voter_source(spark) -> None:

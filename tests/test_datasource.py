@@ -41,3 +41,27 @@ def test_voter_source_feeds_tally(spark):
     rows = by_state.collect()
     assert sum(r["n"] for r in rows) == 300
     assert len(rows) == 5
+
+
+def test_voter_source_streams(spark, tmp_path):
+    """The same registered source streams: micro-batches advance the
+    index offset; the drained stream equals the batch read of the same
+    range (pure-function records => replay-safe offsets)."""
+    from realtimevotingdataengineer_spark.streaming import sinks
+
+    register_voter_source(spark)
+    stream = (
+        spark.readStream.format("voters")
+        .option("n", "250")
+        .option("rowsPerBatch", "100")
+        .load()
+    )
+    q = sinks.write_memory(stream, "voter_stream", "append")
+    q.processAllAvailable()
+    q.stop()
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM voter_stream").collect()}
+    batch = {
+        tuple(r)
+        for r in spark.read.format("voters").option("n", "250").load().collect()
+    }
+    assert streamed == batch and len(streamed) == 250
