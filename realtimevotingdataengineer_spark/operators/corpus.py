@@ -108,6 +108,35 @@ def sample_hash_bernoulli(t: Tables) -> DataFrame:
 
 
 @register(
+    "sample_stratified",
+    "SELECT source, count(*) AS n_sampled FROM documents "
+    "WHERE substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 2) < '40' "
+    "GROUP BY source ORDER BY source",
+)
+def sample_stratified(t: Tables) -> DataFrame:
+    """Stratified deterministic sampling: ~25% per domain by hashing the
+    COMPOSITE (source, doc_id) key — each stratum gets an independent
+    ~25% draw (hashing doc_id alone would select the same global subset;
+    compositing re-randomizes per stratum). Same zero-shuffle,
+    partition-invariant properties as sample_hash_bernoulli; reported
+    here as per-domain sampled counts (the curation-pass audit view)."""
+    keep = (
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))),
+            1,
+            2,
+        )
+        < "40"
+    )
+    return (
+        t.documents.filter(keep)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("source")
+    )
+
+
+@register(
     "corpus_domain_stats",
     "SELECT source, count(*) AS n_docs, "
     f"sum(len({_TOKENS_SQL})) AS total_tokens, "
