@@ -65,3 +65,49 @@ def test_voter_source_streams(spark, tmp_path):
         for r in spark.read.format("voters").option("n", "250").load().collect()
     }
     assert streamed == batch and len(streamed) == 250
+
+
+def test_voter_stream_drives_full_reference_loop(spark):
+    """The whole reference loop, fixture-free: custom streaming voters
+    source → deterministic candidate assignment (voting.py:99's random
+    pick, made key-stable) → stream-static enrich from the candidates
+    dim → stateful tally. Totals conserve voters and split across all
+    three candidates."""
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.sources import generator
+    from realtimevotingdataengineer_spark.streaming import pipeline, sinks
+
+    register_voter_source(spark)
+    voters = (
+        spark.readStream.format("voters")
+        .option("n", "300")
+        .option("rowsPerBatch", "120")
+        .load()
+    )
+    n_cand = generator.candidates(spark).count()
+    votes = voters.select(
+        "voter_id",
+        F.concat(
+            F.lit("cand-"),
+            (F.conv(F.substring(F.md5("voter_id"), 1, 6), 16, 10) % n_cand).cast(
+                "string"
+            ),
+        ).alias("candidate_id"),
+        F.lit(1).alias("vote"),
+    )
+    enriched = pipeline.enrich_with_candidates(votes, generator.candidates(spark))
+    tally = pipeline.tally_per_candidate(enriched)
+    q = sinks.write_memory(tally, "ds_loop_tally", "update")
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["candidate_id"]: r["total_votes"]
+        for r in spark.sql(
+            "SELECT candidate_id, max(total_votes) AS total_votes "
+            "FROM ds_loop_tally GROUP BY candidate_id"
+        ).collect()
+    }
+    assert sum(got.values()) == 300
+    assert len(got) == n_cand
+    assert all(v > 0 for v in got.values())
