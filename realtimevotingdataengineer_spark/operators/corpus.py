@@ -263,6 +263,35 @@ def pipeline_pretrain_corpus(t: Tables) -> DataFrame:
     )
 
 
+def pretrain_corpus_from_labels(t: Tables, labels_path: str) -> DataFrame:
+    """pipeline_pretrain_corpus against a MATERIALIZED label table (see
+    dedup.build_cluster_labels): identical gate semantics — length floor,
+    repetition cap, decontamination, cluster survivorship — but the
+    iterative label propagation is a build-time cost, not a per-query
+    one. Result equality with the live pipeline is test-asserted."""
+    labels = t.spark.read.parquet(labels_path)
+    contaminated = text_decontaminate(t).select("doc_id")
+    tk = t.documents.select("doc_id", tokens("text").alias("tk"))
+    n = F.size("tk")
+    quality = tk.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (F.lit(1.0) - F.size(F.array_distinct("tk")).cast("double") / n).alias("rep"),
+    )
+    return (
+        quality.join(labels, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .filter(
+            (F.col("doc_id") >= _BENCH_MAX)
+            & (F.col("n_tokens") >= 20)
+            & (F.col("rep") < 0.6)
+            & (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "text_repetition_ratio",
     f"SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_distinct, "

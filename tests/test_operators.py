@@ -280,3 +280,18 @@ def test_materialized_cluster_labels(t, tmp_path_factory):
     stored = {tuple(r) for r in clean_corpus_from_labels(t, path).collect()}
     live = {tuple(r) for r in QUERIES["pipeline_clean_corpus"](t).collect()}
     assert stored == live and stored
+
+
+def test_pretrain_gate_from_materialized_labels(t, tmp_path_factory):
+    """The full pretrain gate against stored labels equals the live
+    (recompute-per-query) capstone exactly."""
+    from realtimevotingdataengineer_spark.operators.corpus import (
+        pretrain_corpus_from_labels,
+    )
+    from realtimevotingdataengineer_spark.operators.dedup import build_cluster_labels
+
+    path = str(tmp_path_factory.mktemp("labels2") / "clusters")
+    build_cluster_labels(t, path)
+    stored = {tuple(r) for r in pretrain_corpus_from_labels(t, path).collect()}
+    live = {tuple(r) for r in QUERIES["pipeline_pretrain_corpus"](t).collect()}
+    assert stored == live and stored
