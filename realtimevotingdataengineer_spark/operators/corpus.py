@@ -139,7 +139,9 @@ def sample_stratified(t: Tables) -> DataFrame:
 @register(
     "corpus_domain_stats",
     "SELECT source, count(*) AS n_docs, "
-    f"sum(len({_TOKENS_SQL})) AS total_tokens, "
+    # CAST AS BIGINT: uncast DuckDB sum() is HUGEINT → float64 via
+    # fetch_df, diverging from Spark's bigint (CORRECTNESS_r02 hash miss).
+    f"CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens, "
     "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars, "
     "count(DISTINCT lang) AS n_langs FROM documents "
     "GROUP BY source ORDER BY source",

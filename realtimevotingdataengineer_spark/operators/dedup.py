@@ -523,3 +523,83 @@ def dedup_embedding_cosine(t: Tables) -> DataFrame:
         )
         .filter(F.col("cosine") >= COSINE_THETA)
     )
+
+
+#: Multi-probe width for bucketed embedding dedup: each vector joins its
+#: 2 nearest buckets for candidate generation (single-probe recall ≈ 0.3
+#: on this no-planted-dups corpus; 2-probe roughly doubles candidate
+#: coverage while the pair join stays bucket-bounded).
+DEDUP_N_PROBE = 2
+
+
+def _bucketed_cosine_sql() -> str:
+    # import here (not module top) only to make the one-way dependency
+    # explicit at the use site; similarity never imports dedup.
+    from .similarity import assign_sql
+
+    cos = (
+        f"({dot_sql('a.embedding', 'b.embedding', EMB_DIM)}) / "
+        f"(({norm_sql('a.embedding', EMB_DIM)}) * ({norm_sql('b.embedding', EMB_DIM)}))"
+    )
+    return (
+        assign_sql(DEDUP_N_PROBE)
+        # DISTINCT: a pair sharing both probed buckets matches twice
+        + ", pairs AS (SELECT DISTINCT aa.vec_id AS id_a, ab.vec_id AS id_b "
+        "FROM assign aa JOIN assign ab "
+        "ON aa.cent_id = ab.cent_id AND aa.vec_id < ab.vec_id) "
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        f"{cos} AS cosine "
+        "FROM pairs JOIN embeddings a ON a.vec_id = pairs.id_a "
+        "JOIN embeddings b ON b.vec_id = pairs.id_b "
+        f"WHERE {cos} >= {COSINE_THETA}"
+    )
+
+
+@register("dedup_embedding_bucketed", _bucketed_cosine_sql())
+def dedup_embedding_bucketed(t: Tables) -> DataFrame:
+    """Embedding near-dup pairs, bucket-locally: candidate pairs are
+    generated only WITHIN shared IVF buckets — each vector probes its
+    DEDUP_N_PROBE nearest centroids (similarity.ivf_assign_fixed), pairs
+    sharing any bucket are verified with the exact order-pinned cosine
+    ≥ θ. This is the scale-safe form of dedup_embedding_cosine: the
+    O(n²) pair space is never materialized — with k balanced buckets the
+    candidate join is ≈ p²·n²/k pairs, and k grows with the corpus
+    (k ≈ √n keeps bucket-local work linear per bucket). Results are a
+    strict subset of the brute-force operator with bitwise-equal cosines
+    (asserted with measured recall in tests/test_operators.py); pairs
+    sharing no probed bucket are the recall loss — the n_probe dial
+    trades candidate volume for recall exactly as in
+    sim_ivf_multiprobe_topk. The brute-force key remains registered as
+    the verification baseline."""
+    from .similarity import ivf_assign_fixed
+
+    # reused by both sides of the pair join — materialize once
+    assign = ivf_assign_fixed(t.embeddings, DEDUP_N_PROBE).localCheckpoint(eager=True)
+    aa = assign.alias("aa")
+    ab = assign.alias("ab")
+    pairs = (
+        aa.join(
+            ab,
+            (F.col("aa.cent_id") == F.col("ab.cent_id"))
+            & (F.col("aa.vec_id") < F.col("ab.vec_id")),
+        )
+        .select(F.col("aa.vec_id").alias("id_a"), F.col("ab.vec_id").alias("id_b"))
+        .distinct()  # a pair sharing both probed buckets matches twice
+    )
+    # per-side projected norms keep the join method codegen-compiled
+    # (three 64-term chains inline would blow Janino's 64KB limit)
+    a = t.embeddings.withColumn("nrm", norm_expr("embedding", EMB_DIM)).alias("a")
+    b = t.embeddings.withColumn("nrm", norm_expr("embedding", EMB_DIM)).alias("b")
+    cos = dot_expr("a.embedding", "b.embedding", EMB_DIM) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        pairs.join(a, F.col("id_a") == F.col("a.vec_id"))
+        .join(b, F.col("id_b") == F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THETA)
+    )

@@ -70,7 +70,11 @@ def events_funnel_conversion(t: Tables) -> DataFrame:
     "events_error_rate_daily",
     "SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, "
     "count(*) AS n_events, "
-    "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors, "
+    # CAST AS BIGINT: DuckDB's uncast sum() yields HUGEINT, which surfaces
+    # as float64 through fetch_df while Spark emits bigint (dtype-only
+    # hash mismatch in CORRECTNESS_r02).
+    "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_errors, "
     "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) "
     "/ count(*) AS error_rate "
     "FROM events GROUP BY CAST(ts AS DATE) ORDER BY day",

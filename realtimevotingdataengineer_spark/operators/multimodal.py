@@ -222,12 +222,42 @@ def mm_feature_topk(t: Tables) -> DataFrame:
     )
 
 
-@register("mm_frame_sample")  # no SQL oracle: mapInPandas stage → rows-only check
+# The frame/resize kernels are deterministic byte ops, so they ARE
+# SQL-expressible. Two portability constraints shape the oracles:
+# (a) DuckDB 1.0 has no BLOB substring/md5, so the oracle works in
+#     VARCHAR characters — exact because the corpus is pure ASCII at
+#     every SF (chars == bytes; checked: octet_length(encode(text)) ==
+#     length(text) for all rows), and
+# (b) raw binary output columns compare unreliably across engines
+#     (bytearray vs bytes through pandas), so the registered keys emit
+#     md5-pinned bytes + exact lengths — the NOTES.md "md5 for anything
+#     hashed" rule. The raw-bytes stages (sample_frames/resize_payloads)
+#     stay the library surface, pytest-covered.
+_FRAME_SAMPLE_SQL = (
+    "WITH f AS (SELECT doc_id, CAST(u.f AS INT) AS frame_no, "
+    "substring(text, CAST(u.f*64 + 1 AS INT), 64) AS chunk "
+    "FROM documents, LATERAL unnest(range(0, least(4, (length(text)+63)//64))) AS u(f)) "
+    "SELECT doc_id, frame_no, md5(chunk) AS frame_md5, "
+    "CAST(length(chunk) AS BIGINT) AS frame_len, "
+    "'{\"len\":' || CAST(length(chunk) AS VARCHAR) || ',\"codec\":\"stub\"}' "
+    "AS frame_meta FROM f"
+)
+
+
+@register("mm_frame_sample", _FRAME_SAMPLE_SQL)
 def mm_frame_sample(t: Tables) -> DataFrame:
-    """Frame sampling over the multimodal table (stub codec). Registered
-    without an oracle: the kernel is not SQL-expressible; pytest covers
-    the exact chunk semantics."""
-    return sample_frames(multimodal_table(t))
+    """Frame sampling over the multimodal table (stub codec), run through
+    the real Arrow mapInPandas kernel; the registered output pins each
+    frame's exact bytes by md5 + length so the DuckDB oracle (character
+    arithmetic over the ASCII corpus) compares hash-stably. pytest covers
+    the raw-bytes chunk semantics of sample_frames itself."""
+    return sample_frames(multimodal_table(t)).select(
+        "doc_id",
+        "frame_no",
+        F.md5("frame_bytes").alias("frame_md5"),
+        F.octet_length("frame_bytes").cast("bigint").alias("frame_len"),
+        "frame_meta",
+    )
 
 
 RESIZE_SCHEMA = StructType(
@@ -273,10 +303,31 @@ def resize_payloads(mm: DataFrame, target: int = 32) -> DataFrame:
     return mm.select("doc_id", "content").mapInPandas(kernel, RESIZE_SCHEMA)
 
 
-@register("mm_resize")  # no SQL oracle: mapInPandas stage → rows-only check
+_RESIZE_SQL = (
+    "WITH mm AS (SELECT doc_id, text, length(text) AS n FROM documents), "
+    "s AS (SELECT doc_id, text, n, greatest(1, (n + 31) // 32) AS stride FROM mm), "
+    "r AS (SELECT doc_id, n, stride, "
+    "array_to_string(list_transform(range(0, least(32, (n + stride - 1) // stride)), "
+    "i -> substring(text, CAST(i*stride + 1 AS INT), 1)), '') AS resized FROM s) "
+    "SELECT doc_id, CAST(n AS BIGINT) AS orig_len, md5(resized) AS resized_md5, "
+    "CAST(length(resized) AS BIGINT) AS resized_len, "
+    "'{\"stride\":' || CAST(stride AS VARCHAR) || ',\"target\":32,\"codec\":\"stub\"}' "
+    "AS resize_meta FROM r"
+)
+
+
+@register("mm_resize", _RESIZE_SQL)
 def mm_resize(t: Tables) -> DataFrame:
     """Payload resize over the multimodal table (stub codec): one output
-    row per input, bounded-size binary + provenance metadata. Rows-only
-    driver check; pytest asserts size bounds, determinism across
-    partitionings, and the exact stride semantics."""
-    return resize_payloads(multimodal_table(t))
+    row per input, run through the real Arrow mapInPandas kernel; the
+    registered output md5-pins the resized bytes (see _FRAME_SAMPLE_SQL
+    note) so the stride semantics are exactly oracle-checked. pytest
+    additionally asserts size bounds and determinism across
+    partitionings on the raw-bytes stage."""
+    return resize_payloads(multimodal_table(t)).select(
+        "doc_id",
+        "orig_len",
+        F.md5("resized").alias("resized_md5"),
+        "resized_len",
+        "resize_meta",
+    )

@@ -225,10 +225,13 @@ def q11_important_stock(t: Tables) -> DataFrame:
 @register(
     "q12_priority_shipping",
     "SELECT l_linestatus, "
-    "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) "
-    "AS high_line_count, "
-    "sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) "
-    "AS low_line_count "
+    # CAST AS BIGINT: uncast DuckDB sums are HUGEINT → float64 via
+    # fetch_df vs Spark's bigint (same dtype divergence that failed
+    # corpus_domain_stats / events_error_rate_daily in round 2).
+    "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
     "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
     "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
     "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "

@@ -63,6 +63,10 @@ class VoterReader(DataSourceReader):
         self.num_partitions = int(options.get("numPartitions", 8))
 
     def partitions(self):
+        if self.n <= 0:
+            # n=0 would make step 0 and range(0, 0, 0) raise; an empty
+            # scan is one empty partition, not an error
+            return [_Range(0, 0)]
         step = -(-self.n // self.num_partitions)
         return [
             _Range(lo, min(lo + step, self.n)) for lo in range(0, self.n, step)

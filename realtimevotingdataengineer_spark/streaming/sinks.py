@@ -96,7 +96,18 @@ def _recover_swap(path: str) -> None:
     import shutil
 
     shutil.rmtree(f"{path}__staging", ignore_errors=True)
-    backups = sorted(glob.glob(f"{path}__old_*"), key=os.path.getmtime)
+
+    def order_key(p: str) -> str:
+        # backups are named path__old_<epoch_ns zero-padded>[_rand]: the
+        # embedded timestamp is a stable total order immune to filesystem
+        # mtime granularity/clock skew; legacy uuid-named backups fall
+        # back to mtime rendered in the same 20-digit form
+        tail = p.rsplit("__old_", 1)[1].split("_", 1)[0]
+        if tail.isdigit() and len(tail) == 20:
+            return tail
+        return f"{int(os.path.getmtime(p) * 1e9):020d}"
+
+    backups = sorted(glob.glob(f"{path}__old_*"), key=order_key)
     if backups and not os.path.exists(path):
         shutil.move(backups[-1], path)
         backups = backups[:-1]
@@ -128,11 +139,14 @@ def _swap_in(latest: DataFrame, path: str) -> None:
     version, never a torn mix. A transactional table format
     (Delta/Iceberg) is the real fix at scale."""
     import shutil
+    import time
     import uuid
 
     staging = f"{path}__staging"
     latest.write.mode("overwrite").parquet(staging)
-    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    # zero-padded epoch_ns: lexical order == creation order, so recovery
+    # picks the newest backup without trusting directory mtimes
+    backup = f"{path}__old_{time.time_ns():020d}_{uuid.uuid4().hex[:4]}"
     had_previous = False
     try:
         shutil.move(path, backup)

@@ -51,11 +51,10 @@ def test_every_query_runs_and_has_rows(t):
 
 def test_every_query_has_oracle_or_reason(t):
     sql_free = set(QUERIES) - set(ORACLES)
-    # only mapInPandas/numpy kernels and the fitted-codebook IVF (double
-    # means have no portable SQL twin) may skip the SQL oracle
+    # only numpy kernels and the fitted-codebook IVF (double means have
+    # no portable SQL twin) may skip the SQL oracle; the mm_* kernels
+    # are oracle-checked via md5-pinned outputs since round 3
     assert sql_free == {
-        "mm_frame_sample",
-        "mm_resize",
         "sim_bruteforce_topk_arrow",
         "sim_ivf_kmeans_topk",
         "sim_ivf_multiprobe_topk",
@@ -197,6 +196,27 @@ def test_ngram_jaccard_df_cap_is_subset(t):
     # must not wipe out detection entirely when exact finds pairs
     if exact:
         assert capped
+
+
+def test_embedding_bucketed_subset_with_recall(t):
+    """dedup_embedding_bucketed (2-probe IVF candidate generation) must
+    be a subset of the brute-force pair set with bitwise-equal cosines —
+    bucketing may only LOSE pairs, never invent or perturb them. The
+    recall floor is a regression tripwire under the deterministic
+    codebook (measured 0.79 at sf0.001), not a statistical tolerance."""
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in QUERIES["dedup_embedding_cosine"](t).collect()
+    }
+    buck = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in QUERIES["dedup_embedding_bucketed"](t).collect()
+    }
+    assert set(buck) <= set(exact)
+    assert all(exact[k] == v for k, v in buck.items()), "cosine mismatch on shared pair"
+    assert exact, "brute-force baseline found no pairs"
+    recall = len(buck) / len(exact)
+    assert recall >= 0.6, f"bucketed recall regressed: {recall:.3f}"
 
 
 def test_connected_components_chain(spark):

@@ -55,6 +55,22 @@ def compare(name, spark_df, sql) -> str:
         return f"SCHEMA cols spark={list(sp.columns)} duck={list(du.columns)}"
     if len(sp) != len(du):
         return f"ROWS spark={len(sp)} duck={len(du)}"
+    # dtype-class strictness: the driver's hash distinguishes int64 from
+    # float64 (DuckDB HUGEINT sums surface as float64 — the round-2
+    # corpus_domain_stats / events_error_rate_daily failures), so flag
+    # int-vs-float divergence even when values compare equal in Python.
+    def dtype_class(dt) -> str:
+        s = str(dt)
+        if s.startswith(("int", "uint", "Int", "UInt")):
+            return "int"
+        if s.startswith(("float", "Float")):
+            return "float"
+        return "other"
+
+    for c in sp.columns:
+        a, b = dtype_class(sp[c].dtype), dtype_class(du[c].dtype)
+        if {a, b} == {"int", "float"}:
+            return f"DTYPE col={c}: spark={sp[c].dtype} duck={du[c].dtype}"
     # normalize timestamps to pandas datetime64[us]; make list cells
     # hashable/sortable (array-typed outputs)
     for df in (sp, du):
