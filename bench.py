@@ -127,19 +127,31 @@ def main() -> None:
     QUERIES["agg_count_rows"](t).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
+    construct: dict[str, float] = {}
+    execute: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
+        best_parts = (0.0, 0.0)
         for _ in range(2):  # best-of-2: first run absorbs codegen/JIT noise
             spark.catalog.clearCache()
             # construction INSIDE the timer: operators that eagerly
             # localCheckpoint shared intermediates (minhash shingles,
             # IVF codebooks) do that work at build time, and it must
-            # count — timing only the final noop write would hide it
+            # count — timing only the final noop write would hide it.
+            # Construct and execute are reported SEPARATELY so a change
+            # in what happens at build time (eager materialization,
+            # index IO) can't masquerade as a plan regression.
             t0 = time.perf_counter()
             df = QUERIES[name](t)
+            t1 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
+            t2 = time.perf_counter()
+            if t2 - t0 < best:
+                best = t2 - t0
+                best_parts = (t1 - t0, t2 - t1)
         timings[name] = round(best, 3)
+        construct[name] = round(best_parts[0], 3)
+        execute[name] = round(best_parts[1], 3)
         # settle the JVM between queries: unpersisted cache blocks are
         # reclaimed lazily and their GC otherwise lands in the next
         # query's measurement
@@ -165,6 +177,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "construct": construct,
+                "execute": execute,
                 "sf": sf_val,
             }
         )

@@ -315,3 +315,124 @@ def text_repetition_ratio(t: Tables) -> DataFrame:
         d.alias("n_distinct"),
         (F.lit(1.0) - d.cast("double") / n).alias("rep_ratio"),
     ).orderBy("doc_id")
+
+
+#: Token budget for the data-mix schedule (corpus_mix_weights): the
+#: total token count the sampled pretraining mix should contain. Sized
+#: BELOW the corpus volume at every test SF (~27k tokens at sf0.01,
+#: ~270k at sf0.1) so per-domain rates land genuinely under 1.0 and the
+#: hash-sampling branch of corpus_sample_to_budget is exercised, while
+#: undersized domains still hit the rate-1 full-inclusion cap.
+MIX_TOKEN_BUDGET = 8_000
+
+
+@register(
+    "corpus_mix_weights",
+    "WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    f"CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens "
+    "FROM documents GROUP BY source), "
+    "nd AS (SELECT CAST(count(*) AS BIGINT) AS n_domains FROM per) "
+    "SELECT source, n_docs, total_tokens, "
+    "CAST(1.0 AS DOUBLE) / n_domains AS weight, "
+    f"least(CAST(1.0 AS DOUBLE), CAST({MIX_TOKEN_BUDGET} AS DOUBLE) "
+    "/ n_domains / total_tokens) AS sampling_rate, "
+    f"least(CAST(1.0 AS DOUBLE), CAST({MIX_TOKEN_BUDGET} AS DOUBLE) "
+    "/ n_domains / total_tokens) * total_tokens AS expected_tokens "
+    "FROM per CROSS JOIN nd ORDER BY source",
+)
+def corpus_mix_weights(t: Tables) -> DataFrame:
+    """Pretraining data-mix schedule: per-domain sampling rates that hit
+    a total token budget under a uniform domain mix — the table a corpus
+    builder feeds into the hash sampler (sample_stratified consumes
+    per-domain rates exactly like these). rate_d = min(1, (B/k)/tokens_d)
+    caps oversubscribed domains at full inclusion; expected_tokens shows
+    the realized mix. One low-cardinality shuffle + a 1-row broadcast —
+    the schedule is metadata-sized at any corpus scale."""
+    per = t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text")).cast("bigint")).alias("total_tokens"),
+    )
+    nd = per.agg(F.count(F.lit(1)).alias("n_domains"))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(MIX_TOKEN_BUDGET))
+        / F.col("n_domains")
+        / F.col("total_tokens"),
+    )
+    return (
+        per.crossJoin(F.broadcast(nd))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            (F.lit(1.0) / F.col("n_domains")).alias("weight"),
+            rate.alias("sampling_rate"),
+            (rate * F.col("total_tokens")).alias("expected_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "corpus_sample_to_budget",
+    "WITH per AS (SELECT source, "
+    f"CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens "
+    "FROM documents GROUP BY source), "
+    "nd AS (SELECT CAST(count(*) AS BIGINT) AS n_domains FROM per), "
+    "rates AS (SELECT source, least(CAST(1.0 AS DOUBLE), "
+    f"CAST({MIX_TOKEN_BUDGET} AS DOUBLE) / n_domains / total_tokens) AS rate "
+    "FROM per CROSS JOIN nd), "
+    "thr AS (SELECT source, rate, printf('%06x', CAST(least(floor(rate * 16777216.0), "
+    "16777215.0) AS BIGINT)) AS h FROM rates) "
+    f"SELECT d.doc_id, d.source, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens "
+    "FROM documents d JOIN thr ON d.source = thr.source "
+    "WHERE rate >= 1.0 "
+    "OR substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 6) < h "
+    "ORDER BY d.doc_id",
+)
+def corpus_sample_to_budget(t: Tables) -> DataFrame:
+    """The mix schedule APPLIED: every document whose stratified hash
+    draw falls under its domain's corpus_mix_weights sampling rate —
+    i.e. the actual sampled pretraining corpus for the token budget.
+    The per-domain rate becomes a 24-bit hex threshold
+    (floor(rate·16²⁴), %06x on both engines) compared against the first
+    6 hex chars of md5(source:doc_id): the same partition-invariant,
+    seed-free determinism as sample_hash_bernoulli, generalized to
+    per-stratum rates. The rate table is a k-row broadcast; the corpus
+    side is one pushed-down filter — zero corpus shuffle at any scale."""
+    per = t.documents.groupBy("source").agg(
+        F.sum(F.size(tokens("text")).cast("bigint")).alias("total_tokens")
+    )
+    nd = per.agg(F.count(F.lit(1)).alias("n_domains"))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(MIX_TOKEN_BUDGET)) / F.col("n_domains") / F.col("total_tokens"),
+    )
+    thr = (
+        per.crossJoin(F.broadcast(nd))
+        .select("source", rate.alias("rate"))
+        .select(
+            "source",
+            "rate",
+            F.format_string(
+                "%06x",
+                F.least(
+                    F.floor(F.col("rate") * F.lit(16777216.0)), F.lit(16777215)
+                ).cast("bigint"),
+            ).alias("h"),
+        )
+    )
+    keep = (F.col("rate") >= 1.0) | (
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))),
+            1,
+            6,
+        )
+        < F.col("h")
+    )
+    return (
+        t.documents.join(F.broadcast(thr), "source")
+        .filter(keep)
+        .select("doc_id", "source", F.size(tokens("text")).cast("bigint").alias("n_tokens"))
+        .orderBy("doc_id")
+    )

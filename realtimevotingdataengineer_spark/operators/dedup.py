@@ -162,6 +162,61 @@ def dedup_ngram_jaccard(t: Tables, df_cap: int | None = None) -> DataFrame:
     )
 
 
+#: Containment threshold (|A∩B| / min(|A|,|B|)): a short doc fully
+#: embedded in a long one scores 1.0 here but near 0 on Jaccard.
+CONTAINMENT_THETA = 0.9
+
+
+@register(
+    "dedup_ngram_containment",
+    _BIGRAMS_SQL
+    + "SELECT doc_a, doc_b, "
+    "CAST(c AS DOUBLE) / least(na.n, nb.n) AS containment "
+    "FROM common JOIN counts na ON common.doc_a = na.doc_id "
+    "JOIN counts nb ON common.doc_b = nb.doc_id "
+    f"WHERE CAST(c AS DOUBLE) / least(na.n, nb.n) >= {CONTAINMENT_THETA}",
+)
+def dedup_ngram_containment(t: Tables) -> DataFrame:
+    """Near-dup pairs by bigram-set CONTAINMENT ≥ θ: |A∩B| / min(|A|,|B|)
+    — the doc-in-doc detector. Jaccard divides by the union, so a page
+    quoted inside a 100× longer page scores ≈0.01 and survives dedup;
+    containment scores it 1.0. Same inverted-index plan as
+    dedup_ngram_jaccard (and the same df-cap applies at scale); only the
+    denominator differs."""
+    tk = spread(t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("tk", i), F.element_at("tk", i + 1)),
+    )
+    grams = (
+        tk.select(
+            "doc_id",
+            F.explode(
+                F.when(F.size("tk") >= 2, bigrams).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by counts + both join sides
+    )
+    counts = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    common = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = counts.alias("na")
+    nb = counts.alias("nb")
+    cont = F.col("c").cast("double") / F.least(F.col("na.n"), F.col("nb.n"))
+    return (
+        common.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= CONTAINMENT_THETA)
+    )
+
+
 # Word-trigram shingles: this corpus has a tiny unigram vocabulary, so
 # unigram signatures would collide for nearly every pair (LSH degenerates
 # to O(n²)). Trigrams make the shingle space |V|³ — collisions then mean
@@ -603,3 +658,48 @@ def dedup_embedding_bucketed(t: Tables) -> DataFrame:
         )
         .filter(F.col("cosine") >= COSINE_THETA)
     )
+
+
+def _embedding_clusters_sql() -> str:
+    # recursive transitive closure over the bucketed near-dup pair graph
+    # (same fixpoint statement as _CLUSTERS_SQL, over embeddings)
+    pairs = _bucketed_cosine_sql()
+    body = pairs.split("WITH ", 1)[1]
+    return (
+        "WITH RECURSIVE " + body.rsplit("SELECT a.vec_id", 1)[0]
+        + ", edges AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        "FROM pairs JOIN embeddings a ON a.vec_id = pairs.id_a "
+        "JOIN embeddings b ON b.vec_id = pairs.id_b "
+        f"WHERE ({dot_sql('a.embedding', 'b.embedding', EMB_DIM)}) / "
+        f"(({norm_sql('a.embedding', EMB_DIM)}) * ({norm_sql('b.embedding', EMB_DIM)})) "
+        f">= {COSINE_THETA}), "
+        "sym AS (SELECT vec_a AS a, vec_b AS b FROM edges "
+        "UNION SELECT vec_b, vec_a FROM edges), "
+        "reach(a, b) AS (SELECT a, b FROM sym "
+        "UNION SELECT reach.a, sym.b FROM reach JOIN sym ON reach.b = sym.a), "
+        "clus AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a) "
+        "SELECT e.vec_id, coalesce(c.cluster_id, e.vec_id) AS cluster_id "
+        "FROM embeddings e LEFT JOIN clus c ON e.vec_id = c.vec_id"
+    )
+
+
+@register("dedup_embedding_clusters", _embedding_clusters_sql())
+def dedup_embedding_clusters(t: Tables) -> DataFrame:
+    """Embedding near-dup CLUSTERING, end-to-end scale-safe: connected
+    components (pointer-jumping min-label propagation, O(log diameter)
+    rounds) over the bucket-local pair graph of dedup_embedding_bucketed
+    — the embedding twin of dedup_clusters, and the actual deliverable
+    of semantic dedup (cluster_id = canonical survivor per group).
+    Neither the pair generation nor the clustering ever touches the
+    O(n²) space. The oracle states the same fixpoint as a recursive
+    transitive closure."""
+    edges = dedup_embedding_bucketed(t).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels, _ = connected_components(edges)
+    vecs = t.embeddings.select("vec_id")
+    return vecs.join(
+        labels.select(F.col("doc_id").alias("vec_id"), F.col("label").alias("cl")),
+        "vec_id",
+        "left",
+    ).select("vec_id", F.coalesce(F.col("cl"), F.col("vec_id")).alias("cluster_id"))

@@ -128,6 +128,65 @@ def events_rolling_active_users(t: Tables) -> DataFrame:
     )
 
 
+def partitioned_events_path(sf_dir: str) -> str:
+    """Repo-local location of the date-partitioned events copy for one
+    scale-factor directory (same keying convention as the persisted IVF
+    index — built once per corpus, reused by every query)."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    safe = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(repo, "spark-warehouse", "events_by_day", safe)
+
+
+def partitioned_events(t: Tables) -> DataFrame:
+    """The events fact as date-partitioned parquet, built on first use
+    (sources.formats.to_parquet_partitioned layout: one directory per
+    event_date). At 100 TB this IS the table — the writer lands each day
+    in its own directory and every date-predicated query prunes at the
+    source instead of scanning the full history. Falls back to an
+    in-memory derived column if the warehouse dir is unwritable."""
+    import os
+
+    from ..sources.formats import to_parquet_partitioned
+
+    path = partitioned_events_path(t.sf_dir)
+    try:
+        if not os.path.isdir(path):
+            to_parquet_partitioned(t.events, path)
+        return t.spark.read.parquet(path)
+    except Exception:
+        return t.events.withColumn("event_date", F.to_date("ts"))
+
+
+@register(
+    "events_partitioned_day",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value "
+    "FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15' "
+    "GROUP BY event_type ORDER BY event_type",
+)
+def events_partitioned_day(t: Tables) -> DataFrame:
+    """One day's event tallies off the DATE-PARTITIONED layout: the
+    day predicate lands in the scan's PartitionFilters (plan-asserted in
+    tests/test_plans.py), so only that day's directory is opened — the
+    at-scale access pattern for any time-ranged fact query. The oracle
+    states the same semantics over the unpartitioned table (partitioning
+    must never change results)."""
+    from ..functions import money_sum
+
+    ev = partitioned_events(t)
+    return (
+        ev.filter(F.col("event_date") == F.lit("2024-01-15").cast("date"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value", "total_value", 20, 4),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "events_retention_cohort",
     "WITH first AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0 "

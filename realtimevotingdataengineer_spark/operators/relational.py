@@ -1157,8 +1157,16 @@ def window_session(t: Tables) -> DataFrame:
     ``F.session_window``; gap-flag + running-sum formulation so the oracle
     is plain ANSI window SQL. Per-user state only — partitions by user."""
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    gap_sec = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.lag("ts").over(w))
-    flagged = t.events.select(
+    # project lag(ts) ONCE: referencing the gap in both when-branches
+    # inlines the window expression twice and the Window node evaluates
+    # two identical lags per row (visible as _we0/_we1 in the plan);
+    # cast-to-long is the same floor-seconds arithmetic as the oracle's
+    # date_diff('second', ...) without unix_timestamp's format machinery
+    prev = t.events.select(
+        "user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts")
+    )
+    gap_sec = F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+    flagged = prev.select(
         "user_id",
         "ts",
         F.when(gap_sec.isNull() | (gap_sec > 1800), F.lit(1)).otherwise(F.lit(0)).alias(

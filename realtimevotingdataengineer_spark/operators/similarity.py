@@ -505,3 +505,44 @@ def sim_ivf_topk(t: Tables) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+@register(
+    "emb_quantize_int8",
+    "WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+    "AS v FROM embeddings), "
+    "b AS (SELECT vec_id, v, list_aggregate(v, 'min') AS mn, "
+    "(list_aggregate(v, 'max') - list_aggregate(v, 'min')) / CAST(255 AS DOUBLE) "
+    "AS scale FROM v) "
+    "SELECT vec_id, mn, scale, "
+    "list_transform(v, x -> CAST(CASE WHEN scale = 0 THEN 0 "
+    "ELSE round((x - mn) / scale) END AS INT)) AS qvec "
+    "FROM b ORDER BY vec_id",
+)
+def emb_quantize_int8(t: Tables) -> DataFrame:
+    """Scalar (per-vector min/max) int8-range quantization of the
+    embedding column: q_i = round((x_i − min) / scale), scale =
+    (max − min)/255 — the storage/bandwidth path for ANN at scale (4×
+    smaller than float32, 8× than the double math; IVF probes scan
+    quantized codes and re-rank survivors against the full vectors).
+    Pure per-row array ops — zero shuffle at any corpus size; the
+    (mn, scale) pair emitted per vector is the dequantization key.
+    Both engines do the identical cast→subtract→divide→round chain on
+    doubles (round is half-away-from-zero on the non-negative quotient
+    in both), so the oracle matches bitwise."""
+    v = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    b = v.select(
+        "vec_id",
+        "v",
+        F.array_min("v").alias("mn"),
+        ((F.array_max("v") - F.array_min("v")) / F.lit(255.0)).alias("scale"),
+    )
+    qvec = F.transform(
+        F.col("v"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0.0))
+        .otherwise(F.round((x - F.col("mn")) / F.col("scale"), 0))
+        .cast("int"),
+    )
+    return b.select("vec_id", "mn", "scale", qvec.alias("qvec")).orderBy("vec_id")

@@ -35,8 +35,10 @@ def test_every_query_runs_and_has_rows(t):
     selective (near-dup detectors may legitimately find few pairs)."""
     may_be_small = {
         "dedup_ngram_jaccard",
+        "dedup_ngram_containment",
         "dedup_minhash_lsh",
         "dedup_embedding_cosine",
+        "dedup_embedding_bucketed",
         "join_anti_unvoted",  # empty when every voter has voted (sf0.001)
         "q11_important_stock",  # empty when no supplier sits in the two
         # filtered nations at sf0.001 (non-empty and oracle-matched at sf0.01)

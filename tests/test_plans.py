@@ -12,6 +12,7 @@ import pytest
 import realtimevotingdataengineer_spark.operators  # noqa: F401
 from realtimevotingdataengineer_spark.plans import (
     broadcast_join_count,
+    formatted_plan,
     has_pushed_filter,
     read_schema_columns,
     shuffle_count,
@@ -29,6 +30,17 @@ def test_filter_pushed_to_scan(t):
     """pred_status_filter's predicate must reach the parquet reader."""
     df = QUERIES["pred_status_filter"](t)
     assert has_pushed_filter(df, "event_type")
+
+
+def test_events_partitioned_day_prunes_partitions(t):
+    """The registered events_partitioned_day key must prune at the
+    source: its day predicate appears as a PartitionFilter on the
+    date-partitioned scan, not a post-scan filter."""
+    df = QUERIES["events_partitioned_day"](t)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    tail = plan.split("PartitionFilters", 1)[1][:250]
+    assert "event_date" in tail and "2024-01-15" in tail
 
 
 def test_q1_pushes_shipdate_and_prunes_columns(t):
