@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     dedup,
     events_analytics,
     multimodal,
+    pruning,
     relational,
     similarity,
     text,
