@@ -436,3 +436,41 @@ def corpus_sample_to_budget(t: Tables) -> DataFrame:
         .select("doc_id", "source", F.size(tokens("text")).cast("bigint").alias("n_tokens"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_length_profile",
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(min(n_chars) AS BIGINT) AS min_chars, "
+    "CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25_chars, "
+    "CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50_chars, "
+    "CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75_chars, "
+    "CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS p90_chars, "
+    "CAST(max(n_chars) AS BIGINT) AS max_chars "
+    "FROM documents GROUP BY source ORDER BY source",
+)
+def corpus_length_profile(t: Tables) -> DataFrame:
+    """Per-domain document-length distribution: min / p25 / p50 / p75 /
+    p90 / max of n_chars via DISCRETE percentiles — the profiling query
+    behind length-based quality cuts (choose thresholds per domain, not
+    globally). percentile_disc returns actual data values (smallest
+    value with cume_dist ≥ p, probe-verified identical to DuckDB's
+    quantile_disc), so the result is integer-exact — no interpolation
+    floats to pin.
+
+    Scale: exact percentiles sort within each (small) group; at 100 TB
+    with huge groups you'd swap in approx_percentile and accept the
+    error bound — the profile's consumers (threshold picks) tolerate it."""
+    t.documents.createOrReplaceTempView("_profile_docs")
+    return t.spark.sql(
+        """
+        SELECT source, count(*) AS n_docs,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p25_chars,
+               CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50_chars,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p75_chars,
+               CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p90_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM _profile_docs GROUP BY source ORDER BY source
+        """
+    )

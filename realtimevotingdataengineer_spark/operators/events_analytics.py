@@ -217,3 +217,79 @@ def events_retention_cohort(t: Tables) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    "WITH daily AS (SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n "
+    "FROM events GROUP BY 1, 2), "
+    "w AS (SELECT d, event_type, n, "
+    "sum(n) OVER win AS s, count(*) OVER win AS c, sum(n * n) OVER win AS sq "
+    "FROM daily WINDOW win AS (PARTITION BY event_type ORDER BY d "
+    "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)), "
+    # mean/variance from EXACT integer window sums; the two double
+    # divisions below are the only float ops, in a pinned shape
+    "stats AS (SELECT d, event_type, n, "
+    "CAST(s AS DOUBLE) / CAST(c AS DOUBLE) AS m, "
+    "(CAST(sq AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(c AS DOUBLE)) "
+    "/ CAST(c - 1 AS DOUBLE) AS v "
+    "FROM w WHERE c = 7) "
+    "SELECT strftime(d, '%Y-%m-%d') AS day, event_type, n, m AS baseline_avg, "
+    "CASE WHEN v > 0 THEN (CAST(n AS DOUBLE) - m) / sqrt(v) END AS zscore, "
+    "CASE WHEN v > 0 THEN abs((CAST(n AS DOUBLE) - m) / sqrt(v)) > 3.0 "
+    "ELSE FALSE END AS is_anomaly "
+    "FROM stats ORDER BY day, event_type",
+)
+def events_anomaly_zscore(t: Tables) -> DataFrame:
+    """Volume-anomaly detection: each (day, event_type) count scored
+    against the trailing 7 full days' mean/std as a z-score, flagged at
+    |z| > 3 — the standard pipeline-monitoring query (late feed, outage,
+    bot spike). Variance comes from exact integer window sums
+    ((Σx² − (Σx)²/n)/(n−1)), so despite being a float statistic the
+    whole operator is bitwise-oracled: the only double ops are two
+    divisions in a pinned shape on exactly-equal integers.
+
+    Plan: one groupBy shuffle to |days × types| rows, then a per-type
+    window over that tiny frame — event volume only touches the first
+    aggregation, which partial-aggregates map-side."""
+    from pyspark.sql import Window
+
+    daily = t.events.groupBy(
+        F.to_date("ts").alias("d"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    win = (
+        Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    )
+    w = daily.select(
+        "d",
+        "event_type",
+        "n",
+        F.sum("n").over(win).alias("s"),
+        F.count(F.lit(1)).over(win).alias("c"),
+        F.sum(F.col("n") * F.col("n")).over(win).alias("sq"),
+    )
+    stats = w.filter(F.col("c") == 7).select(
+        "d",
+        "event_type",
+        "n",
+        (F.col("s").cast("double") / F.col("c").cast("double")).alias("m"),
+        (
+            (
+                F.col("sq").cast("double")
+                - (F.col("s").cast("double") * F.col("s").cast("double"))
+                / F.col("c").cast("double")
+            )
+            / (F.col("c") - 1).cast("double")
+        ).alias("v"),
+    )
+    z = (F.col("n").cast("double") - F.col("m")) / F.sqrt("v")
+    return stats.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        F.col("m").alias("baseline_avg"),
+        F.when(F.col("v") > 0, z).alias("zscore"),
+        F.when(F.col("v") > 0, F.abs(z) > 3.0).otherwise(F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    ).orderBy("day", "event_type")

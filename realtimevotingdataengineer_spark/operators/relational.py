@@ -749,6 +749,47 @@ def agg_skew_salted(t: Tables) -> DataFrame:
 
 
 @register(
+    "join_skew_salted",
+    "WITH dim AS (SELECT event_type, row_number() OVER (ORDER BY event_type) "
+    "AS type_id FROM (SELECT DISTINCT event_type FROM events)) "
+    "SELECT e.event_id, e.event_type, d.type_id "
+    "FROM events e JOIN dim d USING (event_type)",
+)
+def join_skew_salted(t: Tables) -> DataFrame:
+    """Skew-immune shuffle join: the fact side's join key is low-
+    cardinality (every event carries one of a handful of types), so a
+    plain shuffle join sends each hot key to ONE reducer. Salting
+    decomposes it: facts get a deterministic salt in [0, 16); the dim
+    side is exploded ×16; the join key becomes (key, salt), spreading
+    each hot key over 16 reducers. The oracle is the PLAIN join —
+    salting must be semantically invisible.
+
+    The dim here is small enough to broadcast (and `join_enrich_random`
+    shows that path); a `shuffle_hash` hint forces the shuffle plan so
+    this key demonstrates the technique for the case that matters at
+    scale — both sides too big to broadcast, keys skewed. AQE's skew
+    handling covers sort-merge spills adaptively; explicit salting
+    remains the tool when one key dominates entire partitions."""
+    n_salts = 16
+    dim = (
+        t.events.select("event_type")
+        .distinct()
+        .withColumn("type_id", F.row_number().over(Window.orderBy("event_type")))
+    )
+    fact = t.events.select(
+        "event_id",
+        "event_type",
+        F.pmod(F.xxhash64("event_id"), F.lit(n_salts)).cast("int").alias("salt"),
+    )
+    dim_x = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return fact.join(dim_x.hint("shuffle_hash"), ["event_type", "salt"]).select(
+        "event_id", "event_type", "type_id"
+    )
+
+
+@register(
     "sql_votes_tally",
     "SELECT event_type AS candidate, count(*) AS votes, "
     "CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value "

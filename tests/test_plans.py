@@ -185,3 +185,17 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_skew_salted_join_spreads_hot_keys(t):
+    """join_skew_salted must take the shuffle path (no broadcast — the
+    whole point is the both-sides-big regime) and partition the exchange
+    on (event_type, salt), so each hot key spans 16 reducers."""
+    df = QUERIES["join_skew_salted"](t)
+    assert broadcast_join_count(df) == 0
+    plan = formatted_plan(df)
+    assert "salt" in plan
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("salt" in p and "event_type" in p for p in parts), parts
