@@ -45,6 +45,10 @@ HEADLINE = [
     "text_lang_id",
     "text_quality_score",
     "sim_bruteforce_topk",
+    # round-3 additions: quantized ANN, embedding pruning, anomaly scan
+    "sim_quantized_topk",
+    "corpus_prune_semdedup",
+    "events_anomaly_zscore",
 ]
 
 

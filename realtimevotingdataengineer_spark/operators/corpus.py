@@ -19,7 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import TOKENS_SQL, ngram_cte_sql, spread, tokens
@@ -473,4 +473,47 @@ def corpus_length_profile(t: Tables) -> DataFrame:
                CAST(max(n_chars) AS BIGINT) AS max_chars
         FROM _profile_docs GROUP BY source ORDER BY source
         """
+    )
+
+
+#: Training-export shard count (per-shard files at scale; 8 keeps the
+#: test-SF shards non-trivial).
+N_SHARDS = 8
+
+
+@register(
+    "corpus_interleave_shards",
+    "WITH h AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hx "
+    "FROM documents) "
+    "SELECT doc_id, source, "
+    f"CAST(CAST('0x' || substr(hx, 1, 6) AS BIGINT) % {N_SHARDS} AS INT) AS shard, "
+    "CAST(row_number() OVER (PARTITION BY "
+    f"CAST('0x' || substr(hx, 1, 6) AS BIGINT) % {N_SHARDS} "
+    "ORDER BY hx, doc_id) AS BIGINT) AS pos "
+    "FROM h ORDER BY shard, pos",
+)
+def corpus_interleave_shards(t: Tables) -> DataFrame:
+    """Deterministic shard + interleave for training export: every doc
+    hashes to one of N_SHARDS shards (24-bit md5 prefix mod N — stable
+    under corpus growth), and its within-shard position orders by the
+    hash itself — a seeded global shuffle, so adjacent positions mix
+    sources/domains instead of replaying ingest order. This is the
+    dataloader-facing layout step every pretraining pipeline ends with.
+
+    Scale: hashing is per-row and shuffle-free; the only exchange is
+    the per-shard sort, which at 100 TB becomes the write-time
+    ``repartition(shard).sortWithinPartitions(hx)`` of the export job —
+    same plan shape Spark already uses for partitioned writes."""
+    h = t.documents.select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("hx")
+    )
+    shard = (
+        F.conv(F.substring("hx", 1, 6), 16, 10).cast("bigint") % N_SHARDS
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    return (
+        h.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "source", "shard", "pos")
+        .orderBy("shard", "pos")
     )

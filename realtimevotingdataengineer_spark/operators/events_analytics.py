@@ -293,3 +293,59 @@ def events_anomaly_zscore(t: Tables) -> DataFrame:
             "is_anomaly"
         ),
     ).orderBy("day", "event_type")
+
+
+@register(
+    "events_funnel_windowed",
+    "WITH v AS (SELECT user_id, min(ts) AS vt FROM events "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e "
+    "JOIN v ON e.user_id = v.user_id AND e.ts > v.vt "
+    "AND e.ts <= v.vt + INTERVAL 1 HOUR "
+    "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+    "p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e "
+    "JOIN c ON e.user_id = c.user_id AND e.ts > c.ct "
+    "AND e.ts <= c.ct + INTERVAL 24 HOUR "
+    "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+    "SELECT (SELECT count(*) FROM v) AS n_view, "
+    "(SELECT count(*) FROM c) AS n_click_1h, "
+    "(SELECT count(*) FROM p) AS n_purchase_24h",
+)
+def events_funnel_windowed(t: Tables) -> DataFrame:
+    """Conversion-window funnel: click must land within 1 hour of the
+    first view, purchase within 24 hours of that click — the
+    attribution-window semantics real funnels use (the unbounded
+    variant is events_funnel_conversion). Each stage is a range-
+    predicated join on user_id + a per-user min; the band predicates
+    ride the equi-join, so no extra shuffle over the strict funnel."""
+    ev = t.events
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("vt"))
+            & (F.col("ts") <= F.col("vt") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("ct"))
+            & (F.col("ts") <= F.col("ct") + F.expr("INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_1h")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_24h")))
+    )

@@ -331,3 +331,34 @@ def mm_resize(t: Tables) -> DataFrame:
         "resized_len",
         "resize_meta",
     )
+
+
+@register(
+    "mm_dedup_exact",
+    "SELECT md5(text) AS content_md5, "
+    "CAST(count(*) AS BIGINT) AS n_copies, "
+    "CAST(min(doc_id) AS BIGINT) AS canonical_doc_id, "
+    "CAST(min(octet_length(CAST(text AS BLOB))) AS BIGINT) AS content_len "
+    "FROM documents GROUP BY md5(text)",
+)
+def mm_dedup_exact(t: Tables) -> DataFrame:
+    """Exact dedup of binary payloads by content hash — the standard
+    first pass over image/audio corpora (identical bytes → one
+    canonical copy, deterministic winner = lowest id). Hashing is
+    per-row JVM-side; the groupBy key is the 128-bit digest, so the
+    shuffle is uniform regardless of payload skew and carries one
+    small row per distinct blob."""
+    content = F.encode(F.col("text"), "UTF-8")
+    return (
+        t.documents.select(
+            "doc_id",
+            F.md5(content).alias("content_md5"),
+            F.octet_length(content).cast("bigint").alias("content_len"),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.min("content_len").alias("content_len"),
+        )
+    )

@@ -452,3 +452,37 @@ def test_pretrain_gate_from_materialized_labels(t, tmp_path_factory):
     stored = {tuple(r) for r in pretrain_corpus_from_labels(t, path).collect()}
     live = {tuple(r) for r in QUERIES["pipeline_pretrain_corpus"](t).collect()}
     assert stored == live and stored
+
+
+def test_interleave_shards_complete_and_contiguous(t):
+    """Every doc lands in exactly one shard; positions are 1..n
+    contiguous per shard; all shards populated at test SF."""
+    from realtimevotingdataengineer_spark.operators.corpus import N_SHARDS
+
+    rows = QUERIES["corpus_interleave_shards"](t).collect()
+    assert len(rows) == t.documents.count()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == set(range(N_SHARDS))
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+
+def test_funnel_windowed_bounded_by_strict(t):
+    """The attribution-window funnel can only lose conversions vs the
+    unbounded-order funnel, never gain them."""
+    strict = QUERIES["events_funnel_conversion"](t).collect()[0]
+    windowed = QUERIES["events_funnel_windowed"](t).collect()[0]
+    assert windowed.n_view == strict.n_view
+    assert windowed.n_click_1h <= strict.n_click_after_view
+    assert windowed.n_purchase_24h <= strict.n_purchase_after_click
+
+
+def test_mm_dedup_exact_partitions_corpus(t):
+    """Content groups partition the corpus: copies sum to |docs|,
+    canonical ids are distinct members of their own groups."""
+    rows = QUERIES["mm_dedup_exact"](t).collect()
+    assert sum(r.n_copies for r in rows) == t.documents.count()
+    assert len({r.canonical_doc_id for r in rows}) == len(rows)
