@@ -196,15 +196,16 @@ def kmeans_fit(emb: DataFrame, k: int = N_CENTROIDS, iters: int = 2) -> DataFram
     """Deterministic mini k-means (Lloyd) as pure DataFrame ops:
     init = first k vectors, then `iters` rounds of assign→mean.
 
-    Centroid means go through exact DECIMAL sums (associative), so the
-    fitted codebook is identical under any partitioning — double-sum
-    means would drift in the last ulp per run and flip near-tie
-    assignments. Returns (cent_id, embedding array<double>).
+    Centroid means are ORDERED left folds over the vec_id-sorted value
+    list (the pruning-family trick): partition-invariant AND bitwise-
+    reproducible by a DuckDB `list_reduce` twin — which is what lets
+    sim_ivf_kmeans_topk carry an EXACT oracle despite a fitted float
+    codebook. Returns (cent_id, embedding array<double>).
 
     Scale: assignment is a broadcast crossJoin (k rows) + row_number;
-    the mean is one explode + groupBy per round. k×dim values collect to
-    the driver per round (tiny)."""
-    spark = emb.sparkSession
+    the mean is one explode + groupBy per round. The ordered fold trades
+    map-side partial sums for reproducibility — at petabyte rows switch
+    to double partials and drop the oracle, not the operator."""
     cent = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").cast("array<double>").alias("cent_emb"),
@@ -235,14 +236,19 @@ def kmeans_fit(emb: DataFrame, k: int = N_CENTROIDS, iters: int = 2) -> DataFram
             .select("vec_id", "v", "cent_id")
         )
         dims = assign.select(
-            "cent_id", F.posexplode("v").alias("pos", "val")
+            "vec_id", "cent_id", F.posexplode("v").alias("pos", "val")
+        )
+        ordered = F.transform(
+            F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+            lambda s: s.getField("val"),
         )
         means = (
             dims.groupBy("cent_id", "pos")
             .agg(
                 (
-                    F.sum(F.col("val").cast("decimal(28,12)")) / F.count(F.lit(1))
-                ).cast("double").alias("m")
+                    F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x)
+                    / F.count(F.lit(1))
+                ).alias("m")
             )
             .groupBy("cent_id")
             .agg(
@@ -370,12 +376,89 @@ def search_ivf_index(emb: DataFrame, path: str) -> DataFrame:
     return _probe_assigned(corpus, assign)
 
 
-@register("sim_ivf_kmeans_topk")  # double-mean codebook has no portable SQL twin; rows-only + pytest
+def _fold_dot_sql(a: str, b: str) -> str:
+    """DuckDB twin of ``F.aggregate(F.zip_with(a, b, *), 0.0, +)``: the
+    products in order, left-folded from 0.0 — the same IEEE sequence the
+    Spark HOF executes (distinct from the inlined chain of dot_sql,
+    which starts at a[1]*b[1] with no leading 0.0 + …)."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {EMB_DIM + 1}), j -> {a}[j] * {b}[j])), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _fold_cos_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`_hof_cosine` (fold-shaped dot and norms)."""
+    return (
+        f"{_fold_dot_sql(a, b)} / "
+        f"(sqrt({_fold_dot_sql(a, a)}) * sqrt({_fold_dot_sql(b, b)}))"
+    )
+
+
+def _kmeans_cte_sql(iters: int = 2, k: int = N_CENTROIDS) -> str:
+    """WITH-prefix fitting the Lloyd codebook exactly as kmeans_fit does:
+    init = first k vectors; per round, assign by max fold-dot
+    (tie-break cent_id) then per-dimension ORDERED-fold means. Ends with
+    ``cent{iters} (cent_id, cv)``."""
+    parts = [
+        "WITH v AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), ",
+        f"cent0 AS (SELECT vec_id AS cent_id, v AS cv FROM v WHERE vec_id < {k}), ",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} AS (SELECT a.vec_id, a.v, c.cent_id, "
+            f"{_fold_dot_sql('a.v', 'c.cv')} AS dot "
+            f"FROM v a CROSS JOIN cent{i - 1} c), "
+            f"a{i} AS (SELECT vec_id, v, cent_id FROM ("
+            "SELECT vec_id, v, cent_id, row_number() OVER ("
+            f"PARTITION BY vec_id ORDER BY dot DESC, cent_id) AS rn FROM s{i}) "
+            "WHERE rn = 1), "
+            f"d{i} AS (SELECT vec_id, cent_id, CAST(r.range AS INT) AS pos, "
+            f"v[CAST(r.range AS INT) + 1] AS val FROM a{i} CROSS JOIN range({EMB_DIM}) r), "
+            f"m{i} AS (SELECT cent_id, pos, "
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(val ORDER BY vec_id)), "
+            f"(acc, x) -> acc + x) / count(*) AS m FROM d{i} GROUP BY cent_id, pos), "
+            f"cent{i} AS (SELECT cent_id, list(m ORDER BY pos) AS cv FROM m{i} "
+            "GROUP BY cent_id), "
+        )
+    return "".join(parts)
+
+
+_KMEANS_ASSIGN_SQL = (
+    # cosine assignment over the fitted codebook — assign_to_centroids' twin
+    "aa AS (SELECT a.vec_id, c.cent_id, "
+    f"{_fold_cos_sql('a.v', 'c.cv')} AS cos FROM v a CROSS JOIN cent2 c), "
+    "asg AS (SELECT vec_id, cent_id FROM ("
+    "SELECT vec_id, cent_id, row_number() OVER ("
+    "PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM aa) WHERE rn = 1) "
+)
+
+_KMEANS_IVF_SQL = (
+    _kmeans_cte_sql(2)
+    + _KMEANS_ASSIGN_SQL
+    + ", probe AS (SELECT q.vec_id AS query_id, cc.vec_id AS neighbor_id, "
+    f"{_fold_cos_sql('q.v', 'cc.v')} AS cosine "
+    f"FROM v q JOIN asg qa ON q.vec_id = qa.vec_id AND q.vec_id < {N_QUERIES} "
+    "JOIN asg ca ON ca.cent_id = qa.cent_id "
+    "JOIN v cc ON cc.vec_id = ca.vec_id AND cc.vec_id <> q.vec_id) "
+    "SELECT query_id, neighbor_id, cosine FROM ("
+    "SELECT query_id, neighbor_id, cosine, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM probe) "
+    f"WHERE rn <= {TOP_K}"
+)
+
+
+@register("sim_ivf_kmeans_topk", _KMEANS_IVF_SQL)
 def sim_ivf_kmeans_topk(t: Tables) -> DataFrame:
     """IVF with a genuinely fitted coarse quantizer (2 Lloyd rounds)
     instead of the fixed codebook of sim_ivf_topk. Same probe plan:
     assign corpus to nearest centroid, each query searches only its
-    bucket. pytest checks recall@10 against exact search."""
+    bucket. pytest checks recall@10 against exact search. Since round 3
+    the fitted codebook is bitwise-reproducible (ordered-fold means), so
+    this carries an EXACT oracle — the whole 2-round Lloyd fit unrolled
+    in SQL."""
     cent = kmeans_fit(t.embeddings).localCheckpoint(eager=True)
     corpus = t.embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -383,7 +466,26 @@ def sim_ivf_kmeans_topk(t: Tables) -> DataFrame:
     return _probe_assigned(corpus, assign_to_centroids(corpus, cent))
 
 
-@register("sim_ivf_multiprobe_topk")  # fitted double-mean codebook → rows-only + pytest
+_KMEANS_MULTI_SQL = (
+    _kmeans_cte_sql(2)
+    + _KMEANS_ASSIGN_SQL
+    + ", qp AS (SELECT vec_id AS q_id, cent_id FROM ("
+    "SELECT vec_id, cent_id, row_number() OVER ("
+    "PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM aa "
+    f"WHERE vec_id < {N_QUERIES}) WHERE rn <= 2), "
+    "probe AS (SELECT DISTINCT q.vec_id AS query_id, cc.vec_id AS neighbor_id, "
+    f"{_fold_cos_sql('q.v', 'cc.v')} AS cosine "
+    "FROM v q JOIN qp ON q.vec_id = qp.q_id "
+    "JOIN asg ca ON ca.cent_id = qp.cent_id "
+    "JOIN v cc ON cc.vec_id = ca.vec_id AND cc.vec_id <> q.vec_id) "
+    "SELECT query_id, neighbor_id, cosine FROM ("
+    "SELECT query_id, neighbor_id, cosine, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM probe) "
+    f"WHERE rn <= {TOP_K}"
+)
+
+
+@register("sim_ivf_multiprobe_topk", _KMEANS_MULTI_SQL)
 def sim_ivf_multiprobe_topk(t: Tables, n_probe: int = 2) -> DataFrame:
     """Multi-probe IVF over the fitted codebook: each query searches its
     `n_probe` nearest centroids' buckets instead of one — the standard

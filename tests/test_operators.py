@@ -53,14 +53,11 @@ def test_every_query_runs_and_has_rows(t):
 
 def test_every_query_has_oracle_or_reason(t):
     sql_free = set(QUERIES) - set(ORACLES)
-    # only numpy kernels and the fitted-codebook IVF (double means have
-    # no portable SQL twin) may skip the SQL oracle; the mm_* kernels
-    # are oracle-checked via md5-pinned outputs since round 3
-    assert sql_free == {
-        "sim_bruteforce_topk_arrow",
-        "sim_ivf_kmeans_topk",
-        "sim_ivf_multiprobe_topk",
-    }
+    # only the numpy/BLAS kernel may skip the SQL oracle (non-pinned
+    # float summation order inside BLAS); everything else — including
+    # the fitted-kmeans IVF since the ordered-fold means of round 3 —
+    # is exact-oracled
+    assert sql_free == {"sim_bruteforce_topk_arrow"}
 
 
 def test_topk_tiebreak_deterministic(t):
