@@ -68,3 +68,52 @@ def test_orc_round_trip_with_pushdown(spark, t):
         assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
         filtered = back.filter(back["s_suppkey"] > 10).select("s_suppkey")
         assert has_pushed_filter(filtered, "s_suppkey")
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, sf_dir, tmp_path):
+    """compact_parquet_dir must be value-neutral (same rows before and
+    after, any order) while collapsing a many-small-file layout into
+    the planned file count."""
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.sources.maintenance import (
+        compact_parquet_dir,
+        dir_stats,
+        plan_target_files,
+    )
+    from realtimevotingdataengineer_spark.sources.tables import load_table
+
+    path = str(tmp_path / "frag")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(37).write.parquet(path)  # fragment: 37 tiny files
+    assert dir_stats(path)["n_files"] == 37
+    before_rows = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(path).collect()
+    )
+
+    stats = compact_parquet_dir(spark, path, target_file_bytes=10 * 1024 * 1024)
+    assert stats["after"]["n_files"] < 37
+    assert stats["after"]["n_files"] == plan_target_files(
+        stats["before"]["total_bytes"], 10 * 1024 * 1024
+    )
+    after_rows = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(path).collect()
+    )
+    assert after_rows == before_rows
+    # no staging/backup litter
+    import os
+
+    parent = os.path.dirname(path)
+    assert [d for d in os.listdir(parent) if "__old" in d or d.endswith("__new")] == []
+
+
+def test_compaction_plan_sizing():
+    from realtimevotingdataengineer_spark.sources.maintenance import (
+        plan_target_files,
+    )
+
+    assert plan_target_files(0, 128) == 1
+    assert plan_target_files(1, 128) == 1
+    assert plan_target_files(128, 128) == 1
+    assert plan_target_files(129, 128) == 2
+    assert plan_target_files(1280, 128) == 10

@@ -483,3 +483,18 @@ def test_mm_dedup_exact_partitions_corpus(t):
     rows = QUERIES["mm_dedup_exact"](t).collect()
     assert sum(r.n_copies for r in rows) == t.documents.count()
     assert len({r.canonical_doc_id for r in rows}) == len(rows)
+
+
+def test_centroid_fold_partition_invariant(t):
+    """The ordered-fold centroid must be BITWISE identical under any
+    input partitioning — this is the property that lets a float
+    statistic carry an exact oracle (and stay stable on a cluster)."""
+    from realtimevotingdataengineer_spark.operators.pruning import centroid_rows
+
+    base = {(r.label, r.pos): r.c for r in centroid_rows(t.embeddings).collect()}
+    for n in (1, 7):
+        rep = {
+            (r.label, r.pos): r.c
+            for r in centroid_rows(t.embeddings.repartition(n)).collect()
+        }
+        assert rep == base, f"centroids drift at repartition({n})"
