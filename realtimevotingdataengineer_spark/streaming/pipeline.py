@@ -64,11 +64,23 @@ def read_kafka_votes(
         raise
 
 
-def read_text_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_text_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Broker-less stand-in for the Kafka topic: a directory of text
     files, one JSON event per line, presented with the same `value`
-    column contract as the Kafka source."""
-    return spark.readStream.format("text").load(path)  # text source emits `value`
+    column contract as the Kafka source.
+
+    ``max_files_per_trigger`` is the file-source admission-control knob
+    (Kafka's is ``maxOffsetsPerTrigger``): it caps per-micro-batch input
+    so a backlog drains in bounded batches instead of one giant catch-up
+    batch — the backpressure mechanism of `stream_backpressure_flush`
+    (micro-batch admission control, not the reference's producer-side
+    flush). Honored by AvailableNow/processAllAvailable replay too."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)  # text source emits `value`
 
 
 def parse_vote_events(raw: DataFrame) -> DataFrame:

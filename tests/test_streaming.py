@@ -206,3 +206,31 @@ def test_stream_static_enrich(spark, event_dir):
     dim = {r["candidate_id"]: r["candidate_name"] for r in static.collect()}
     for r in out.select("candidate_id", "candidate_name").distinct().collect():
         assert dim[r["candidate_id"]] == r["candidate_name"]
+
+
+def test_backpressure_bounded_batches(spark, tmp_path):
+    """Admission control (maxFilesPerTrigger=1) must drain a 5-file
+    backlog in ≥5 micro-batches — never one catch-up batch — and the
+    final tally must equal the unthrottled pipeline's."""
+    rows = generator.vote_events_raw(spark, 100).collect()
+    per = len(rows) // 5
+    for i in range(5):
+        chunk = rows[i * per : (i + 1) * per] if i < 4 else rows[4 * per :]
+        (tmp_path / f"part-{i}.jsonl").write_text(
+            "\n".join(r.value for r in chunk)
+        )
+    raw = pipeline.read_text_stream(spark, str(tmp_path), max_files_per_trigger=1)
+    tally = pipeline.tally_per_candidate(
+        pipeline.dedup_one_vote(pipeline.parse_vote_events(raw))
+    )
+    q = sinks.write_memory(tally, "bp_tally", "update")
+    q.processAllAvailable()
+    progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    q.stop()
+    assert len(progress) >= 5, f"backlog drained in {len(progress)} batches"
+    assert max(p["numInputRows"] for p in progress) <= per + len(rows) % 5
+    out = spark.sql(
+        "SELECT sum(v) FROM (SELECT max(total_votes) AS v FROM bp_tally "
+        "GROUP BY candidate_id, candidate_name, party_affiliation)"
+    ).collect()[0][0]
+    assert out == 100
