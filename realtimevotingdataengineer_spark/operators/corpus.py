@@ -517,3 +517,96 @@ def corpus_interleave_shards(t: Tables) -> DataFrame:
         .select("doc_id", "source", "shard", "pos")
         .orderBy("shard", "pos")
     )
+
+
+#: Token target for the UPSAMPLING schedule (corpus_mix_epochs): sized
+#: ABOVE the per-domain volume at small SFs so epoch counts exceed 1 —
+#: the regime where high-quality domains are repeated, not sampled.
+UPSAMPLE_TOKEN_BUDGET = 200_000
+
+
+@register(
+    "corpus_mix_epochs",
+    "WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    f"CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens "
+    "FROM documents GROUP BY source), "
+    "nd AS (SELECT CAST(count(*) AS BIGINT) AS n_domains FROM per), "
+    "sched AS (SELECT source, n_docs, total_tokens, "
+    f"CAST({UPSAMPLE_TOKEN_BUDGET} AS DOUBLE) / n_domains AS target_tokens, "
+    f"CAST({UPSAMPLE_TOKEN_BUDGET} AS DOUBLE) / n_domains / total_tokens AS rate "
+    "FROM per CROSS JOIN nd) "
+    "SELECT source, n_docs, total_tokens, target_tokens, "
+    "CAST(floor(rate) AS BIGINT) AS n_full_epochs, "
+    "rate - floor(rate) AS residual_rate "
+    "FROM sched ORDER BY source",
+)
+def corpus_mix_epochs(t: Tables) -> DataFrame:
+    """The upsampling half of data-mix scheduling: when a domain's token
+    budget EXCEEDS its volume, the mix repeats it — n_full_epochs whole
+    passes plus a residual_rate hash-sample of one more pass (the
+    standard `3.4 epochs = 3 full + 0.4 sampled` recipe; the residual
+    sample is exactly corpus_sample_to_budget's threshold mechanism).
+    corpus_mix_weights covers the downsampling half; together they give
+    the full rate-above-and-below-1 schedule. Metadata-sized output at
+    any corpus scale (one row per domain)."""
+    per = t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text")).cast("bigint")).alias("total_tokens"),
+    )
+    nd = per.agg(F.count(F.lit(1)).alias("n_domains"))
+    target = F.lit(float(UPSAMPLE_TOKEN_BUDGET)) / F.col("n_domains")
+    rate = target / F.col("total_tokens")
+    return (
+        per.crossJoin(F.broadcast(nd))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            target.alias("target_tokens"),
+            F.floor(rate).cast("bigint").alias("n_full_epochs"),
+            (rate - F.floor(rate)).alias("residual_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+#: 24-bit hash thresholds for the 90/5/5 split: floor(p · 16^6).
+_SPLIT_TRAIN_MAX = 15_099_494  # 0.90
+_SPLIT_VAL_MAX = 15_938_355  # 0.95
+
+
+@register(
+    "corpus_split_train_val",
+    "WITH h AS (SELECT doc_id, source, "
+    "CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) "
+    "AS hv FROM documents) "
+    "SELECT doc_id, source, CASE "
+    f"WHEN hv < {_SPLIT_TRAIN_MAX} THEN 'train' "
+    f"WHEN hv < {_SPLIT_VAL_MAX} THEN 'val' "
+    "ELSE 'test' END AS split FROM h ORDER BY doc_id",
+)
+def corpus_split_train_val(t: Tables) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment: a salted 24-bit
+    md5 draw per document against fixed integer thresholds. Seed-free,
+    partition-invariant, stable under corpus growth (a doc's split never
+    changes when others are added — the property random shuffling
+    lacks), and disjoint from the sampling draws by salt. Zero shuffle:
+    pure per-row hashing."""
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 6
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        t.documents.select(
+            "doc_id",
+            "source",
+            F.when(hv < _SPLIT_TRAIN_MAX, F.lit("train"))
+            .when(hv < _SPLIT_VAL_MAX, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
