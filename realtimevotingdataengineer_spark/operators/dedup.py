@@ -254,6 +254,24 @@ def dedup_minhash_lsh(t: Tables) -> DataFrame:
     token)). The banded join touches only colliding buckets — the O(n²)
     pair space is never materialized. md5 hashing keeps the oracle
     bit-identical."""
+    sh, _sig, cand = minhash_parts(t)
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("a_id"))
+        .join(sb, F.col("doc_b") == F.col("b_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= LSH_THETA)
+    )
+
+
+def minhash_parts(t: Tables):
+    """(sh, sig, cand): the shared MinHash pipeline — distinct-trigram
+    shingle arrays, the k per-doc minhash components, and the LSH
+    candidate pairs. Used by dedup_minhash_lsh (exact-Jaccard verify)
+    and dedup_minhash_estimate (estimator calibration)."""
     tk = spread(t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id")
     # Guard: Spark's sequence(1, n) runs DESCENDING when n < 1 (short
     # docs), unlike DuckDB's empty range — emit an empty shingle list.
@@ -317,15 +335,62 @@ def dedup_minhash_lsh(t: Tables) -> DataFrame:
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    return sh, sig, cand
+
+
+@register(
+    "dedup_minhash_estimate",
+    _SHINGLES_SQL
+    + ", est AS (SELECT c.doc_a, c.doc_b, "
+    "CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / "
+    f"{MINHASH_K} AS est_jaccard "
+    "FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a "
+    "JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i "
+    "GROUP BY c.doc_a, c.doc_b) "
+    "SELECT e.doc_a, e.doc_b, e.est_jaccard, "
+    "CAST(len(list_intersect(ha.sh, hb.sh)) AS DOUBLE) / "
+    "(len(ha.sh) + len(hb.sh) - len(list_intersect(ha.sh, hb.sh))) AS jaccard "
+    "FROM est e JOIN sh ha ON ha.doc_id = e.doc_a "
+    "JOIN sh hb ON hb.doc_id = e.doc_b ORDER BY doc_a, doc_b",
+)
+def dedup_minhash_estimate(t: Tables) -> DataFrame:
+    """Estimator calibration for the MinHash family: for every LSH
+    candidate pair, the MinHash Jaccard ESTIMATE (fraction of the k=8
+    signature components that agree — the statistic LSH banding is
+    built on) next to the exact shingle-set Jaccard. At 100 TB the
+    estimate is what you act on (signatures are k hashes/doc; exact
+    verification re-reads shingles) — this key makes the estimator's
+    error measurable, and pytest bounds its MAE. Fully deterministic
+    (md5 minhashes), hence exact-oracled despite being a sketch."""
+    sh, sig, cand = minhash_parts(t)
+    est = (
+        cand.join(
+            sig.select(F.col("doc_id").alias("doc_a"), "i", F.col("mh").alias("mh_a")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), "i", F.col("mh").alias("mh_b")),
+            ["doc_b", "i"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / MINHASH_K
+            ).alias("est_jaccard")
+        )
+    )
+    ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
-        cand.join(sa, F.col("doc_a") == F.col("a_id"))
-        .join(sb, F.col("doc_b") == F.col("b_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= LSH_THETA)
+        est.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", "est_jaccard", jac.alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
     )
 
 

@@ -498,3 +498,17 @@ def test_centroid_fold_partition_invariant(t):
             for r in centroid_rows(t.embeddings.repartition(n)).collect()
         }
         assert rep == base, f"centroids drift at repartition({n})"
+
+
+def test_minhash_estimator_calibration(t):
+    """The k=8 MinHash estimate must track exact Jaccard on candidate
+    pairs: values in [0,1] and MAE within the sketch's noise floor
+    (σ ≈ √(j(1−j)/8) ≤ 0.18 per pair)."""
+    rows = QUERIES["dedup_minhash_estimate"](t).collect()
+    assert rows, "LSH produced no candidate pairs"
+    errs = []
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.jaccard <= 1.0
+        errs.append(abs(r.est_jaccard - r.jaccard))
+    assert sum(errs) / len(errs) <= 0.3, f"MAE {sum(errs)/len(errs):.3f}"
