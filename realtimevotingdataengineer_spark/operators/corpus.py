@@ -207,13 +207,15 @@ def text_pii_scrub(t: Tables) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _pretrain_sql() -> str:
-    """Compose the full-corpus gate from the shared CTE constants (plain
-    concatenation — see dedup._CLUSTERS_CTES; no string surgery)."""
+def _pretrain_parts() -> tuple[str, str]:
+    """(CTE prefix, final-SELECT sans ORDER BY) for the corpus gate —
+    composed from the shared CTE constants (see dedup._CLUSTERS_CTES; no
+    string surgery). Split so pipeline_export_corpus can reuse the gate
+    as a CTE."""
     from .dedup import _CLUSTERS_CTES, _CLUSTERS_FINAL
 
     grams = ngram_cte_sql("cgrams", _NGRAM)
-    return (
+    ctes = (
         _CLUSTERS_CTES
         + f", labels AS ({_CLUSTERS_FINAL}), "
         + grams
@@ -222,13 +224,20 @@ def _pretrain_sql() -> str:
         f"JOIN bench b ON c.g = b.g WHERE c.doc_id >= {_BENCH_MAX}), "
         "quality AS (SELECT doc_id, len(tk) AS n_tokens, "
         "1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS rep FROM tk) "
+    )
+    final = (
         "SELECT q.doc_id, q.n_tokens FROM quality q "
         "JOIN labels l ON q.doc_id = l.doc_id "
         f"WHERE q.doc_id >= {_BENCH_MAX} AND q.n_tokens >= 20 AND q.rep < 0.6 "
         "AND l.cluster_id = q.doc_id "
-        "AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = q.doc_id) "
-        "ORDER BY q.doc_id"
+        "AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = q.doc_id)"
     )
+    return ctes, final
+
+
+def _pretrain_sql() -> str:
+    ctes, final = _pretrain_parts()
+    return ctes + final + " ORDER BY q.doc_id"
 
 
 @register("pipeline_pretrain_corpus", _pretrain_sql())
@@ -608,5 +617,70 @@ def corpus_split_train_val(t: Tables) -> DataFrame:
             .otherwise(F.lit("test"))
             .alias("split"),
         )
+        .orderBy("doc_id")
+    )
+
+
+def _export_sql() -> str:
+    ctes, final = _pretrain_parts()
+    return (
+        ctes
+        + f", surv AS ({final}), "
+        "sp AS (SELECT s.doc_id, s.n_tokens, d.source, "
+        "CAST('0x' || substr(md5('split:' || CAST(s.doc_id AS VARCHAR)), 1, 6) AS BIGINT) "
+        "AS hsplit, md5(CAST(s.doc_id AS VARCHAR)) AS hx "
+        "FROM surv s JOIN documents d ON s.doc_id = d.doc_id), "
+        "assigned AS (SELECT doc_id, source, n_tokens, "
+        f"CASE WHEN hsplit < {_SPLIT_TRAIN_MAX} THEN 'train' "
+        f"WHEN hsplit < {_SPLIT_VAL_MAX} THEN 'val' ELSE 'test' END AS split, "
+        f"CAST(CAST('0x' || substr(hx, 1, 6) AS BIGINT) % {N_SHARDS} AS INT) AS shard, "
+        "hx FROM sp) "
+        "SELECT doc_id, source, n_tokens, split, shard, "
+        "CAST(row_number() OVER (PARTITION BY split, shard ORDER BY hx, doc_id) "
+        "AS BIGINT) AS pos FROM assigned ORDER BY doc_id"
+    )
+
+
+@register("pipeline_export_corpus", _export_sql())
+def pipeline_export_corpus(t: Tables) -> DataFrame:
+    """The final mile of the pretraining pipeline as ONE plan: the full
+    corpus gate (pipeline_pretrain_corpus — quality ∘ decontamination ∘
+    dedup survivorship) composed with the export layout — 90/5/5 hash
+    split, hash shard, and a deterministic interleave position within
+    each (split, shard). The output is exactly what the shard writer
+    consumes; every stage reuses an already-oracled operator's logic, so
+    the composition is exact end to end. At 100 TB this plan IS the
+    export job: gate predicates push into the scan, centroidless stages
+    stay shuffle-free, and the only terminal exchange is the per-(split,
+    shard) sort the writer needs anyway."""
+    surv = pipeline_pretrain_corpus(t)
+    hsplit = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 6
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    assigned = (
+        surv.join(t.documents.select("doc_id", "source"), "doc_id")
+        .withColumn(
+            "split",
+            F.when(hsplit < _SPLIT_TRAIN_MAX, F.lit("train"))
+            .when(hsplit < _SPLIT_VAL_MAX, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+        .withColumn(
+            "shard",
+            (F.conv(F.substring(hx, 1, 6), 16, 10).cast("bigint") % N_SHARDS).cast(
+                "int"
+            ),
+        )
+        .withColumn("hx", hx)
+    )
+    w = Window.partitionBy("split", "shard").orderBy("hx", "doc_id")
+    return (
+        assigned.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "source", "n_tokens", "split", "shard", "pos")
         .orderBy("doc_id")
     )

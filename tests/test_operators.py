@@ -512,3 +512,25 @@ def test_minhash_estimator_calibration(t):
         assert 0.0 <= r.jaccard <= 1.0
         errs.append(abs(r.est_jaccard - r.jaccard))
     assert sum(errs) / len(errs) <= 0.3, f"MAE {sum(errs)/len(errs):.3f}"
+
+def test_export_corpus_consistent_with_parts(t):
+    """pipeline_export_corpus = pretrain gate ∘ split ∘ shard ∘ interleave:
+    doc set equals the gate's survivors; split/shard agree with the
+    standalone operators; pos is 1..n contiguous per (split, shard)."""
+    rows = QUERIES["pipeline_export_corpus"](t).collect()
+    surv = {r.doc_id for r in QUERIES["pipeline_pretrain_corpus"](t).collect()}
+    assert {r.doc_id for r in rows} == surv and surv
+
+    split_of = {
+        r.doc_id: r.split for r in QUERIES["corpus_split_train_val"](t).collect()
+    }
+    shard_of = {
+        r.doc_id: r.shard for r in QUERIES["corpus_interleave_shards"](t).collect()
+    }
+    by_group = {}
+    for r in rows:
+        assert r.split == split_of[r.doc_id]
+        assert r.shard == shard_of[r.doc_id]
+        by_group.setdefault((r.split, r.shard), []).append(r.pos)
+    for g, ps in by_group.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), g
