@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     multimodal,
     pruning,
     relational,
+    search,
     similarity,
     text,
     tpch,

@@ -1,0 +1,171 @@
+"""Keyword search over the ``documents`` table: BM25 ranking on an
+inverted-index formulation, plus fuzzy (edit-distance) dedup.
+
+The 100 TB shape: the (doc, term, tf) inverted index is THE search
+structure — built once as a term-partitioned table, it turns a keyword
+query into a broadcast probe of the handful of posting lists it names,
+never a corpus scan. Document-frequency and corpus stats are tiny
+(|vocab| rows / 1 row) and broadcast. The only corpus-sized shuffle is
+the one groupBy that builds the index.
+
+Exactness: BM25 is a float statistic, oracled bitwise via the repo's
+pinning discipline — integer tf/df/dl everywhere, the idf's `ln` (the
+one libm-dependent op: JVM Math.log and DuckDB's libm log differ in the
+last ulp on ~8% of inputs, measured) pinned through DECIMAL(18,9), all
+remaining ops IEEE-exact mult/div in identical association order, and
+the per-(query, doc) term-score sum as an ORDERED left fold (Spark
+F.aggregate over the term-sorted list ≡ DuckDB list_reduce — the
+operators/pruning.py idiom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import TOKENS_SQL, normalize_text, tokens
+from ..registry import register
+from ..sources.tables import Tables
+
+_TOKENS_SQL = TOKENS_SQL
+
+#: BM25 parameters (Robertson/Spärck Jones defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+
+#: Keyword queries over the synthetic vocabulary: one rare-term probe
+#: ("dup" — the near-dup marker token), three common-term mixes.
+BM25_QUERIES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("q_dup_merge", ("dup", "merge")),
+    ("q_join_key", ("hash", "join", "key")),
+    ("q_scan_filter", ("fast", "filter", "scan")),
+    ("q_stream_window", ("spark", "stream", "window")),
+)
+
+
+def _qt_values_sql() -> str:
+    rows = ", ".join(
+        f"('{qid}', '{term}')" for qid, terms in BM25_QUERIES for term in terms
+    )
+    return f"(VALUES {rows}) AS q(query_id, term)"
+
+
+#: idf pinned through DECIMAL(18,9): ln() is the single libm-dependent
+#: op; both engines round the (possibly 1-ulp-apart) double to the same
+#: 9-decimal value. Deterministic inputs => deterministic gate.
+_IDF_SQL = (
+    "CAST(CAST(ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) "
+    "/ (CAST(d.df AS DOUBLE) + 0.5)) AS DECIMAL(18,9)) AS DOUBLE)"
+)
+
+_BM25_SQL = (
+    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+    "dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk FROM tk), "
+    "stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl), "
+    "terms AS (SELECT doc_id, dl, u.term AS term, CAST(count(*) AS BIGINT) AS tf "
+    "FROM dl, LATERAL unnest(tk) AS u(term) GROUP BY doc_id, dl, u.term), "
+    "dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM terms GROUP BY term), "
+    f"qt AS (SELECT * FROM {_qt_values_sql()}), "
+    "scored AS (SELECT q.query_id, trm.doc_id, trm.term, "
+    f"{_IDF_SQL} * (CAST(trm.tf AS DOUBLE) * {BM25_K1 + 1.0}) / "
+    f"(CAST(trm.tf AS DOUBLE) + {BM25_K1} * ({1.0 - BM25_B} + "
+    f"{BM25_B} * CAST(trm.dl AS DOUBLE) / "
+    "(CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))) AS sc "
+    "FROM qt q JOIN terms trm ON trm.term = q.term "
+    "JOIN dfreq d ON d.term = trm.term CROSS JOIN stats s), "
+    "agg AS (SELECT query_id, doc_id, "
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sc ORDER BY term)), "
+    "(acc, x) -> acc + x) AS score, CAST(count(*) AS BIGINT) AS n_terms_hit "
+    "FROM scored GROUP BY query_id, doc_id), "
+    "rk AS (SELECT query_id, doc_id, score, n_terms_hit, "
+    "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk "
+    "FROM agg) "
+    "SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, score, n_terms_hit "
+    f"FROM rk WHERE rnk <= {BM25_TOP_K} ORDER BY query_id, rank"
+)
+
+
+def doc_lengths(t: Tables) -> DataFrame:
+    """(doc_id, dl, tk): tokenized documents with whitespace-token length."""
+    tk = t.documents.select("doc_id", tokens("text").alias("tk"))
+    return tk.select("doc_id", F.size("tk").cast("long").alias("dl"), "tk")
+
+
+def inverted_index(dl: DataFrame) -> DataFrame:
+    """(doc_id, dl, term, tf): the posting-list table. At 100 TB this is
+    a maintained term-bucketed table (the one corpus-sized shuffle);
+    every query below is a broadcast probe of it."""
+    return (
+        dl.select("doc_id", "dl", F.explode("tk").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+@register("search_bm25_topk", _BM25_SQL)
+def search_bm25_topk(t: Tables) -> DataFrame:
+    """BM25 top-10 per keyword query (k1=1.2, b=0.75): classic
+    idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), summed over the query's
+    matched terms as an ordered fold, ranked per query with doc_id
+    tie-break.
+
+    Plan: query terms (a handful of rows) broadcast against the posting
+    lists, document-frequency table broadcast (|vocab| rows), corpus
+    stats a broadcast single row; one (query, doc) aggregation over the
+    matched postings only — candidate set is the union of the named
+    posting lists, never the corpus."""
+    dl = doc_lengths(t)
+    terms = inverted_index(dl)
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qt = t.spark.createDataFrame(
+        [(qid, term) for qid, qterms in BM25_QUERIES for term in qterms],
+        "query_id string, term string",
+    )
+    idf = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+            / (F.col("df").cast("double") + 0.5)
+        )
+        .cast("decimal(18,9)")
+        .cast("double")
+    )
+    denom = F.col("tf").cast("double") + BM25_K1 * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B)
+        * F.col("dl").cast("double")
+        / (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"))
+    )
+    scored = (
+        F.broadcast(qt)
+        .join(terms, "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            "term",
+            (idf * (F.col("tf").cast("double") * (BM25_K1 + 1.0)) / denom).alias("sc"),
+        )
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("term", "sc"))),
+        lambda s: s.getField("sc"),
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x).alias("score"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("query_id", "rank", "doc_id", "score", "n_terms_hit")
+        .orderBy("query_id", "rank")
+    )

@@ -570,3 +570,33 @@ def test_chunk_windows_invariants(t):
         # no spurious extra chunk: penultimate window does not already cover n
         if len(chunks) > 1:
             assert chunks[-2].start_tok + CHUNK_TOKENS - 1 < n
+
+def test_bm25_ranking_semantics(t):
+    """BM25 contract: every hit contains at least one query term, the
+    rare-term query ranks docs containing that term on top, ranks are
+    1..k contiguous per query, and scores are positive and non-increasing
+    within a query."""
+    from realtimevotingdataengineer_spark.operators.search import BM25_QUERIES
+
+    qterms = {qid: set(ts) for qid, ts in BM25_QUERIES}
+    rows = QUERIES["search_bm25_topk"](t).collect()
+    docs = {
+        r.doc_id: set(r.text.lower().split()) for r in t.documents.collect()
+    }
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(qterms)
+    for qid, hits in by_q.items():
+        hits.sort(key=lambda r: r.rank)
+        assert [h.rank for h in hits] == list(range(1, len(hits) + 1))
+        scores = [h.score for h in hits]
+        assert scores == sorted(scores, reverse=True)
+        for h in hits:
+            assert h.score > 0
+            overlap = qterms[qid] & docs[h.doc_id]
+            assert overlap, (qid, h.doc_id)
+            assert 1 <= h.n_terms_hit <= len(qterms[qid])
+    # the rare discriminative term dominates its query's top hit
+    top = by_q["q_dup_merge"][0]
+    assert "dup" in docs[top.doc_id]
