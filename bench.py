@@ -133,26 +133,35 @@ def main() -> None:
     timings: dict[str, float] = {}
     construct: dict[str, float] = {}
     execute: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         best = float("inf")
         best_parts = (0.0, 0.0)
-        for _ in range(2):  # best-of-2: first run absorbs codegen/JIT noise
-            spark.catalog.clearCache()
-            # construction INSIDE the timer: operators that eagerly
-            # localCheckpoint shared intermediates (minhash shingles,
-            # IVF codebooks) do that work at build time, and it must
-            # count — timing only the final noop write would hide it.
-            # Construct and execute are reported SEPARATELY so a change
-            # in what happens at build time (eager materialization,
-            # index IO) can't masquerade as a plan regression.
-            t0 = time.perf_counter()
-            df = QUERIES[name](t)
-            t1 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
-            t2 = time.perf_counter()
-            if t2 - t0 < best:
-                best = t2 - t0
-                best_parts = (t1 - t0, t2 - t1)
+        try:
+            for _ in range(2):  # best-of-2: first run absorbs codegen/JIT noise
+                spark.catalog.clearCache()
+                # construction INSIDE the timer: operators that eagerly
+                # localCheckpoint shared intermediates (minhash shingles,
+                # IVF codebooks) do that work at build time, and it must
+                # count — timing only the final noop write would hide it.
+                # Construct and execute are reported SEPARATELY so a change
+                # in what happens at build time (eager materialization,
+                # index IO) can't masquerade as a plan regression.
+                t0 = time.perf_counter()
+                df = QUERIES[name](t)
+                t1 = time.perf_counter()
+                df.write.mode("overwrite").format("noop").save()
+                t2 = time.perf_counter()
+                if t2 - t0 < best:
+                    best = t2 - t0
+                    best_parts = (t1 - t0, t2 - t1)
+        except Exception as ex:
+            # One bad query must not zero out the other measurements
+            # (round 3 lost 21 good timings to a single AnalysisException):
+            # record the error, keep going, exit nonzero at the end.
+            errors[name] = repr(ex)
+            print(f"bench query {name} failed: {ex!r}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         construct[name] = round(best_parts[0], 3)
         execute[name] = round(best_parts[1], 3)
@@ -165,8 +174,7 @@ def main() -> None:
     try:
         timings["stream_votes_pipeline"] = round(bench_stream(spark), 3)
     except Exception as ex:  # never lose the whole bench record to one section
-        import sys
-
+        errors["stream_votes_pipeline"] = repr(ex)
         print(f"stream bench failed: {ex!r}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -174,19 +182,20 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "construct": construct,
-                "execute": execute,
-                "sf": sf_val,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "construct": construct,
+        "execute": execute,
+        "sf": sf_val,
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,14 @@ from ..sources.tables import Tables
 
 #: Jaccard threshold for near-dup pairs (bigram sets).
 JACCARD_THETA = 0.85
+#: Default document-frequency cap for the n-gram inverted-index self-join
+#: (the 100 TB skew bound): grams appearing in more than this many docs
+#: are dropped before the join, since a gram with df=d contributes d²
+#: candidate pairs and one hot bigram ("of the") otherwise dominates the
+#: whole shuffle. 5000 bounds any single gram to ~12.5M pairs — one
+#: well-sized task — while dropping nothing at the test SFs (max df ≪
+#: cap), so capped and exact agree there. Pass df_cap=None for exact mode.
+NGRAM_DF_CAP = 5000
 #: MinHash signature length and LSH band width (k rows → k/2 bands).
 MINHASH_K = 8
 #: Verified-jaccard threshold for LSH candidates (unigram sets).
@@ -82,8 +90,13 @@ _BIGRAMS_SQL = (
     "(SELECT 1) _dummy, LATERAL unnest(list_transform(range(1, len(tk)), "
     "i -> tk[i] || ' ' || tk[i+1])) AS u(g)), "
     "counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+    # same df-cap pre-filter as the Spark side: only sub-cap grams enter
+    # the self-join; per-doc gram counts (the denominators) stay uncapped
+    "kept AS (SELECT g FROM grams GROUP BY g "
+    f"HAVING count(*) <= {NGRAM_DF_CAP}), "
+    "jg AS (SELECT grams.doc_id, grams.g FROM grams JOIN kept USING (g)), "
     "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c "
-    "FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "FROM jg a JOIN jg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) "
 )
 
 
@@ -95,7 +108,7 @@ _BIGRAMS_SQL = (
     "JOIN counts nb ON common.doc_b = nb.doc_id "
     f"WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= {JACCARD_THETA}",
 )
-def dedup_ngram_jaccard(t: Tables, df_cap: int | None = None) -> DataFrame:
+def dedup_ngram_jaccard(t: Tables, df_cap: int | None = NGRAM_DF_CAP) -> DataFrame:
     """Near-dup pairs by word-bigram Jaccard ≥ θ, via the relational
     inverted-index formulation: distinct (doc, gram) → self-join on gram →
     common counts → |A∩B| / (|A|+|B|-|A∩B|).
@@ -109,8 +122,8 @@ def dedup_ngram_jaccard(t: Tables, df_cap: int | None = None) -> DataFrame:
     (asserted in tests/test_operators.py), and a pair whose measured
     overlap leans heavily on hot grams can drop below θ and be lost —
     size the cap from the gram-df profile (text_top_ngrams), not as a
-    free win. Default None = exact (the oracle's semantics, fine at
-    oracle SF)."""
+    free win. The registered default is ``NGRAM_DF_CAP`` (finite — the
+    oracle applies the identical pre-filter); pass None for exact mode."""
     tk = spread(t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size("tk") - 1),
@@ -176,12 +189,14 @@ CONTAINMENT_THETA = 0.9
     "JOIN counts nb ON common.doc_b = nb.doc_id "
     f"WHERE CAST(c AS DOUBLE) / least(na.n, nb.n) >= {CONTAINMENT_THETA}",
 )
-def dedup_ngram_containment(t: Tables) -> DataFrame:
+def dedup_ngram_containment(
+    t: Tables, df_cap: int | None = NGRAM_DF_CAP
+) -> DataFrame:
     """Near-dup pairs by bigram-set CONTAINMENT ≥ θ: |A∩B| / min(|A|,|B|)
     — the doc-in-doc detector. Jaccard divides by the union, so a page
     quoted inside a 100× longer page scores ≈0.01 and survives dedup;
-    containment scores it 1.0. Same inverted-index plan as
-    dedup_ngram_jaccard (and the same df-cap applies at scale); only the
+    containment scores it 1.0. Same inverted-index plan (and same
+    ``NGRAM_DF_CAP`` skew bound) as dedup_ngram_jaccard; only the
     denominator differs."""
     tk = spread(t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id")
     bigrams = F.transform(
@@ -199,8 +214,17 @@ def dedup_ngram_containment(t: Tables) -> DataFrame:
         .localCheckpoint(eager=True)  # reused by counts + both join sides
     )
     counts = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = grams.alias("a")
-    b = grams.alias("b")
+    joinable = grams
+    if df_cap is not None:
+        hot = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("g")
+        )
+        joinable = grams.join(F.broadcast(hot), "g", "left_anti")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     common = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

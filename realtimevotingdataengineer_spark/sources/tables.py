@@ -34,38 +34,20 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects outright. Read it as raw int64 nanos and truncate to
-        # microseconds JVM-side — the same ns→µs truncation DuckDB
-        # applies, so oracle comparisons agree exactly.
+        # events.ts is parquet timestamp[us] with no timezone, which
+        # Spark 4 surfaces as TIMESTAMP_NTZ. Operators (and DuckDB's
+        # oracle views) treat ts as a plain instant; with the session tz
+        # pinned to UTC the cast is value-preserving, and normalizing at
+        # this single choke point lets every consumer use ordinary
+        # timestamp arithmetic (cast("long"), window(), session_window()).
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import TimestampNTZType
 
-        # The conf is only needed while the relation is resolved (the
-        # reader captures it at read time), so restore the previous value
-        # afterwards rather than mutating the externally-owned session's
-        # behavior for every later parquet read.
-        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        try:
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-            else:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.select(
-                *[
-                    F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
-                    if c == "ts"
-                    else F.col(c)
-                    for c in df.columns
-                ]
-            )
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 class Tables:

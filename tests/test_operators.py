@@ -211,6 +211,33 @@ def test_ngram_jaccard_df_cap_is_subset(t):
     # must not wipe out detection entirely when exact finds pairs
     if exact:
         assert capped
+    # the registered default cap drops nothing at test SF (max gram df
+    # ≪ NGRAM_DF_CAP), so the registered key still matches the oracle
+    from realtimevotingdataengineer_spark.operators.dedup import NGRAM_DF_CAP
+
+    default = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(t, df_cap=NGRAM_DF_CAP).collect()
+    }
+    assert default == exact
+
+
+def test_ngram_df_cap_bounds_join_input(t):
+    """df_cap=1 keeps only grams unique to a single doc, so the self-join
+    input contains NO shared grams and both pair relations must be empty
+    — proving the stop-gram anti-join actually executes and bounds the
+    join, rather than being dead code on the registered path."""
+    from realtimevotingdataengineer_spark.operators.dedup import (
+        dedup_ngram_containment,
+        dedup_ngram_jaccard,
+    )
+
+    assert dedup_ngram_jaccard(t, df_cap=1).count() == 0
+    assert dedup_ngram_containment(t, df_cap=1).count() == 0
+    # and the uncapped runs on the same corpus DO find pairs, so the
+    # emptiness above is the cap's doing, not a degenerate corpus
+    assert dedup_ngram_jaccard(t, df_cap=None).count() > 0
+    assert dedup_ngram_containment(t, df_cap=None).count() > 0
 
 
 def test_sample_to_budget_follows_schedule(t):
