@@ -349,3 +349,133 @@ def events_funnel_windowed(t: Tables) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_1h")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_24h")))
     )
+
+
+#: Range-join attribution window (seconds) and the bucketization bin
+#: width. Bin width == window width, so a right-side row can only land
+#: in the left row's bin or the next one — the candidate set per pair
+#: is exactly 2 bins, independent of data volume.
+RANGE_JOIN_WINDOW_SEC = 300
+
+
+@register(
+    "events_range_join",
+    "SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id, "
+    "v.ts AS view_ts, c.ts AS click_ts, "
+    "date_diff('second', v.ts, c.ts) AS delay_sec "
+    "FROM events v JOIN events c ON v.user_id = c.user_id "
+    "AND v.event_type = 'view' AND c.event_type = 'click' "
+    "AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 300 SECOND",
+)
+def events_range_join(t: Tables) -> DataFrame:
+    """Range join (interval join): every click within 5 minutes AFTER a
+    view by the same user — the attribution-pair primitive Spark has no
+    native operator for (the reference family's range/interval join).
+
+    Scale shape: a naive formulation is an inequality join — Spark
+    plans it as a broadcast nested loop or a sort-merge with a residual
+    range filter over the full per-user cross product. Instead the time
+    axis is BUCKETIZED: both sides get bin = floor(epoch/W) with the bin
+    width W equal to the window, the view side is exploded to
+    (bin, bin+1), and the join becomes a plain hash equi-join on
+    (user_id, bin) with the exact range predicate as a cheap
+    post-filter. Each pair is examined in exactly one bin (the click's
+    own), candidates are bounded by 2W of activity per user regardless
+    of history length, and the shuffle key (user_id, bin) stays uniform
+    even when one user's history is long — the bin dimension shards it."""
+    w = RANGE_JOIN_WINDOW_SEC
+    ev = t.events.select("event_id", "user_id", "event_type", "ts")
+    bin_ = (F.col("ts").cast("long") / F.lit(w)).cast("long")  # floor: epochs are positive
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+            F.explode(F.array(bin_, bin_ + 1)).alias("bin"),
+        )
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        bin_.alias("bin"),
+    )
+    return (
+        v.join(c, ["user_id", "bin"])
+        .filter(
+            (F.col("click_ts") > F.col("view_ts"))
+            & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {w} SECONDS"))
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "click_id",
+            "view_ts",
+            "click_ts",
+            (F.col("click_ts").cast("long") - F.col("view_ts").cast("long")).alias(
+                "delay_sec"
+            ),
+        )
+    )
+
+
+@register(
+    "events_rollup_multires",
+    "SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value, "
+    "max(value) AS max_value, min(value) AS min_value "
+    "FROM events GROUP BY CAST(ts AS DATE) ORDER BY day",
+)
+def events_rollup_multires(t: Tables) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: minute partials →
+    hourly → daily, each level aggregating the one below it rather than
+    the raw facts (the continuous-aggregate pattern). The oracle states
+    the same semantics directly over raw events — hierarchical re-
+    aggregation must be invisible in the result, which is exactly why
+    every partial here is associative: count/min/max trivially, and the
+    value sum is DECIMAL (money_sum) so the merge order can't perturb a
+    double.
+
+    Scale shape: at 100 TB each level's input is ~60× smaller than the
+    one below, so the daily rollup touches minutes of data, not raw
+    rows; in production each level would be a materialized table
+    incrementally maintained, and this plan is that maintenance query."""
+    from ..functions import dec
+
+    m = (
+        t.events.groupBy(F.date_trunc("minute", "ts").alias("m"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value", 20, 4)).alias("sv"),
+            F.max("value").alias("mx"),
+            F.min("value").alias("mn"),
+        )
+    )
+    h = (
+        m.groupBy(F.date_trunc("hour", "m").alias("h"))
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sv").alias("sv"),
+            F.max("mx").alias("mx"),
+            F.min("mn").alias("mn"),
+        )
+    )
+    return (
+        h.groupBy(F.to_date("h").alias("d"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sv").alias("sv"),
+            F.max("mx").alias("max_value"),
+            F.min("mn").alias("min_value"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            F.col("sv").cast("double").alias("total_value"),
+            "max_value",
+            "min_value",
+        )
+        .orderBy("day")
+    )

@@ -753,3 +753,64 @@ def sim_quantized_topk(t: Tables) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (Achlioptas ±1 variant)
+# ---------------------------------------------------------------------------
+
+#: Output dimensionality of the random projection.
+RP_DIM = 8
+
+
+def _rp_sign(j: int, i: int) -> int:
+    """Deterministic ±1 from md5 — reproducible on any engine/worker,
+    no RNG state to ship. First hex nibble < 8 → +1 (exactly fair)."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[0], 16) < 8 else -1
+
+
+def _rp_chain(j: int, elem_fmt: str) -> str:
+    """Left-assoc signed sum for projection dim ``j``; ``elem_fmt``
+    renders element ``i`` (1-based) in the target dialect. Emitting the
+    IDENTICAL chain text for Spark and DuckDB pins the IEEE evaluation
+    order, so both engines produce the bitwise-same double."""
+    parts = []
+    for i in range(1, EMB_DIM + 1):
+        term = elem_fmt.format(i=i)
+        if not parts:
+            parts.append(term if _rp_sign(j, i) > 0 else f"- {term}")
+        else:
+            parts.append(f"{'+' if _rp_sign(j, i) > 0 else '-'} {term}")
+    return " ".join(parts)
+
+
+_RP_SPARK = [_rp_chain(j, "CAST(element_at(embedding, {i}) AS DOUBLE)") for j in range(RP_DIM)]
+_RP_DUCK = [_rp_chain(j, "CAST(embedding[{i}] AS DOUBLE)") for j in range(RP_DIM)]
+
+
+@register(
+    "emb_random_projection",
+    "SELECT vec_id, label, "
+    + ", ".join(f"{sql} AS p{j}" for j, sql in enumerate(_RP_DUCK))
+    + " FROM embeddings",
+)
+def emb_random_projection(t: Tables) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction, 64 → RP_DIM dims,
+    via an Achlioptas ±1 projection whose signs are md5-derived (no RNG
+    to coordinate across 1000 executors — every worker regenerates the
+    same matrix from the dim indices). The 8 output columns are plain
+    signed-sum column expressions: zero shuffle, whole-stage-codegen'd,
+    embarrassingly parallel — the cheap front half of a
+    project-then-bucket ANN pipeline (pairs with dedup_embedding_bucketed
+    / sim_ivf_topk, which then operate on 8× less data per vector).
+
+    JL guarantee (distance preservation in expectation) is asserted in
+    tests/test_approx.py; exactness vs the oracle is bitwise because both
+    engines evaluate the identical left-associated chain."""
+    return spread(t.embeddings, "vec_id").select(
+        "vec_id",
+        "label",
+        *[F.expr(sql).alias(f"p{j}") for j, sql in enumerate(_RP_SPARK)],
+    )

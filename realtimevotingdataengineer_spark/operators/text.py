@@ -11,7 +11,7 @@ Hashing is md5-based so the DuckDB oracle reproduces values exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import TOKENS_SQL, normalize_text, tokens
@@ -268,3 +268,62 @@ def text_chunk_windows(t: Tables) -> DataFrame:
             F.concat_ws(":", F.col("doc_id").cast("string"), F.col("i").cast("string"))
         ).alias("chunk_uid"),
     ).orderBy("doc_id", "chunk_id")
+
+
+_CHUNK_DEDUP_SQL = (
+    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+    "c AS (SELECT doc_id, tk, u.i AS chunk_id FROM tk, "
+    "LATERAL unnest(range(0, 1 + greatest(0, len(tk) - "
+    f"{CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE})) AS u(i)), "
+    "ch AS (SELECT doc_id, chunk_id, "
+    f"md5(array_to_string(list_slice(tk, chunk_id * {CHUNK_STRIDE} + 1, "
+    f"chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')) AS h FROM c), "
+    "r AS (SELECT doc_id, row_number() OVER "
+    "(PARTITION BY h ORDER BY doc_id, chunk_id) AS rn FROM ch) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, "
+    "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+    "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) "
+    "AS kept_frac FROM r GROUP BY doc_id"
+)
+
+
+@register("text_chunk_dedup", _CHUNK_DEDUP_SQL)
+def text_chunk_dedup(t: Tables) -> DataFrame:
+    """Cross-document CHUNK-level dedup: md5 every overlapping token
+    window (same windows as text_chunk_windows) and keep only its first
+    occurrence corpus-wide, first = lowest (doc_id, chunk_id) — the
+    boilerplate-removal step of an LLM data pipeline, where repeated
+    headers/footers/navigation chunks recur across millions of pages
+    that are NOT whole-document duplicates. Returns per-document
+    retention: total windows, surviving windows, and the kept fraction
+    (a low fraction marks a mostly-boilerplate document, a gating
+    signal for pipeline_clean_corpus-style filters).
+
+    Scale shape: narrow per-doc explode → one shuffle on the uniform
+    md5 chunk hash (row_number per hash group) → one shuffle back on
+    doc_id. No joins, no skew (hash groups are duplicate-cluster-sized),
+    same two-exchange shape as exact dedup."""
+    tk = t.documents.select("doc_id", tokens("text").alias("tk"))
+    n_extra = F.expr(
+        f"greatest(0, size(tk) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)"
+        f" div {CHUNK_STRIDE}"
+    )
+    chunks = tk.select(
+        "doc_id", "tk", F.explode(F.sequence(F.lit(0).cast("long"), n_extra)).alias("i")
+    )
+    start = (F.col("i") * CHUNK_STRIDE + 1).cast("int")
+    hashed = chunks.select(
+        "doc_id",
+        F.col("i").alias("chunk_id"),
+        F.md5(F.array_join(F.slice("tk", start, F.lit(CHUNK_TOKENS)), " ")).alias("h"),
+    )
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "chunk_id"))
+    kept = hashed.select("doc_id", rn.alias("rn"))
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        (
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("kept_frac"),
+    )

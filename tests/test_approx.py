@@ -32,3 +32,37 @@ def test_approx_percentile_brackets_exact_median(t):
     ).collect()[0].m
     lo, hi = t.orders.approxQuantile("o_totalprice", [0.4, 0.6], 0.01)
     assert lo <= approx <= hi
+
+
+def test_random_projection_preserves_distances(t):
+    """JL property: for the md5-seeded ±1 projection, E[proj_dist²] =
+    RP_DIM · orig_dist² — so the per-pair ratio proj²/(RP_DIM·orig²)
+    concentrates around 1. Assert the MEDIAN ratio over sampled pairs
+    lands well inside [0.3, 3] (8 dims is coarse; the median is stable)."""
+    import statistics
+
+    from realtimevotingdataengineer_spark.operators.similarity import (
+        RP_DIM,
+        emb_random_projection,
+    )
+
+    orig = {
+        r["vec_id"]: r["embedding"]
+        for r in t.embeddings.filter(F.col("vec_id") < 30).collect()
+    }
+    proj = {
+        r["vec_id"]: [r[f"p{j}"] for j in range(RP_DIM)]
+        for r in emb_random_projection(t).filter(F.col("vec_id") < 30).collect()
+    }
+    ids = sorted(orig)
+    ratios = []
+    for a in ids:
+        for b in ids:
+            if a >= b:
+                continue
+            d2 = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+            p2 = sum((x - y) ** 2 for x, y in zip(proj[a], proj[b]))
+            if d2 > 0:
+                ratios.append(p2 / (RP_DIM * d2))
+    assert ratios
+    assert 0.3 < statistics.median(ratios) < 3.0

@@ -23,8 +23,8 @@ def test_all_tables_load(t):
 
 
 def test_events_ts_is_timestamp(t):
-    """The TIMESTAMP(NANOS) parquet column must surface as a usable
-    TimestampType (sources/tables.py nanos handling)."""
+    """events.ts must surface as a usable TimestampType whatever the
+    parquet logical type drifts to (sources/tables.py normalization)."""
     assert t.events.schema["ts"].dataType.typeName() == "timestamp"
     r = t.events.agg(F.min("ts"), F.max("ts")).collect()[0]
     assert r[0].year == 2024
@@ -627,3 +627,89 @@ def test_bm25_ranking_semantics(t):
     # the rare discriminative term dominates its query's top hit
     top = by_q["q_dup_merge"][0]
     assert "dup" in docs[top.doc_id]
+
+
+def test_range_join_matches_naive_inequality_join(t):
+    """The bucketed range join (equi-join on (user_id, bin) + post-
+    filter) must return exactly the pairs of the naive inequality join —
+    bucketization is a physical rewrite, never a semantic one."""
+    from realtimevotingdataengineer_spark.operators.events_analytics import (
+        RANGE_JOIN_WINDOW_SEC,
+        events_range_join,
+    )
+
+    ev = t.events.select("event_id", "user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    naive = {
+        (r["view_id"], r["click_id"])
+        for r in v.join(c, "user_id")
+        .filter(
+            (F.col("click_ts") > F.col("view_ts"))
+            & (
+                F.col("click_ts")
+                <= F.col("view_ts") + F.expr(f"INTERVAL {RANGE_JOIN_WINDOW_SEC} SECONDS")
+            )
+        )
+        .collect()
+    }
+    bucketed = {
+        (r["view_id"], r["click_id"]) for r in events_range_join(t).collect()
+    }
+    assert bucketed == naive
+
+
+def test_rollup_multires_equals_direct_daily(t):
+    """Hierarchical minute→hour→day re-aggregation must be invisible:
+    identical rows to a direct raw→day aggregation (associative
+    partials, DECIMAL value sums)."""
+    from realtimevotingdataengineer_spark.functions import dec
+    from realtimevotingdataengineer_spark.operators.events_analytics import (
+        events_rollup_multires,
+    )
+
+    direct = (
+        t.events.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 20, 4)).cast("double").alias("total_value"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "total_value",
+            "max_value",
+            "min_value",
+        )
+    )
+    assert sorted(map(tuple, events_rollup_multires(t).collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_chunk_dedup_conservation(t):
+    """Survivor count must equal the number of DISTINCT chunk hashes
+    corpus-wide (each distinct chunk keeps exactly one copy), and no doc
+    may keep more chunks than it has."""
+    from realtimevotingdataengineer_spark.operators.text import (
+        text_chunk_dedup,
+        text_chunk_windows,
+    )
+
+    res = text_chunk_dedup(t).collect()
+    total_kept = sum(r["n_kept"] for r in res)
+    distinct_chunks = (
+        text_chunk_windows(t)
+        .select(F.md5("chunk_text").alias("h"))
+        .distinct()
+        .count()
+    )
+    assert total_kept == distinct_chunks
+    assert all(0 < r["n_kept"] <= r["n_chunks"] for r in res)
+    assert sum(r["n_chunks"] for r in res) >= distinct_chunks
