@@ -1181,8 +1181,10 @@ def window_sliding(t: Tables) -> DataFrame:
     )
 
 
-@register(
-    "window_session",
+#: ANSI gap-and-islands sessionization — shared by the composed
+#: (window_session) and native (window_session_native) keys, which must
+#: be row-identical by construction.
+_SESSION_SQL = (
     "WITH flagged AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL "
     "OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_session "
     "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
@@ -1191,8 +1193,11 @@ def window_sliding(t: Tables) -> DataFrame:
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
     "AS BIGINT) AS session_id FROM flagged) "
     "SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, "
-    "max(ts) AS session_end FROM sessions GROUP BY user_id, session_id",
+    "max(ts) AS session_end FROM sessions GROUP BY user_id, session_id"
 )
+
+
+@register("window_session", _SESSION_SQL)
 def window_session(t: Tables) -> DataFrame:
     """Session windows (30-min inactivity gap) — the batch expression of
     ``F.session_window``; gap-flag + running-sum formulation so the oracle
@@ -1227,4 +1232,44 @@ def window_session(t: Tables) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
+    )
+
+
+@register("window_session_native", _SESSION_SQL)
+def window_session_native(t: Tables) -> DataFrame:
+    """Session windows via Spark's NATIVE ``F.session_window`` — the
+    operator that also runs under readStream with a watermark (the
+    composed twin ``window_session`` exists because its gap-flag +
+    running-sum formulation is plain ANSI SQL for the oracle).
+
+    Semantics pinning: the ANSI twin measures gaps with
+    ``date_diff('second', ...)``, i.e. on second-FLOORED wall clocks, and
+    splits only when that count EXCEEDS 1800. session_window extends a
+    session when the next event lands on-or-before the current window
+    end (boundary-inclusive merge, verified empirically on an exact
+    1800s floored gap), so feeding it the seconds-TRUNCATED timestamp
+    with the plain 30-minute gap reproduces the ANSI split points
+    exactly. min/max then aggregate the ORIGINAL microsecond
+    timestamps, and the per-user session ordinal is a row_number over
+    window starts (sessions of one user can't share a start). Without
+    the oracle-parity requirement this is just
+    session_window(ts, '30 minutes') on the raw clock."""
+    g = (
+        t.events.groupBy(
+            "user_id",
+            F.session_window(F.date_trunc("second", F.col("ts")), "30 minutes"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("session_window.start"))
+    return g.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("session_id"),
+        "n_events",
+        "session_start",
+        "session_end",
     )

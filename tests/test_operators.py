@@ -713,3 +713,12 @@ def test_chunk_dedup_conservation(t):
     assert total_kept == distinct_chunks
     assert all(0 < r["n_kept"] <= r["n_chunks"] for r in res)
     assert sum(r["n_chunks"] for r in res) >= distinct_chunks
+
+
+def test_session_window_native_equals_composed(t):
+    """The native F.session_window key must be row-identical to the
+    ANSI-composed gap-flag formulation (same oracle, same split points
+    — including the second-floored boundary semantics)."""
+    a = sorted(map(tuple, QUERIES["window_session"](t).collect()))
+    b = sorted(map(tuple, QUERIES["window_session_native"](t).collect()))
+    assert a == b

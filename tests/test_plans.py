@@ -199,3 +199,16 @@ def test_skew_salted_join_spreads_hot_keys(t):
 
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert any("salt" in p and "event_type" in p for p in parts), parts
+
+
+def test_range_join_is_equi_join_not_nested_loop(t):
+    """The bucketed range join must plan as a HASH/SORT-MERGE equi-join
+    on (user_id, bin) with the range predicate as a join residual —
+    never a BroadcastNestedLoopJoin/CartesianProduct (the plan a naive
+    inequality join degenerates to, quadratic per user at scale). The
+    event_type predicates must also reach the parquet scans."""
+    df = QUERIES["events_range_join"](t)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert has_pushed_filter(df, "event_type")
