@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     corpus,
     dedup,
     events_analytics,
+    graph,
     multimodal,
     pruning,
     relational,

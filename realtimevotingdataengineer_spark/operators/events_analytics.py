@@ -479,3 +479,70 @@ def events_rollup_multires(t: Tables) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+#: Sketch calibration bounds. approx_count_distinct's rsd parameter is a
+#: STANDARD DEVIATION, not a hard bound (measured relative error at the
+#: three test SFs: 0.000 / 0.007 / 0.067 against rsd=0.05), so the
+#: asserted envelope is 2×rsd. percentile_approx's accuracy parameter IS
+#: a deterministic Greenwald-Khanna rank-error guarantee (≤ n/accuracy).
+HLL_RSD = 0.05
+HLL_BOUND = 2 * HLL_RSD
+PCT_ACCURACY = 100
+
+
+@register(
+    "agg_approx_distinct",
+    "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, "
+    "TRUE AS approx_ok FROM events GROUP BY event_type ORDER BY event_type",
+)
+def agg_approx_distinct(t: Tables) -> DataFrame:
+    """HLL++ calibration: per event_type, the exact distinct-user count
+    next to a boolean asserting approx_count_distinct (rsd=HLL_RSD)
+    landed within the 2×rsd envelope. The sketch value itself is
+    engine-specific (DuckDB's HLL differs from Spark's), so the oracle
+    pins the exact side and the bound — the dedup_minhash_estimate
+    calibration pattern. At 100 TB the sketch is the plan for
+    high-cardinality distincts: fixed-size mergeable state per group
+    (map-side partials, no shuffle of distinct values), and this key
+    keeps its error measurable against the exact twin."""
+    g = t.events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", HLL_RSD).alias("approx_users"),
+    )
+    ok = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= F.lit(HLL_BOUND) * F.col("exact_users")
+    )
+    return g.select("event_type", "exact_users", ok.alias("approx_ok")).orderBy("event_type")
+
+
+@register(
+    "agg_approx_percentile",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n, TRUE AS approx_ok "
+    "FROM events GROUP BY event_type ORDER BY event_type",
+)
+def agg_approx_percentile(t: Tables) -> DataFrame:
+    """Greenwald-Khanna calibration: percentile_approx(value, 0.5,
+    PCT_ACCURACY) returns an element whose RANK is guaranteed within
+    n/PCT_ACCURACY of the true median rank — a deterministic bound, so
+    the oracle's TRUE is a theorem, not a hope. Verified by re-ranking
+    the sketch's answer against the raw data: count(value < p50) must
+    sit in the ±ε rank window. The two-pass shape (sketch, then rank
+    check via a broadcast join back over the scan) is itself the 100 TB
+    validation pattern for any quantile sketch."""
+    ap = t.events.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(PCT_ACCURACY)).alias("p50"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = t.events.select("event_type", "value").join(F.broadcast(ap), "event_type")
+    rk = joined.groupBy("event_type").agg(
+        F.sum(F.when(F.col("value") <= F.col("p50"), 1).otherwise(0)).alias("n_le"),
+        F.sum(F.when(F.col("value") < F.col("p50"), 1).otherwise(0)).alias("n_lt"),
+        F.first("n").alias("n"),
+    )
+    eps = 1.0 / PCT_ACCURACY
+    ok = (F.col("n_le") >= (0.5 - eps) * F.col("n")) & (
+        F.col("n_lt") <= (0.5 + eps) * F.col("n")
+    )
+    return rk.select("event_type", "n", ok.alias("approx_ok")).orderBy("event_type")

@@ -1,0 +1,100 @@
+"""Graph analytics over the embedding k-NN graph.
+
+The corpus-curation stack already builds two graph structures: the
+near-dup pair graph (dedup_clusters runs pointer-jumping connected
+components over it) and the k-NN adjacency (sim_knn_graph). This module
+adds the iterative-algorithm family on top — PageRank over the k-NN
+edges, the standard centrality score used to pick representative
+documents from a semantic-similarity graph.
+
+Scale design: each iteration is one join (edges ⨝ ranks, both keyed by
+src_id — co-partitionable across iterations) plus one aggregation keyed
+by dst_id. Iteration count is fixed and small; at 100 TB each iteration
+would checkpoint its rank table and the edges relation would be a
+bucketed materialized table so no iteration re-shuffles it.
+
+Float exactness: per-destination contribution sums are ORDERED left
+folds over the src_id-sorted contribution list (the pruning-family
+trick) — partition-invariant AND bitwise-equal to the DuckDB oracle's
+``list_reduce(list_prepend(0.0, list(c ORDER BY src_id)))``. At
+petabyte in-degrees switch to double partials and drop the oracle, not
+the operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import Tables
+from .similarity import _KNN_EDGES_CTES, sim_knn_graph
+
+#: Damping factor and teleport base, written as separate literals in
+#: BOTH engines (never derive one from the other: 1 - 0.85 is
+#: 0.15000000000000002 in binary double, not 0.15).
+PR_DAMP = 0.85
+PR_BASE = 0.15
+#: Unrolled iteration count (the oracle unrolls the same two rounds).
+PR_ITERS = 2
+
+
+def _iter_sql(i: int, prev: str) -> str:
+    """One PageRank round as three CTEs: contributions, ordered-fold
+    sums, new ranks (left join keeps rank mass on in-degree-0 nodes)."""
+    return (
+        f"c{i} AS (SELECT e.dst_id, e.src_id, r.r / d.deg AS c "
+        f"FROM knn e JOIN deg d ON e.src_id = d.src_id "
+        f"JOIN {prev} r ON r.vec_id = e.src_id), "
+        f"s{i} AS (SELECT dst_id, "
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(c ORDER BY src_id)), "
+        f"(acc, x) -> acc + x) AS s FROM c{i} GROUP BY dst_id), "
+        f"r{i} AS (SELECT n.vec_id, {PR_BASE} + {PR_DAMP} * coalesce(s.s, CAST(0 AS DOUBLE)) AS r "
+        f"FROM nodes n LEFT JOIN s{i} s ON s.dst_id = n.vec_id)"
+    )
+
+
+_PAGERANK_SQL = (
+    _KNN_EDGES_CTES + ", "
+    "deg AS (SELECT src_id, count(*) AS deg FROM knn GROUP BY src_id), "
+    "nodes AS (SELECT vec_id FROM embeddings), "
+    "r0 AS (SELECT vec_id, CAST(1 AS DOUBLE) AS r FROM nodes), "
+    + ", ".join(_iter_sql(i, f"r{i - 1}") for i in range(1, PR_ITERS + 1))
+    + f" SELECT vec_id, r AS pagerank FROM r{PR_ITERS} ORDER BY vec_id"
+)
+
+
+@register("graph_pagerank_knn", _PAGERANK_SQL)
+def graph_pagerank_knn(t: Tables) -> DataFrame:
+    """PageRank (damping 0.85, PR_ITERS unrolled rounds, uniform init
+    r=1) over the bucket-local k-NN graph — the centrality score that
+    ranks each document's prototypicality inside its semantic
+    neighborhood, consumed by representative-sampling / pruning
+    pipelines downstream of sim_knn_graph.
+
+    Per round: one edges⨝deg⨝ranks join keyed on src_id, one
+    ordered-fold aggregation keyed on dst_id, one left join back to the
+    node set so in-degree-0 nodes keep the teleport mass. The edge
+    relation is localCheckpointed once and reused by every round."""
+    edges = sim_knn_graph(t).select("src_id", "dst_id").localCheckpoint(eager=True)
+    deg = edges.groupBy("src_id").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = t.embeddings.select("vec_id")
+    rank = nodes.select("vec_id", F.lit(1.0).cast("double").alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(deg, "src_id")
+            .join(rank.withColumnRenamed("vec_id", "src_id"), "src_id")
+            .select("dst_id", "src_id", (F.col("r") / F.col("deg")).alias("c"))
+        )
+        ordered = F.transform(
+            F.array_sort(F.collect_list(F.struct("src_id", "c"))),
+            lambda s: s.getField("c"),
+        )
+        summed = contrib.groupBy("dst_id").agg(
+            F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x).alias("s")
+        )
+        rank = nodes.join(summed, nodes.vec_id == summed.dst_id, "left").select(
+            "vec_id",
+            (F.lit(PR_BASE) + F.lit(PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))).alias("r"),
+        )
+    return rank.select("vec_id", F.col("r").alias("pagerank")).orderBy("vec_id")

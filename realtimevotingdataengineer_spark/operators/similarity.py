@@ -91,17 +91,18 @@ def sim_bruteforce_topk(t: Tables) -> DataFrame:
     )
 
 
-def assign_sql(n_probe: int = 1) -> str:
+def assign_sql(n_probe: int = 1, n_cent: int = N_CENTROIDS) -> str:
     """WITH-clause prefix computing `assign(vec_id, cent_id)`: each
-    vector's `n_probe` nearest centroids over the fixed first-M-vectors
-    codebook (max cosine, deterministic tie-break on cent_id). Shared by
-    the IVF search oracle (n_probe=1: corpus vectors live in one bucket)
-    and dedup.dedup_embedding_bucketed (n_probe=2: multi-probe candidate
-    generation). Scoring and ranking live in separate CTEs — DuckDB
-    rejects window functions inside the join."""
+    vector's `n_probe` nearest centroids over the fixed first-`n_cent`-
+    vectors codebook (max cosine, deterministic tie-break on cent_id).
+    Shared by the IVF search oracle (n_probe=1: corpus vectors live in
+    one bucket), dedup.dedup_embedding_bucketed (n_probe=2: multi-probe
+    candidate generation), and sim_knn_graph (wider codebook). Scoring
+    and ranking live in separate CTEs — DuckDB rejects window functions
+    inside the join."""
     return (
         f"WITH cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings "
-        f"WHERE vec_id < {N_CENTROIDS}), "
+        f"WHERE vec_id < {n_cent}), "
         "assign_scored AS (SELECT c.vec_id, q.cent_id, "
         f"({dot_sql('c.embedding', 'q.embedding', EMB_DIM)}) / "
         f"(({norm_sql('c.embedding', EMB_DIM)}) * ({norm_sql('q.embedding', EMB_DIM)})) AS cos "
@@ -544,14 +545,15 @@ def sim_ivf_multiprobe_topk(t: Tables, n_probe: int = 2) -> DataFrame:
     )
 
 
-def ivf_assign_fixed(emb: DataFrame, n_probe: int = 1) -> DataFrame:
+def ivf_assign_fixed(emb: DataFrame, n_probe: int = 1, n_cent: int = N_CENTROIDS) -> DataFrame:
     """(vec_id, cent_id) top-`n_probe` nearest-centroid assignment over
-    the fixed first-M-vectors codebook, with the order-pinned dot/norm
-    chains so a DuckDB oracle (assign_sql) reproduces every bucket
-    bitwise. The codebook broadcasts; the only shuffle is the per-vec_id
-    rank window. Shared by sim_ivf_topk (n_probe=1) and
-    dedup.dedup_embedding_bucketed (n_probe=2)."""
-    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+    the fixed first-`n_cent`-vectors codebook, with the order-pinned
+    dot/norm chains so a DuckDB oracle (assign_sql) reproduces every
+    bucket bitwise. The codebook broadcasts; the only shuffle is the
+    per-vec_id rank window. Shared by sim_ivf_topk (n_probe=1),
+    dedup.dedup_embedding_bucketed (n_probe=2), and sim_knn_graph
+    (n_cent=KNN_CENTROIDS)."""
+    cent = emb.filter(F.col("vec_id") < n_cent).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
     c = spread(emb, "vec_id").alias("c")
@@ -606,6 +608,77 @@ def sim_ivf_topk(t: Tables) -> DataFrame:
         probe.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+#: Neighbors per vector in the k-NN graph (small fanout: the consumer is
+#: clustering/SemDeDup-style pruning, not retrieval).
+KNN_K = 3
+#: The k-NN graph uses a WIDER codebook than point-query IVF: every
+#: vector is a query here, so per-bucket all-pairs work is n²/k and k
+#: must grow with the corpus (k ≈ √n keeps per-bucket work linear).
+#: 16 is √n-scaled for the test corpus sizes; at 100 TB this constant is
+#: the dial that keeps the self-join linear per bucket.
+KNN_CENTROIDS = 16
+
+_KNN_COS = (
+    f"({dot_sql('a.embedding', 'b.embedding', EMB_DIM)}) / "
+    f"(({norm_sql('a.embedding', EMB_DIM)}) * ({norm_sql('b.embedding', EMB_DIM)}))"
+)
+
+#: CTE prefix ending in `knn(src_id, dst_id, cosine)` — reused by the
+#: graph operators (graph.py) that consume the adjacency structure.
+_KNN_EDGES_CTES = (
+    assign_sql(1, KNN_CENTROIDS) + ", "
+    "probe AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id, "
+    f"{_KNN_COS} AS cosine "
+    "FROM assign qa JOIN assign ca ON ca.cent_id = qa.cent_id "
+    "JOIN embeddings a ON a.vec_id = qa.vec_id "
+    "JOIN embeddings b ON b.vec_id = ca.vec_id AND b.vec_id <> a.vec_id), "
+    "knn AS (SELECT src_id, dst_id, cosine FROM ("
+    "SELECT src_id, dst_id, cosine, row_number() OVER ("
+    "PARTITION BY src_id ORDER BY cosine DESC, dst_id) AS rn FROM probe) "
+    f"WHERE rn <= {KNN_K})"
+)
+
+_KNN_GRAPH_SQL = _KNN_EDGES_CTES + " SELECT src_id, dst_id, cosine FROM knn"
+
+
+@register("sim_knn_graph", _KNN_GRAPH_SQL)
+def sim_knn_graph(t: Tables) -> DataFrame:
+    """Bucket-local k-NN graph: EVERY corpus vector's KNN_K nearest
+    neighbors by exact cosine, candidates restricted to the vector's own
+    IVF bucket over the KNN_CENTROIDS-wide codebook. The all-vectors
+    twin of sim_ivf_topk, producing the adjacency structure semantic
+    clustering / graph-based pruning consume downstream.
+
+    Scale shape: the self-join is bucket-partitioned — with k balanced
+    buckets the pair work is n²/k per bucket (k = KNN_CENTROIDS grows
+    with the corpus), one shuffle on cent_id, then a per-src window for
+    top-k. Norms are projected per side before the join to keep each
+    codegen method under Janino's limit; the oracle's inline norms
+    evaluate IEEE-identically (same left-assoc chains)."""
+    assign = ivf_assign_fixed(t.embeddings, 1, KNN_CENTROIDS)
+    side = (
+        assign.join(t.embeddings.select("vec_id", "embedding"), "vec_id")
+        .withColumn("nrm", norm_expr("embedding", EMB_DIM))
+        .localCheckpoint(eager=True)  # shared by both sides of the pair join
+    )
+    a, b = side.alias("a"), side.alias("b")
+    cos = dot_expr("a.embedding", "b.embedding", EMB_DIM) / (F.col("a.nrm") * F.col("b.nrm"))
+    probe = a.join(
+        b,
+        (F.col("a.cent_id") == F.col("b.cent_id")) & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src_id"),
+        F.col("b.vec_id").alias("dst_id"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("dst_id"))
+    return (
+        probe.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select("src_id", "dst_id", "cosine")
     )
 
 

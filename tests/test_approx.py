@@ -66,3 +66,90 @@ def test_random_projection_preserves_distances(t):
                 ratios.append(p2 / (RP_DIM * d2))
     assert ratios
     assert 0.3 < statistics.median(ratios) < 3.0
+
+
+def test_simhash_hamming_banding_is_exact_for_small_radius(t):
+    """Pigeonhole guarantee: the banded candidate join recovers EVERY
+    pair within hamming distance SIMHAM_MAX (recall 1.0), and the
+    popcount filter makes precision 1.0 — so the operator equals the
+    brute-force all-pairs scan over the signatures exactly."""
+    from realtimevotingdataengineer_spark.operators.dedup import (
+        SIMHAM_MAX,
+        dedup_simhash,
+        dedup_simhash_hamming,
+    )
+
+    sh = {r.doc_id: r.simhash for r in dedup_simhash(t).collect()}
+    ids = sorted(sh)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sh[a] ^ sh[b]).count("1") <= SIMHAM_MAX
+    }
+    got = {(r.doc_a, r.doc_b) for r in dedup_simhash_hamming(t).collect()}
+    assert got == brute
+
+
+def test_knn_graph_bucket_local_with_full_fanout(t):
+    """Every edge stays within one IVF bucket, fanout never exceeds
+    KNN_K, and any vector whose bucket has more than KNN_K members gets
+    exactly KNN_K neighbors."""
+    from collections import Counter
+
+    from realtimevotingdataengineer_spark.operators.similarity import (
+        KNN_CENTROIDS,
+        KNN_K,
+        ivf_assign_fixed,
+        sim_knn_graph,
+    )
+
+    rows = sim_knn_graph(t).collect()
+    fanout = Counter(r.src_id for r in rows)
+    assert max(fanout.values()) <= KNN_K
+    assign = {
+        r.vec_id: r.cent_id
+        for r in ivf_assign_fixed(t.embeddings, 1, KNN_CENTROIDS).collect()
+    }
+    for r in rows:
+        assert assign[r.src_id] == assign[r.dst_id]
+    bucket_size = Counter(assign.values())
+    for vid, cent in assign.items():
+        if bucket_size[cent] > KNN_K:
+            assert fanout[vid] == KNN_K, vid
+
+
+def test_hll_calibration_key_all_within_envelope(t):
+    from realtimevotingdataengineer_spark.operators.events_analytics import (
+        agg_approx_distinct,
+    )
+
+    rows = agg_approx_distinct(t).collect()
+    assert rows and all(r.approx_ok for r in rows)
+
+
+def test_gk_percentile_calibration_key_rank_window(t):
+    from realtimevotingdataengineer_spark.operators.events_analytics import (
+        agg_approx_percentile,
+    )
+
+    rows = agg_approx_percentile(t).collect()
+    assert rows and all(r.approx_ok for r in rows)
+
+
+def test_pagerank_teleport_floor_and_coverage(t):
+    """Every corpus vector gets a rank; the teleport term is a hard
+    floor; vectors with no in-edges sit exactly on it."""
+    from realtimevotingdataengineer_spark.operators.graph import (
+        PR_BASE,
+        graph_pagerank_knn,
+    )
+    from realtimevotingdataengineer_spark.operators.similarity import sim_knn_graph
+
+    ranks = {r.vec_id: r.pagerank for r in graph_pagerank_knn(t).collect()}
+    assert len(ranks) == t.embeddings.count()
+    assert min(ranks.values()) >= PR_BASE - 1e-12
+    dsts = {r.dst_id for r in sim_knn_graph(t).collect()}
+    for vid, r in ranks.items():
+        if vid not in dsts:
+            assert r == PR_BASE, vid
