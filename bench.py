@@ -49,6 +49,11 @@ HEADLINE = [
     "sim_quantized_topk",
     "corpus_prune_semdedup",
     "events_anomaly_zscore",
+    # round-4 additions: banded-hamming near-dup, bucket-local kNN graph,
+    # HLL calibration — one per new family
+    "dedup_simhash_hamming",
+    "sim_knn_graph",
+    "agg_approx_distinct",
 ]
 
 

@@ -546,3 +546,66 @@ def agg_approx_percentile(t: Tables) -> DataFrame:
         F.col("n_lt") <= (0.5 + eps) * F.col("n")
     )
     return rk.select("event_type", "n", ok.alias("approx_ok")).orderBy("event_type")
+
+
+#: Histogram bin width for the value column (fixed literal so the bin
+#: function is a pure stateless expression — no data-dependent pass).
+HIST_BIN_WIDTH = 10.0
+
+
+@register(
+    "events_value_histogram",
+    f"SELECT CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin, "
+    f"{HIST_BIN_WIDTH} * CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin_lo, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY bin ORDER BY bin",
+)
+def events_value_histogram(t: Tables) -> DataFrame:
+    """Fixed-width histogram of the value measure: a stateless bin
+    expression + one tiny-result aggregation (map-side combine collapses
+    each task to |bins| rows before a single small shuffle) — the
+    at-scale histogram plan; a rank-based equi-depth variant would need
+    a sort, which is what corpus_length_profile's percentile_disc does."""
+    bin_ = F.floor(F.col("value") / F.lit(HIST_BIN_WIDTH)).cast("bigint")
+    return (
+        t.events.groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.lit(HIST_BIN_WIDTH) * F.col("bin")).alias("bin_lo"),
+            "n",
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "profile_table_stats",
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(count(*) - count(user_id) AS BIGINT) AS n_null_user, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS ndv_user, "
+    "CAST(count(DISTINCT event_type) AS BIGINT) AS ndv_event_type, "
+    "min(value) AS min_value, max(value) AS max_value, "
+    "min(ts) AS min_ts, max(ts) AS max_ts, "
+    "CAST(min(event_id) AS BIGINT) AS min_event_id, "
+    "CAST(max(event_id) AS BIGINT) AS max_event_id FROM events",
+)
+def profile_table_stats(t: Tables) -> DataFrame:
+    """ANALYZE-style table profile in ONE scan: row count, null count,
+    distinct counts, and typed min/max for every profiled column as
+    parallel aggregates — the statistics a cost-based optimizer (or a
+    data-quality monitor) collects. At 100 TB each aggregate is
+    map-side-combinable and the scan is shared; the exact NDVs here are
+    the oracle-checked twins of agg_approx_distinct's HLL path, which is
+    what production would use for high-cardinality columns."""
+    return t.events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("user_id")).alias("n_null_user"),
+        F.count_distinct("user_id").alias("ndv_user"),
+        F.count_distinct("event_type").alias("ndv_event_type"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )

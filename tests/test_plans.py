@@ -212,3 +212,23 @@ def test_range_join_is_equi_join_not_nested_loop(t):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
     assert has_pushed_filter(df, "event_type")
+
+
+def test_knn_graph_uses_window_group_limit(t):
+    """sim_knn_graph's top-k must run as a WindowGroupLimit (partial
+    per-partition top-k BEFORE the src_id shuffle) — a full Window sort
+    of all candidate pairs would move n²/k rows through the exchange."""
+    df = QUERIES["sim_knn_graph"](t)
+    assert "WindowGroupLimit" in formatted_plan(df)
+
+
+def test_simhash_signature_is_single_aggregation(t):
+    """dedup_simhash must compute all 32 bit balances in ONE aggregation
+    over (doc, token) rows — the 32x-exploded formulation shuffles 32x
+    the volume. Structural check: exactly one shuffle beyond the initial
+    token explode (HashAggregate pair around one Exchange)."""
+    df = QUERIES["dedup_simhash"](t)
+    plan = formatted_plan(df)
+    assert "posexplode" not in plan.lower()
+    # the bit-index explode (sequence(0, 31)) must be gone
+    assert "sequence(0, 31" not in plan
