@@ -684,3 +684,54 @@ def pipeline_export_corpus(t: Tables) -> DataFrame:
         .select("doc_id", "source", "n_tokens", "split", "shard", "pos")
         .orderBy("doc_id")
     )
+
+
+#: Context-window length for sequence packing (tokens per training
+#: sequence; illustrative scale at the test corpus, parametric in SQL).
+PACK_CTX = 256
+
+
+@register(
+    "corpus_pack_sequences",
+    f"WITH tk AS (SELECT doc_id, CAST(len({TOKENS_SQL}) AS BIGINT) AS n_tokens "
+    "FROM documents), "
+    "c AS (SELECT doc_id, n_tokens, "
+    "CAST(sum(n_tokens) OVER (ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) "
+    "AS start_tok FROM tk) "
+    "SELECT doc_id, n_tokens, start_tok, "
+    f"CAST(start_tok // {PACK_CTX} AS BIGINT) AS seq_id, "
+    f"CAST(start_tok % {PACK_CTX} AS BIGINT) AS offset_in_seq, "
+    f"CAST((start_tok + n_tokens - 1) // {PACK_CTX} AS BIGINT) AS end_seq_id "
+    "FROM c ORDER BY doc_id",
+)
+def corpus_pack_sequences(t: Tables) -> DataFrame:
+    """Sequence packing for pretraining: concatenate the doc_id-ordered
+    token stream and cut it into PACK_CTX-token context windows — every
+    document gets its global start offset, its first/last sequence ids,
+    and its offset inside the first window (documents straddle windows,
+    exactly as packed pretraining batches do; end_seq_id - seq_id is the
+    straddle count). Pure integer window arithmetic, exact oracle.
+
+    Scale shape: one running-sum window over the doc ordering. A single
+    global ordering is a sequential scan at 100 TB — production packs
+    PER SHARD (corpus_interleave_shards provides the sharded ordering,
+    making this same window a per-shard partitioned one); the global
+    form here keeps the oracle one-to-one with the semantics."""
+    tk = t.documents.select("doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = tk.select(
+        "doc_id",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok"),
+    )
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        F.floor(F.col("start_tok") / PACK_CTX).cast("bigint").alias("seq_id"),
+        (F.col("start_tok") % PACK_CTX).alias("offset_in_seq"),
+        F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / PACK_CTX)
+        .cast("bigint")
+        .alias("end_seq_id"),
+    ).orderBy("doc_id")

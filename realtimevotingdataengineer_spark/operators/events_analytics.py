@@ -11,7 +11,7 @@ co-partitionable across stages.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -609,3 +609,127 @@ def profile_table_stats(t: Tables) -> DataFrame:
         F.min("event_id").alias("min_event_id"),
         F.max("event_id").alias("max_event_id"),
     )
+
+
+#: EWMA smoothing factor; the complement is written as the literal 0.8
+#: in BOTH engines (never derived as 1 - alpha at runtime — the repo's
+#: float-literal discipline).
+EWMA_ALPHA = 0.2
+
+_EWMA_SQL = (
+    "WITH d AS (SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, "
+    "CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY event_type, CAST(ts AS DATE)), "
+    "s AS (SELECT event_type, list(x ORDER BY day) AS xs, "
+    "list(day ORDER BY day) AS days FROM d GROUP BY event_type), "
+    "p AS (SELECT event_type, u.i AS i, days[u.i] AS day, xs[u.i] AS x, "
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_slice(xs, 1, u.i)), "
+    "(acc, v) -> 0.2 * v + 0.8 * acc) AS ewma "
+    "FROM s, LATERAL unnest(range(1, len(xs) + 1)) AS u(i)) "
+    "SELECT event_type, day, x, ewma FROM p ORDER BY event_type, day"
+)
+
+
+@register("events_ewma_daily", _EWMA_SQL)
+def events_ewma_daily(t: Tables) -> DataFrame:
+    """Zero-initialized EWMA (alpha=0.2) of the daily event-count series
+    per event_type — the recursive smoother every monitoring pipeline
+    runs, expressed as a per-day PREFIX left fold over the day-ordered
+    series: ewma_t = fold(0.2*x + 0.8*acc, init 0, x_1..x_t). The
+    recursion is inherently sequential per key, so the fold IS the
+    operator — bitwise-equal in both engines, partition-invariant.
+
+    Scale shape: series are grouped per key and folded inside the
+    group's collected array — per-key state lives in one task (fine:
+    series length = days, not events; the events→daily reduction is the
+    heavy, map-side-combinable part). The per-day prefix re-fold is
+    O(len²) in series length — right for dashboard-length series; a
+    single-pass variant would emit only the final smoothed value."""
+    d = t.events.groupBy(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    s = d.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("dx")
+    )
+    pe = s.select(
+        "event_type",
+        F.transform("dx", lambda e: e.getField("x")).alias("xs"),
+        F.posexplode("dx").alias("i0", "e"),
+    )
+    prefix = F.slice("xs", F.lit(1), F.col("i0") + F.lit(1))
+    ewma = F.aggregate(
+        prefix, F.lit(0.0), lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc
+    )
+    return pe.select(
+        "event_type",
+        F.col("e.day").alias("day"),
+        F.col("e.x").alias("x"),
+        ewma.alias("ewma"),
+    ).orderBy("event_type", "day")
+
+
+#: Gap-fill user cohort bound (keeps the spine |users|x|days|, not
+#: |all users|x|days|, at oracle scale; at 100 TB the spine is
+#: date-partitioned and the cohort is the full population).
+GAPFILL_USERS = 50
+
+_GAPFILL_SQL = (
+    "WITH base AS (SELECT user_id, CAST(ts AS DATE) AS d, "
+    f"CAST(count(*) AS BIGINT) AS n FROM events WHERE user_id < {GAPFILL_USERS} "
+    "AND event_type = 'purchase' GROUP BY user_id, CAST(ts AS DATE)), "
+    "days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events), "
+    f"users AS (SELECT DISTINCT user_id FROM events WHERE user_id < {GAPFILL_USERS} "
+    "AND event_type = 'purchase'), "
+    "spine AS (SELECT u.user_id, dy.d FROM users u CROSS JOIN days dy), "
+    "j AS (SELECT s.user_id, s.d, b.n FROM spine s "
+    "LEFT JOIN base b ON b.user_id = s.user_id AND b.d = s.d), "
+    "g AS (SELECT user_id, d, n, count(n) OVER (PARTITION BY user_id ORDER BY d "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM j) "
+    "SELECT user_id, strftime(d, '%Y-%m-%d') AS day, "
+    "CAST(coalesce(max(n) OVER (PARTITION BY user_id, grp), 0) AS BIGINT) AS n_filled, "
+    "n IS NOT NULL AS was_observed FROM g ORDER BY user_id, day"
+)
+
+
+@register("events_gapfill_daily", _GAPFILL_SQL)
+def events_gapfill_daily(t: Tables) -> DataFrame:
+    """Dense daily series with last-observation-carried-forward: build
+    the user x day spine, left-join the sparse observations (purchase
+    days per user — 541 observed of 1500 spine cells at sf0.01), then
+    fill gaps with the gap-and-islands LOCF (running count of non-nulls
+    forms the island id; the island's max is its one observation) —
+    portable to any engine, no IGNORE NULLS dependency. Leading gaps
+    fill with 0.
+
+    Scale shape: the spine is a broadcast-able date dimension crossed
+    with the key population; the fill is two windows over the spine
+    partitioned by user — no self-join, no per-row lookback scan."""
+    base = (
+        t.events.filter(
+            (F.col("user_id") < GAPFILL_USERS) & (F.col("event_type") == "purchase")
+        )
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    days = t.events.select(F.to_date("ts").alias("d")).distinct()
+    users = (
+        t.events.filter(
+            (F.col("user_id") < GAPFILL_USERS) & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+    )
+    spine = users.crossJoin(F.broadcast(days))
+    j = spine.join(base, ["user_id", "d"], "left")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = j.select("user_id", "d", "n", F.count("n").over(w_run).alias("grp"))
+    w_isl = Window.partitionBy("user_id", "grp")
+    return g.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.max("n").over(w_isl), F.lit(0).cast("bigint")).alias("n_filled"),
+        F.col("n").isNotNull().alias("was_observed"),
+    ).orderBy("user_id", "day")
