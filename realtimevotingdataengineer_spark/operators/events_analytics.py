@@ -733,3 +733,50 @@ def events_gapfill_daily(t: Tables) -> DataFrame:
         F.coalesce(F.max("n").over(w_isl), F.lit(0).cast("bigint")).alias("n_filled"),
         F.col("n").isNotNull().alias("was_observed"),
     ).orderBy("user_id", "day")
+
+
+@register(
+    "events_transition_matrix",
+    "WITH seq AS (SELECT user_id, event_type, lead(event_type) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events), "
+    "pairs AS (SELECT event_type AS from_type, next_type AS to_type, "
+    "CAST(count(*) AS BIGINT) AS n FROM seq WHERE next_type IS NOT NULL "
+    "GROUP BY event_type, next_type), "
+    "tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM pairs "
+    "GROUP BY from_type) "
+    "SELECT p.from_type, p.to_type, p.n, "
+    "CAST(p.n AS DOUBLE) / CAST(t.n_from AS BIGINT) AS prob "
+    "FROM pairs p JOIN tot t ON t.from_type = p.from_type "
+    "ORDER BY p.from_type, p.to_type",
+)
+def events_transition_matrix(t: Tables) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    ordered pair of consecutive events within a user's timeline (ties
+    broken by event_id so the sequence is deterministic), the transition
+    count and row-normalized probability — the session-model input for
+    next-action prediction and anomaly scoring.
+
+    Scale shape: one user_id shuffle for the lead window (the same
+    exchange every per-user sequence op shares — co-partitionable), then
+    a |event_types|² aggregation that collapses map-side. The
+    probability is integer/integer division — exact-oracled."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("n_from")).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )

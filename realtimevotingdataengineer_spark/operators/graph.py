@@ -171,3 +171,65 @@ def graph_label_propagation(t: Tables) -> DataFrame:
             .select("vec_id", F.coalesce("new_label", "label").alias("label"))
         )
     return labels.orderBy("vec_id")
+
+
+_CLUSTERING_SQL = (
+    _KNN_EDGES_CTES + ", "
+    "und AS (SELECT src_id AS a, dst_id AS b FROM knn "
+    "UNION SELECT dst_id, src_id FROM knn), "
+    "canon AS (SELECT a, b FROM und WHERE a < b), "
+    "deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY a), "
+    "wedge AS (SELECT u1.a AS v, u1.b AS x, u2.b AS y "
+    "FROM und u1 JOIN und u2 ON u2.a = u1.a AND u1.b < u2.b), "
+    "tri AS (SELECT w.v, CAST(count(*) AS BIGINT) AS n_tri FROM wedge w "
+    "JOIN canon c ON c.a = w.x AND c.b = w.y GROUP BY w.v) "
+    "SELECT d.v AS vec_id, d.deg, CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles, "
+    "CASE WHEN d.deg >= 2 THEN 2.0 * CAST(coalesce(t.n_tri, 0) AS BIGINT) "
+    "/ (d.deg * (d.deg - 1)) ELSE 0.0 END AS clustering_coeff "
+    "FROM deg d LEFT JOIN tri t ON t.v = d.v ORDER BY vec_id"
+)
+
+
+@register("graph_clustering_coeff", _CLUSTERING_SQL)
+def graph_clustering_coeff(t: Tables) -> DataFrame:
+    """Local clustering coefficient per node of the symmetrized k-NN
+    graph — triangles over wedges, the standard cohesion score that
+    separates vectors inside tight semantic clusters (coeff → 1) from
+    hub-like or boundary vectors (coeff → 0).
+
+    Triangle counting is the classic wedge-join: und ⨝ und generates
+    each node's neighbor pairs (Σ deg²/2 wedges — bounded here because
+    kNN fanout is a constant ≤ 2·KNN_K), then one join against the
+    canonical a<b edge set closes them. All-integer counts; the
+    coefficient is one double division — exact oracle."""
+    edges = sim_knn_graph(t).select("src_id", "dst_id").localCheckpoint(eager=True)
+    und = (
+        edges.select(F.col("src_id").alias("a"), F.col("dst_id").alias("b"))
+        .union(edges.select(F.col("dst_id").alias("a"), F.col("src_id").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused: canon, deg, both wedge sides
+    )
+    canon = und.filter(F.col("a") < F.col("b")).select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    )
+    deg = und.groupBy(F.col("a").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    u1, u2 = und.alias("u1"), und.alias("u2")
+    wedge = u1.join(
+        u2, (F.col("u2.a") == F.col("u1.a")) & (F.col("u1.b") < F.col("u2.b"))
+    ).select(F.col("u1.a").alias("v"), F.col("u1.b").alias("x"), F.col("u2.b").alias("y"))
+    tri = wedge.join(canon, ["x", "y"]).groupBy("v").agg(F.count(F.lit(1)).alias("n_tri"))
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0).cast("bigint"))
+    coeff = F.when(
+        F.col("deg") >= 2,
+        F.lit(2.0) * n_tri / (F.col("deg") * (F.col("deg") - 1)),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tri, "v", "left")
+        .select(
+            F.col("v").alias("vec_id"),
+            "deg",
+            n_tri.alias("n_triangles"),
+            coeff.alias("clustering_coeff"),
+        )
+        .orderBy("vec_id")
+    )

@@ -169,3 +169,69 @@ def search_bm25_topk(t: Tables) -> DataFrame:
         .select("query_id", "rank", "doc_id", "score", "n_terms_hit")
         .orderBy("query_id", "rank")
     )
+
+
+#: Keywords emitted per document.
+KW_TOP_K = 5
+
+#: sklearn-style smoothed idf, ln pinned through DECIMAL(18,9) (the
+#: _IDF_SQL trick: both engines round the possibly-1-ulp-apart double
+#: to the same 9-decimal value).
+_KW_IDF_SQL = (
+    "CAST(CAST(ln((1.0 + CAST(s.n_docs AS DOUBLE)) / "
+    "(1.0 + CAST(d.df AS DOUBLE))) AS DECIMAL(18,9)) AS DOUBLE) + 1.0"
+)
+
+_KW_SQL = (
+    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+    "dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk FROM tk), "
+    "stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM dl), "
+    "terms AS (SELECT doc_id, dl, u.term AS term, CAST(count(*) AS BIGINT) AS tf "
+    "FROM dl, LATERAL unnest(tk) AS u(term) GROUP BY doc_id, dl, u.term), "
+    "dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM terms GROUP BY term), "
+    "scored AS (SELECT trm.doc_id, trm.term, trm.tf, "
+    f"CAST(trm.tf AS DOUBLE) * ({_KW_IDF_SQL}) AS score "
+    "FROM terms trm JOIN dfreq d ON d.term = trm.term CROSS JOIN stats s), "
+    "rk AS (SELECT doc_id, term, tf, score, row_number() OVER ("
+    "PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM scored) "
+    "SELECT doc_id, CAST(rnk AS INT) AS rank, term, tf, score "
+    f"FROM rk WHERE rnk <= {KW_TOP_K} ORDER BY doc_id, rank"
+)
+
+
+@register("text_keywords_tfidf", _KW_SQL)
+def text_keywords_tfidf(t: Tables) -> DataFrame:
+    """TF-IDF keyword extraction: each document's KW_TOP_K most
+    distinctive terms by tf · (ln((1+N)/(1+df)) + 1) — the sklearn
+    smoothed idf — with ties broken lexically. Reuses the BM25 posting
+    list; the df table and corpus size broadcast, so the only
+    corpus-sized shuffles are the posting-list build and the per-doc
+    rank window.
+
+    ln is pinned through DECIMAL(18,9) (the _IDF_SQL trick), making a
+    transcendental-bearing score exactly oracle-checkable."""
+    dl = doc_lengths(t)
+    terms = inverted_index(dl)
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = (
+        F.log(
+            (F.lit(1.0) + F.col("n_docs").cast("double"))
+            / (F.lit(1.0) + F.col("df").cast("double"))
+        )
+        .cast("decimal(18,9)")
+        .cast("double")
+        + F.lit(1.0)
+    )
+    scored = (
+        terms.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", "tf", (F.col("tf").cast("double") * idf).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KW_TOP_K)
+        .select("doc_id", F.col("rnk").cast("int").alias("rank"), "term", "tf", "score")
+        .orderBy("doc_id", "rank")
+    )

@@ -358,8 +358,9 @@ def text_unigram_typicality(t: Tables) -> DataFrame:
     The production formulation is mean LOG-prob (perplexity), but ln is
     not bitwise-portable across engines (measured: DuckDB's libm ln
     differs from the JVM's Math.log in the last ulp on ~1% of inputs),
-    so the oracle-exact key scores in probability space — the ranking
-    the filter thresholds is monotone-equivalent per token.
+    so this key scores in pure-double probability space;
+    text_perplexity_unigram is the log-space twin that instead rounds
+    the divergence away through a DECIMAL(18,9) pin.
 
     Scale shape: vocab fit is one token shuffle with map-side combine;
     the corpus total is a 1-row broadcast; scoring re-joins tokens to
@@ -390,6 +391,65 @@ def text_unigram_typicality(t: Tables) -> DataFrame:
                 / F.count(F.lit(1))
             ).alias("mean_tok_prob"),
             F.min("p").alias("min_tok_prob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PPLX_SQL = (
+    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+    "toks AS (SELECT doc_id, u.i AS pos, tk[u.i] AS tok FROM tk, "
+    "LATERAL unnest(range(1, len(tk) + 1)) AS u(i)), "
+    "vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok), "
+    "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab), "
+    "probs AS (SELECT tok, CAST(CAST(ln(CAST(cnt AS DOUBLE) / "
+    "CAST(total AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE) AS lp "
+    "FROM vocab, tot), "
+    "scored AS (SELECT s.doc_id, s.pos, v.lp FROM toks s JOIN probs v ON s.tok = v.tok) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lp ORDER BY pos)), "
+    "(acc, x) -> acc + x) / count(*) AS mean_logprob "
+    "FROM scored GROUP BY doc_id ORDER BY doc_id"
+)
+
+
+@register("text_perplexity_unigram", _PPLX_SQL)
+def text_perplexity_unigram(t: Tables) -> DataFrame:
+    """Mean unigram log-probability per document — the actual
+    CCNet-style perplexity filter statistic (perplexity =
+    exp(-mean_logprob); the exp is monotone, so production thresholds
+    mean_logprob directly). Same plan as text_unigram_typicality with
+    one change: per-token ln(p) is pinned through DECIMAL(18,9) (the
+    BM25 _IDF_SQL trick), which makes the transcendental-bearing score
+    exactly oracle-checkable — the measured cross-libm ulp divergence
+    that keeps typicality in probability space is rounded away here."""
+    tk = spread(t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id")
+    toks = (
+        tk.select("doc_id", F.posexplode("tk").alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+        .localCheckpoint(eager=True)  # feeds vocab fit AND scoring join
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    lp = (
+        F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+        .cast("decimal(18,9)")
+        .cast("double")
+    )
+    probs = vocab.crossJoin(F.broadcast(tot)).select("tok", lp.alias("lp"))
+    scored = toks.join(probs, "tok")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+        lambda s: s.getField("lp"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x)
+                / F.count(F.lit(1))
+            ).alias("mean_logprob"),
         )
         .orderBy("doc_id")
     )
