@@ -153,3 +153,34 @@ def test_pagerank_teleport_floor_and_coverage(t):
     for vid, r in ranks.items():
         if vid not in dsts:
             assert r == PR_BASE, vid
+
+
+def test_transition_matrix_rows_normalize(t):
+    """Per-source transition probabilities must sum to exactly 1 (the
+    row counts divide their own total)."""
+    from collections import defaultdict
+
+    from realtimevotingdataengineer_spark.operators.events_analytics import (
+        events_transition_matrix,
+    )
+
+    rows = events_transition_matrix(t).collect()
+    assert rows
+    by_from = defaultdict(float)
+    for r in rows:
+        by_from[r.from_type] += r.prob
+    for k, s in by_from.items():
+        assert abs(s - 1.0) < 1e-9, (k, s)
+
+
+def test_clustering_coeff_bounds_and_triangle_symmetry(t):
+    """Coefficients live in [0, 1]; total triangle incidences divide by
+    3 (each triangle is counted once per corner)."""
+    from realtimevotingdataengineer_spark.operators.graph import (
+        graph_clustering_coeff,
+    )
+
+    rows = graph_clustering_coeff(t).collect()
+    assert rows
+    assert all(0.0 <= r.clustering_coeff <= 1.0 for r in rows)
+    assert sum(r.n_triangles for r in rows) % 3 == 0
