@@ -780,3 +780,107 @@ def events_transition_matrix(t: Tables) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "events_rolling_wau_hll",
+    "WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events), "
+    "user_days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS ud FROM events) "
+    "SELECT strftime(d, '%Y-%m-%d') AS day, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS wau_exact, TRUE AS sketch_ok "
+    "FROM days JOIN user_days ON ud BETWEEN d - 6 AND d GROUP BY d ORDER BY day",
+)
+def events_rolling_wau_hll(t: Tables) -> DataFrame:
+    """Rolling 7-day active users via MERGEABLE HLL sketches — the
+    scale path events_rolling_active_users' docstring promises: one
+    fixed-size sketch per day (map-side combinable), then a 7-row
+    union window and a point estimate, instead of range-joining the
+    |users|·|days| relation. The sketch-calibration oracle pattern
+    (agg_approx_distinct): the exact WAU is the oracled side and the
+    flag asserts the estimate lands within 5%.
+
+    At 100 TB this is THE workable rolling-distinct plan: day sketches
+    are a few KB each and the window unions |window| sketches per day;
+    the exact twin's range join exists to keep the estimator honest."""
+    sk = t.events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    est = sk.select(
+        "d", F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("wau_est")
+    )
+    user_days = t.events.select("user_id", F.to_date("ts").alias("ud")).distinct()
+    days = user_days.select(F.col("ud").alias("d")).distinct()
+    wau = (
+        days.join(user_days, F.col("ud").between(F.date_sub(F.col("d"), 6), F.col("d")))
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("wau_exact"))
+    )
+    ok = F.abs(F.col("wau_est") - F.col("wau_exact")) <= F.lit(0.05) * F.col("wau_exact")
+    return (
+        wau.join(est, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "wau_exact",
+            ok.alias("sketch_ok"),
+        )
+        .orderBy("day")
+    )
+
+
+#: Z-order key geometry: 8 bits per dimension (user bucket x day index).
+ZORDER_BITS = 8
+ZORDER_EPOCH = "2024-01-01"
+
+
+def _zorder_terms_sql(xe: str, ye: str) -> str:
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({xe}) >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((({ye}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "layout_zorder_events",
+    "WITH b AS (SELECT event_id, user_id % 256 AS user_bucket, "
+    f"date_diff('day', DATE '{ZORDER_EPOCH}', CAST(ts AS DATE)) & 255 AS day_idx "
+    "FROM events) "
+    "SELECT event_id, CAST(user_bucket AS BIGINT) AS user_bucket, "
+    "CAST(day_idx AS BIGINT) AS day_idx, "
+    f"CAST({_zorder_terms_sql('user_bucket', 'day_idx')} AS BIGINT) AS zkey "
+    "FROM b ORDER BY event_id",
+)
+def layout_zorder_events(t: Tables) -> DataFrame:
+    """Z-order (Morton) clustering key over (user bucket, day) — the
+    data-layout operator behind multi-dimensional data skipping (Delta
+    OPTIMIZE ZORDER analog): writing the fact sorted by interleaved-bit
+    zkey puts rows close in BOTH dimensions into the same files, so
+    min/max file stats prune point-and-range predicates on either
+    column. The key itself is pure bit arithmetic (unrolled interleave,
+    exact oracle); at scale the layout job is
+    repartitionByRange(zkey) -> sortWithinPartitions -> write, and this
+    projection is its sort key."""
+    x = F.pmod(F.col("user_id"), F.lit(256))
+    y = F.datediff(F.to_date("ts"), F.lit(ZORDER_EPOCH).cast("date")).bitwiseAND(
+        F.lit(255)
+    )
+    b = t.events.select("event_id", x.alias("user_bucket"), y.alias("day_idx"))
+    zkey = None
+    for i in range(ZORDER_BITS):
+        xt = (
+            F.shiftright("user_bucket", i).bitwiseAND(F.lit(1)).cast("bigint")
+            * F.lit(1 << (2 * i)).cast("bigint")
+        )
+        yt = (
+            F.shiftright("day_idx", i).bitwiseAND(F.lit(1)).cast("bigint")
+            * F.lit(1 << (2 * i + 1)).cast("bigint")
+        )
+        term = xt + yt
+        zkey = term if zkey is None else zkey + term
+    return b.select(
+        "event_id",
+        F.col("user_bucket").cast("bigint").alias("user_bucket"),
+        F.col("day_idx").cast("bigint").alias("day_idx"),
+        zkey.cast("bigint").alias("zkey"),
+    ).orderBy("event_id")
