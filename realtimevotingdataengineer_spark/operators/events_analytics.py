@@ -884,3 +884,39 @@ def layout_zorder_events(t: Tables) -> DataFrame:
         F.col("day_idx").cast("bigint").alias("day_idx"),
         zkey.cast("bigint").alias("zkey"),
     ).orderBy("event_id")
+
+
+@register(
+    "events_seasonality_profile",
+    "SELECT CAST(isodow(ts) AS BIGINT) AS dow, "
+    "CAST(hour(ts) AS BIGINT) AS hour, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share "
+    "FROM events GROUP BY dow, hour ORDER BY dow, hour",
+)
+def events_seasonality_profile(t: Tables) -> DataFrame:
+    """Hour-of-day × ISO-day-of-week traffic profile with global share —
+    the seasonality matrix behind anomaly baselines and capacity
+    planning (events_anomaly_zscore's trailing window is the temporal
+    view; this is the cyclic one). A 7×24-bounded aggregation with
+    map-side combine plus a 1-row broadcast total; the share is one
+    double division of exact counts. UTC session timezone pins hour()
+    and the ISO dow convention matches DuckDB's isodow (Mon=1)."""
+    tot = t.events.agg(F.count(F.lit(1)).alias("total"))
+    prof = t.events.groupBy(
+        F.dayofweek("ts").alias("_raw_dow"),
+        F.hour("ts").alias("hour"),
+    )
+    # Spark dayofweek: Sun=1..Sat=7 — convert to ISO Mon=1..Sun=7
+    iso = (F.pmod(F.col("_raw_dow") + F.lit(5), F.lit(7)) + F.lit(1)).cast("bigint")
+    return (
+        prof.agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            iso.alias("dow"),
+            F.col("hour").cast("bigint").alias("hour"),
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+        )
+        .orderBy("dow", "hour")
+    )

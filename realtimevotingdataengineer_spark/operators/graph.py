@@ -233,3 +233,88 @@ def graph_clustering_coeff(t: Tables) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+#: BFS frontier rounds (unrolled; distances beyond this are NULL).
+BFS_ITERS = 3
+#: Deterministic seed: the smallest vec_id.
+BFS_SEED = 0
+
+
+def _bfs_iter_sql(i: int) -> str:
+    """One BFS relaxation: dist[v] = min(dist[v], min over in-neighbors
+    (dist[u] + 1)) — synchronous Bellman-Ford on unit weights."""
+    return (
+        f"d{i} AS (SELECT n.vec_id, least(coalesce(p.dist, {10**9}), "
+        f"coalesce(m.reach, {10**9})) AS dist "
+        f"FROM nodes n LEFT JOIN d{i - 1} p ON p.vec_id = n.vec_id "
+        "LEFT JOIN (SELECT u.b AS vec_id, min(pd.dist) + 1 AS reach "
+        f"FROM und u JOIN d{i - 1} pd ON pd.vec_id = u.a "
+        f"WHERE pd.dist < {10**9} GROUP BY u.b) m ON m.vec_id = n.vec_id)"
+    )
+
+
+_BFS_SQL = (
+    _KNN_EDGES_CTES + ", "
+    "und AS (SELECT src_id AS a, dst_id AS b FROM knn "
+    "UNION SELECT dst_id, src_id FROM knn), "
+    "nodes AS (SELECT vec_id FROM embeddings), "
+    f"d0 AS (SELECT vec_id, CASE WHEN vec_id = {BFS_SEED} THEN 0 "
+    f"ELSE {10**9} END AS dist FROM nodes), "
+    + ", ".join(_bfs_iter_sql(i) for i in range(1, BFS_ITERS + 1))
+    + " SELECT vec_id, CAST(dist AS BIGINT) AS dist "
+    f"FROM d{BFS_ITERS} WHERE dist < {10**9} ORDER BY vec_id"
+)
+
+
+@register("graph_bfs_distance", _BFS_SQL)
+def graph_bfs_distance(t: Tables) -> DataFrame:
+    """Unweighted shortest-path distances from the seed vector over the
+    symmetrized k-NN graph, BFS_ITERS synchronous relaxation rounds
+    (Bellman-Ford on unit weights — the Pregel iteration shape): each
+    round every node takes the min of its current distance and
+    1 + min(neighbor distances). Nodes still unreached after the last
+    round are omitted. All-integer, exact oracle.
+
+    Scale shape per round: one edges⨝distances join + one min-agg keyed
+    by the neighbor — the identical co-partitionable pair as
+    PageRank/LPA; the INF sentinel keeps the relation dense so no round
+    grows the plan."""
+    INF = 10**9
+    edges = sim_knn_graph(t).select("src_id", "dst_id").localCheckpoint(eager=True)
+    und = (
+        edges.select(F.col("src_id").alias("a"), F.col("dst_id").alias("b"))
+        .union(edges.select(F.col("dst_id").alias("a"), F.col("src_id").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round
+    )
+    nodes = t.embeddings.select("vec_id")
+    dist = nodes.select(
+        "vec_id",
+        F.when(F.col("vec_id") == BFS_SEED, F.lit(0)).otherwise(F.lit(INF)).alias("dist"),
+    )
+    for _ in range(BFS_ITERS):
+        reach = (
+            und.join(
+                dist.select(F.col("vec_id").alias("a"), F.col("dist").alias("pd")), "a"
+            )
+            .filter(F.col("pd") < INF)
+            .groupBy(F.col("b").alias("vec_id"))
+            .agg((F.min("pd") + F.lit(1)).alias("reach"))
+        )
+        dist = (
+            nodes.join(dist, "vec_id", "left")
+            .join(reach, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.least(
+                    F.coalesce(F.col("dist"), F.lit(INF)),
+                    F.coalesce(F.col("reach"), F.lit(INF)),
+                ).alias("dist"),
+            )
+        )
+    return (
+        dist.filter(F.col("dist") < INF)
+        .select("vec_id", F.col("dist").cast("bigint").alias("dist"))
+        .orderBy("vec_id")
+    )

@@ -1273,3 +1273,42 @@ def window_session_native(t: Tables) -> DataFrame:
         "session_start",
         "session_end",
     )
+
+
+@register(
+    "window_value_battery",
+    "SELECT o_custkey, o_orderkey, "
+    "first_value(o_totalprice) OVER w AS first_price, "
+    "last_value(o_totalprice) OVER w AS latest_price, "
+    "nth_value(o_totalprice, 2) OVER w AS second_price, "
+    "CAST(o_totalprice AS DOUBLE) - first_value(CAST(o_totalprice AS DOUBLE)) "
+    "OVER w AS delta_vs_first "
+    "FROM orders WINDOW w AS (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "ORDER BY o_custkey, o_orderkey",
+)
+def window_value_battery(t: Tables) -> DataFrame:
+    """Value-navigation window battery per customer order history:
+    first_value / last_value / nth_value plus a delta-vs-first measure —
+    the analytic functions the rank battery (window_rank_battery)
+    doesn't cover. The frame is explicitly UNBOUNDED
+    PRECEDING..CURRENT ROW in both engines: last_value over the default
+    frame is the current row (a classic cross-engine semantics trap —
+    pinning the frame makes it deterministic and identical), and the
+    (o_orderdate, o_orderkey) order is a total order so every navigated
+    value is unambiguous. One custkey shuffle."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    price_d = F.col("o_totalprice").cast("double")
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("latest_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        (price_d - F.first(price_d).over(w)).alias("delta_vs_first"),
+    ).orderBy("o_custkey", "o_orderkey")
