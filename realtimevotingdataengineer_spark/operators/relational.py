@@ -1312,3 +1312,106 @@ def window_value_battery(t: Tables) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
         (price_d - F.first(price_d).over(w)).alias("delta_vs_first"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "orders_rfm_segmentation",
+    "WITH base AS (SELECT o_custkey, max(o_orderdate) AS last_order, "
+    "CAST(count(*) AS BIGINT) AS frequency, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS monetary "
+    "FROM orders GROUP BY o_custkey), "
+    "mx AS (SELECT max(o_orderdate) AS maxd FROM orders) "
+    "SELECT o_custkey, "
+    "CAST(date_diff('day', last_order, maxd) AS BIGINT) AS recency_days, "
+    "frequency, monetary, "
+    "CAST(ntile(4) OVER (ORDER BY date_diff('day', last_order, maxd), o_custkey) AS INT) AS r_quartile, "
+    "CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_quartile, "
+    "CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m_quartile "
+    "FROM base CROSS JOIN mx ORDER BY o_custkey",
+)
+def orders_rfm_segmentation(t: Tables) -> DataFrame:
+    """RFM customer segmentation: per-customer recency (days since last
+    order, against the corpus max date), frequency, and exact-DECIMAL
+    monetary total, each cut into quartiles with deterministic custkey
+    tie-breaks — the classic lifecycle-marketing segmentation.
+
+    Scale note: the heavy part is the per-customer aggregation (one
+    custkey shuffle, map-side combinable); the ntile windows then run
+    over the |customers| relation. A global ntile is a single-partition
+    sort — fine for a segmentation output, and at extreme |customers|
+    the quartile boundaries come from approx_percentile instead and the
+    cut becomes a stateless comparison (the agg_approx_percentile
+    calibration pattern)."""
+    base = t.orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(20,2)")).cast("double").alias("monetary"),
+    )
+    mx = t.orders.agg(F.max("o_orderdate").alias("maxd"))
+    scored = base.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        F.datediff("maxd", "last_order").cast("bigint").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    wr = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+    ).orderBy("o_custkey")
+
+
+@register(
+    "lineitem_abc_analysis",
+    "WITH rev AS (SELECT l_partkey, "
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DECIMAL(38,2)) AS revenue "
+    "FROM lineitem GROUP BY l_partkey), "
+    "tot AS (SELECT CAST(sum(revenue) AS DECIMAL(38,2)) AS total FROM rev), "
+    "c AS (SELECT l_partkey, revenue, CAST(sum(revenue) OVER ("
+    "ORDER BY revenue DESC, l_partkey) AS DECIMAL(38,2)) AS cum FROM rev) "
+    "SELECT l_partkey, CAST(revenue AS DOUBLE) AS revenue, "
+    "CASE WHEN cum * 5 <= total * 4 THEN 'A' "
+    "WHEN cum * 20 <= total * 19 THEN 'B' ELSE 'C' END AS abc_class "
+    "FROM c CROSS JOIN tot ORDER BY l_partkey",
+)
+def lineitem_abc_analysis(t: Tables) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by exact
+    DECIMAL revenue; class A holds the first 80% of cumulative revenue,
+    B the next 15%, C the tail. The 80/95% cuts are DECIMAL-times-
+    integer comparisons (cum·5 ≤ total·4, cum·20 ≤ total·19) — no
+    decimal division whose result scale could differ across engines, so
+    the class boundary is bitwise-portable.
+
+    Scale shape: one partkey shuffle for the revenue agg; the running
+    sum orders the |parts| relation (single-partition window — the
+    segmentation-output caveat of orders_rfm_segmentation applies)."""
+    rev = t.lineitem.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(20,2)"))
+        .cast("decimal(38,2)")
+        .alias("revenue")
+    )
+    tot = rev.agg(F.sum("revenue").cast("decimal(38,2)").alias("total"))
+    w = (
+        Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = rev.select(
+        "l_partkey", "revenue", F.sum("revenue").over(w).cast("decimal(38,2)").alias("cum")
+    )
+    cls = (
+        F.when(F.col("cum") * 5 <= F.col("total") * 4, F.lit("A"))
+        .when(F.col("cum") * 20 <= F.col("total") * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select("l_partkey", F.col("revenue").cast("double").alias("revenue"), cls.alias("abc_class"))
+        .orderBy("l_partkey")
+    )
