@@ -232,3 +232,19 @@ def test_simhash_signature_is_single_aggregation(t):
     assert "posexplode" not in plan.lower()
     # the bit-index explode (sequence(0, 31)) must be gone
     assert "sequence(0, 31" not in plan
+
+
+def test_gapfill_broadcasts_day_spine(t):
+    """events_gapfill_daily's user×day spine must come from a broadcast
+    of the tiny day dimension — a shuffled cross join would move the
+    whole key population through an exchange for a 30-row spine side."""
+    df = QUERIES["events_gapfill_daily"](t)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_tfidf_broadcasts_corpus_stats(t):
+    """text_keywords_tfidf joins the posting list to df/N stats — both
+    must broadcast (the posting list is the corpus-sized side and must
+    never shuffle for these joins)."""
+    df = QUERIES["text_keywords_tfidf"](t)
+    assert broadcast_join_count(df) >= 2
