@@ -41,16 +41,25 @@ _COS = (
 )
 
 
-@register(
-    "sim_bruteforce_topk",
+#: Shared CTE prefix ending in `ranked(query_id, neighbor_id, cosine, rn)`
+#: — exact brute-force cosine top-k. The registered exact key selects all
+#: three columns; sim_topk_arrow_pairs selects the id pairs only (the
+#: neighbor-SET is engine-portable even though numpy's cosines aren't
+#: bitwise-equal to the pinned chains).
+_BF_TOPK_CTE = (
     "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < "
     f"{N_QUERIES}), scored AS ("
     f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cosine "
-    "FROM q, embeddings c WHERE q.vec_id <> c.vec_id) "
-    "SELECT query_id, neighbor_id, cosine FROM ("
-    "SELECT query_id, neighbor_id, cosine, row_number() OVER ("
+    "FROM q, embeddings c WHERE q.vec_id <> c.vec_id), "
+    "ranked AS (SELECT query_id, neighbor_id, cosine, row_number() OVER ("
     "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM scored) "
-    f"WHERE rn <= {TOP_K}",
+)
+
+
+@register(
+    "sim_bruteforce_topk",
+    _BF_TOPK_CTE
+    + f"SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= {TOP_K}",
 )
 def sim_bruteforce_topk(t: Tables) -> DataFrame:
     """Exact cosine top-k for each query vector (vec_id < N_QUERIES)
@@ -191,6 +200,21 @@ def sim_bruteforce_topk_arrow(t: Tables) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+@register(
+    "sim_topk_arrow_pairs",
+    _BF_TOPK_CTE + f"SELECT query_id, neighbor_id FROM ranked WHERE rn <= {TOP_K}",
+)
+def sim_topk_arrow_pairs(t: Tables) -> DataFrame:
+    """Registered oracle envelope for the Arrow kernel (round-4 verdict
+    ask): the kernel's float64-BLAS cosines differ from the pinned-chain
+    doubles in the last ulps, so the VALUE column can't be oracled — but
+    the neighbor SET can. This key projects the kernel's (query_id,
+    neighbor_id) pairs and the oracle computes the exact top-k pairs, so
+    the driver's hash compare asserts neighbor-set equality every round
+    (ties at the k-boundary aside — pytest shows none at these SFs)."""
+    return sim_bruteforce_topk_arrow(t).select("query_id", "neighbor_id")
 
 
 def kmeans_fit(emb: DataFrame, k: int = N_CENTROIDS, iters: int = 2) -> DataFrame:
@@ -680,6 +704,85 @@ def sim_knn_graph(t: Tables) -> DataFrame:
         .filter(F.col("rn") <= KNN_K)
         .select("src_id", "dst_id", "cosine")
     )
+
+
+@register("sim_knn_graph_arrow")  # numpy float math ⇒ rows-only; the pairs key carries the oracle
+def sim_knn_graph_arrow(t: Tables) -> DataFrame:
+    """BLAS kernel for the bucket-local k-NN graph — same semantics as
+    sim_knn_graph (every vector's KNN_K nearest by exact cosine within
+    its IVF bucket), but the per-bucket all-pairs scoring is ONE float64
+    matmul per bucket inside applyInPandas instead of ~n²/k 64-term
+    codegen chains. The per-pair constant was sim_knn_graph's entire
+    cost (6.5s of the 31s round-4 bench, a per-pair codegen constant,
+    not a shuffle problem — PERF.md); BLAS makes it vanish.
+
+    Plan shape is unchanged and 100 TB-ready: one shuffle on cent_id
+    (the applyInPandas grouping), per-bucket work n²/k with k scaled
+    √n, and the per-src top-k happens INSIDE the kernel so only K edges
+    per vector leave Python — no second window shuffle at all (the
+    codegen variant needs one). Tie-break matches the exact operator:
+    vectors are sorted by vec_id and argsort is stable, so equal
+    cosines resolve to the smaller dst_id. pytest asserts edge-set
+    parity with sim_knn_graph at sf0.01 and sf0.1."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("src_id", LongType()),
+            StructField("dst_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def per_bucket(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"src_id": [], "dst_id": [], "cosine": []}).astype(
+                {"src_id": "int64", "dst_id": "int64", "cosine": "float64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        m = np.array(list(pdf["embedding"]), dtype=np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ mn.T
+        np.fill_diagonal(sims, -np.inf)  # self-pairs excluded; sorts last
+        k = min(KNN_K, n - 1)
+        # stable argsort on -cos over id-ordered columns == the exact
+        # operator's (cosine DESC, dst_id ASC) ordering
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+        return pd.DataFrame(
+            {
+                "src_id": np.repeat(ids, k),
+                "dst_id": ids[order.ravel()],
+                "cosine": np.take_along_axis(sims, order, axis=1).ravel(),
+            }
+        )
+
+    assign = ivf_assign_fixed(t.embeddings, 1, KNN_CENTROIDS)
+    side = assign.join(t.embeddings.select("vec_id", "embedding"), "vec_id")
+    return side.groupBy("cent_id").applyInPandas(per_bucket, out_schema)
+
+
+@register(
+    "sim_knn_graph_arrow_pairs",
+    _KNN_EDGES_CTES + " SELECT src_id, dst_id FROM knn",
+)
+def sim_knn_graph_arrow_pairs(t: Tables) -> DataFrame:
+    """Oracle envelope for the kNN BLAS kernel (same pattern as
+    sim_topk_arrow_pairs): the edge SET is engine-portable even though
+    numpy's cosines differ from the pinned chains in the last ulps, so
+    this key hash-checks the kernel's (src_id, dst_id) pairs against the
+    exact SQL k-NN graph every round."""
+    return sim_knn_graph_arrow(t).select("src_id", "dst_id")
 
 
 @register(

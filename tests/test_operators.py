@@ -53,11 +53,12 @@ def test_every_query_runs_and_has_rows(t):
 
 def test_every_query_has_oracle_or_reason(t):
     sql_free = set(QUERIES) - set(ORACLES)
-    # only the numpy/BLAS kernel may skip the SQL oracle (non-pinned
+    # only the numpy/BLAS kernels may skip the SQL oracle (non-pinned
     # float summation order inside BLAS); everything else — including
     # the fitted-kmeans IVF since the ordered-fold means of round 3 —
-    # is exact-oracled
-    assert sql_free == {"sim_bruteforce_topk_arrow"}
+    # is exact-oracled, and each BLAS kernel carries a registered *_pairs
+    # key whose neighbor-SET is hash-checked against the exact SQL
+    assert sql_free == {"sim_bruteforce_topk_arrow", "sim_knn_graph_arrow"}
 
 
 def test_topk_tiebreak_deterministic(t):
@@ -112,6 +113,92 @@ def test_arrow_topk_matches_exact(t):
     for qid in exact:
         overlap = len(exact[qid] & arrow[qid])
         assert overlap >= len(exact[qid]) - 1, (qid, exact[qid], arrow[qid])
+
+
+@pytest.mark.parametrize(
+    "knn_sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_arrow_knn_graph_matches_exact(spark, knn_sf):
+    """The bucket-local BLAS kNN kernel must produce the IDENTICAL edge
+    set as the exact codegen operator (cosines may differ in the last
+    ulp; tie-break is pinned the same way in both). Checked at sf0.01
+    AND sf0.1 per the round-4 verdict; the registered
+    sim_knn_graph_arrow_pairs key re-asserts this against the DuckDB
+    oracle every driver round."""
+    tt = Tables(spark, knn_sf)
+    exact = {(r.src_id, r.dst_id) for r in QUERIES["sim_knn_graph"](tt).collect()}
+    arrow = {
+        (r.src_id, r.dst_id) for r in QUERIES["sim_knn_graph_arrow"](tt).collect()
+    }
+    assert exact == arrow
+
+
+def test_fuzzy_edit_gate_lossless(spark):
+    """The count-sketch gate inside dedup_fuzzy_edit must be LOSSLESS:
+    crafted pairs within <=16 edits of each other (substitutions,
+    inserts, deletes at random positions — the worst case for positional
+    features) must all surface, with the distances the plain all-pairs
+    Python DP computes. Soundness too: no extra pairs."""
+    import random
+
+    from realtimevotingdataengineer_spark.operators.dedup import (
+        FUZZY_ED_MAX,
+        dedup_fuzzy_edit,
+    )
+
+    rng = random.Random(42)
+    alpha = "abcdefgh "
+    docs = []
+    for b in range(12):
+        base = "".join(rng.choice(alpha) for _ in range(rng.randint(40, 160)))
+        docs.append(base)
+        # a near-dup with k <= D random edits
+        k = rng.randint(1, FUZZY_ED_MAX)
+        s = list(base)
+        for _ in range(k):
+            op = rng.choice("sid")
+            pos = rng.randrange(max(len(s), 1))
+            if op == "s" and s:
+                s[pos] = rng.choice(alpha)
+            elif op == "i":
+                s.insert(pos, rng.choice(alpha))
+            elif s:
+                del s[pos]
+        docs.append("".join(s))
+
+    def dp(x, y):
+        if abs(len(x) - len(y)) > FUZZY_ED_MAX:
+            return None
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i] + [0] * len(y)
+            for j, cy in enumerate(y, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cx != cy))
+            prev = cur
+        return prev[-1] if prev[-1] <= FUZZY_ED_MAX else None
+
+    # the operator normalizes text (lower + collapse whitespace); feed it
+    # already-normal strings so the DP ground truth matches 1:1
+    norm = [" ".join(d.lower().split()) for d in docs]
+    expected = {}
+    for i in range(len(norm)):
+        for j in range(i + 1, len(norm)):
+            e = dp(norm[i], norm[j])
+            if e is not None:
+                expected[(i, j)] = e
+    assert expected, "fixture produced no near pairs"
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+
+    class _T:
+        documents = df
+
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist for r in dedup_fuzzy_edit(_T()).collect()
+    }
+    assert got == expected
 
 
 def test_ivf_recall_vs_bruteforce(t):
