@@ -544,6 +544,153 @@ def dedup_simhash_hamming(t: Tables) -> DataFrame:
     )
 
 
+#: The 100 TB dial of dedup_simhash_hamming, registered (round-4 verdict
+#: ask #3): 64-bit signature banded at 16 bits — 2^16 buckets per band
+#: instead of 2^8, with the identical pigeonhole bound (radius <=
+#: bands-1 = 3 pairs always share a band).
+SIMHAM64_BANDS = 4
+SIMHAM64_MAX = SIMHAM64_BANDS - 1
+
+#: Hex digits whose nibble has bit b set, b = 0..3. Signature bit k
+#: reads bit (k mod 4) of md5 nibble (k div 4) — 64 independent fair
+#: bits from the first 16 nibbles, portable to any engine with md5.
+_NIB_BIT_HEX = ["13579bdf", "2367abef", "4567cdef", "89abcdef"]
+
+
+def _duck_bit64(i_expr: str) -> str:
+    """DuckDB predicate: bit (i%4) of md5 nibble (i//4) is set."""
+    branches = []
+    for b in range(4):
+        digits = ", ".join(f"'{c}'" for c in _NIB_BIT_HEX[b])
+        branches.append(f"WHEN {b} THEN substr(h, ({i_expr} // 4) + 1, 1) IN ({digits})")
+    return f"CASE {i_expr} % 4 " + " ".join(branches) + " ELSE FALSE END"
+
+
+_SIMHASH64_CTES = (
+    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+    "toks AS (SELECT DISTINCT doc_id, u.tok FROM tk, LATERAL unnest(tk) AS u(tok)), "
+    "hx AS (SELECT doc_id, md5(tok) AS h FROM toks), "
+    "bits AS (SELECT doc_id, s.i, "
+    f"sum(CASE WHEN {_duck_bit64('s.i')} THEN 1 ELSE -1 END) AS bal "
+    "FROM hx, (SELECT unnest(range(0, 64)) AS i) s GROUP BY doc_id, s.i), "
+    # two 32-bit words dodge BIGINT's sign bit portably
+    "sh64 AS (SELECT doc_id, "
+    "CAST(sum(CASE WHEN bal > 0 AND i < 32 THEN CAST(power(2, i) AS BIGINT) "
+    "ELSE 0 END) AS BIGINT) AS lo, "
+    "CAST(sum(CASE WHEN bal > 0 AND i >= 32 THEN CAST(power(2, i - 32) AS BIGINT) "
+    "ELSE 0 END) AS BIGINT) AS hi FROM bits GROUP BY doc_id)"
+)
+
+_SIMHAM64_SQL = (
+    _SIMHASH64_CTES + ", "
+    "bands AS (SELECT doc_id, lo, hi, s.j AS band, "
+    "CASE s.j WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535 "
+    "WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bv "
+    f"FROM sh64, (SELECT unnest(range(0, {SIMHAM64_BANDS})) AS j) s), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "a.lo AS la, a.hi AS hia, b.lo AS lb, b.hi AS hib FROM bands a JOIN bands b "
+    "ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id) "
+    "SELECT doc_a, doc_b, "
+    "CAST(bit_count(xor(la, lb)) + bit_count(xor(hia, hib)) AS INT) AS hamming "
+    f"FROM cand WHERE bit_count(xor(la, lb)) + bit_count(xor(hia, hib)) <= {SIMHAM64_MAX} "
+    "ORDER BY doc_a, doc_b"
+)
+
+
+def simhash64_signatures(t: Tables) -> DataFrame:
+    """(doc_id, lo, hi): 64-bit SimHash as two 32-bit words (sign-bit-
+    portable across engines). Same one-shuffle shape as dedup_simhash —
+    64 parallel map-side-combinable bit balances over the distinct
+    (doc, token) relation, then one projection packs the words."""
+    tk = spread(t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id")
+    toks = tk.select("doc_id", F.explode("tk").alias("tok")).distinct()
+    hexed = toks.select("doc_id", F.md5("tok").alias("h"))
+    bal = hexed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring("h", k // 4 + 1, 1).isin(*list(_NIB_BIT_HEX[k % 4])),
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"b{k}")
+            for k in range(64)
+        ]
+    )
+    lo = None
+    hi = None
+    for k in range(32):
+        tlo = F.when(F.col(f"b{k}") > 0, F.lit(1 << k).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        thi = F.when(
+            F.col(f"b{k + 32}") > 0, F.lit(1 << k).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        lo = tlo if lo is None else lo + tlo
+        hi = thi if hi is None else hi + thi
+    return bal.select("doc_id", lo.alias("lo"), hi.alias("hi"))
+
+
+@register("dedup_simhash64_hamming", _SIMHAM64_SQL)
+def dedup_simhash64_hamming(t: Tables) -> DataFrame:
+    """Near-dup pairs within hamming distance SIMHAM64_MAX of the 64-BIT
+    SimHash, banded at 16 bits — the documented scale dial of
+    dedup_simhash_hamming made a registered, oracle-checked key instead
+    of a comment. 2^16 buckets per band means a 256×-finer candidate
+    partition than the 8-bit banding, which is what keeps the band join
+    sub-quadratic on a 100 TB corpus; the pigeonhole bound is identical
+    (<= 3 flipped bits touch <= 3 of 4 bands), pytest-asserted against
+    the brute-force pair scan (generalized small-radius recall test).
+    The signature rides as two 32-bit words so neither engine touches
+    BIGINT's sign bit."""
+    sh = simhash64_signatures(t).localCheckpoint(eager=True)  # both join sides
+    bvs = [
+        F.col("lo").bitwiseAND(F.lit(65535)),
+        F.shiftright("lo", 16).bitwiseAND(F.lit(65535)),
+        F.col("hi").bitwiseAND(F.lit(65535)),
+        F.shiftright("hi", 16).bitwiseAND(F.lit(65535)),
+    ]
+    bands = sh.select(
+        "doc_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), bv.alias("bv"))
+                    for j, bv in enumerate(bvs)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "lo", "hi", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lo").alias("la"),
+            F.col("a.hi").alias("hia"),
+            F.col("b.lo").alias("lb"),
+            F.col("b.hi").alias("hib"),
+        )
+        .distinct()  # a pair may share several bands
+    )
+    ham = (
+        F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+        + F.bit_count(F.col("hia").bitwiseXOR(F.col("hib")))
+    ).cast("int")
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHAM64_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # Shared CTE chain ending at `clus`, and the final SELECT over it — kept
 # as separate constants so _CLUSTERS_SQL and _CLEAN_SQL are both plain
 # concatenations (no post-hoc string surgery that could silently no-op).

@@ -782,6 +782,19 @@ def events_transition_matrix(t: Tables) -> DataFrame:
     )
 
 
+#: Datasketches HLL precision for the WAU sketches, passed EXPLICITLY so
+#: a Spark-default drift cannot silently change the estimator's accuracy
+#: (round-4 ADVICE). lgConfigK=12 ⇒ relative standard error
+#: 1.04/sqrt(2^12) ≈ 1.63%.
+WAU_LGK = 12
+#: Oracle-checked error envelope for the WAU estimate: ~3× the lgK=12
+#: RSE (the agg_approx_distinct HLL_BOUND pattern — a named, derived
+#: margin, not a bare literal). Measured max relative error across the
+#: three test SFs at lgK=12 is 0.81% (sf0.1; exact at the smaller SFs),
+#: so the margin is ~6× the observed worst case.
+WAU_BOUND = 0.05
+
+
 @register(
     "events_rolling_wau_hll",
     "WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events), "
@@ -803,7 +816,7 @@ def events_rolling_wau_hll(t: Tables) -> DataFrame:
     are a few KB each and the window unions |window| sketches per day;
     the exact twin's range join exists to keep the estimator honest."""
     sk = t.events.groupBy(F.to_date("ts").alias("d")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id", WAU_LGK).alias("sk")
     )
     w = Window.orderBy("d").rowsBetween(-6, 0)
     est = sk.select(
@@ -816,7 +829,10 @@ def events_rolling_wau_hll(t: Tables) -> DataFrame:
         .groupBy("d")
         .agg(F.count_distinct("user_id").alias("wau_exact"))
     )
-    ok = F.abs(F.col("wau_est") - F.col("wau_exact")) <= F.lit(0.05) * F.col("wau_exact")
+    ok = (
+        F.abs(F.col("wau_est") - F.col("wau_exact"))
+        <= F.lit(WAU_BOUND) * F.col("wau_exact")
+    )
     return (
         wau.join(est, "d")
         .select(

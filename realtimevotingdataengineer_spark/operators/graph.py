@@ -76,7 +76,14 @@ def graph_pagerank_knn(t: Tables) -> DataFrame:
     Per round: one edges⨝deg⨝ranks join keyed on src_id, one
     ordered-fold aggregation keyed on dst_id, one left join back to the
     node set so in-degree-0 nodes keep the teleport mass. The edge
-    relation is localCheckpointed once and reused by every round."""
+    relation is localCheckpointed once and reused by every round.
+
+    Semantics note (deliberate deviations from canonical PageRank, for
+    downstream consumers): the teleport term is the un-normalized 0.15
+    (not (1-d)/N), init is r=1 (not 1/N), and rank mass flowing into
+    dangling nodes is dropped rather than redistributed — so ranks are
+    a relative prototypicality ORDERING, not a probability
+    distribution; sum(rank) != N."""
     edges = sim_knn_graph(t).select("src_id", "dst_id").localCheckpoint(eager=True)
     deg = edges.groupBy("src_id").agg(F.count(F.lit(1)).alias("deg"))
     nodes = t.embeddings.select("vec_id")
@@ -237,8 +244,11 @@ def graph_clustering_coeff(t: Tables) -> DataFrame:
 
 #: BFS frontier rounds (unrolled; distances beyond this are NULL).
 BFS_ITERS = 3
-#: Deterministic seed: the smallest vec_id.
-BFS_SEED = 0
+# The BFS seed is DERIVED as min(vec_id) in both engines (a scalar
+# subquery in the oracle, a 1-row broadcast in Spark) rather than a
+# hard-coded id: a fixture id-range drift would otherwise move both
+# engines to the same wrong seed and the oracle couldn't see it
+# (round-4 ADVICE).
 
 
 def _bfs_iter_sql(i: int) -> str:
@@ -259,8 +269,8 @@ _BFS_SQL = (
     "und AS (SELECT src_id AS a, dst_id AS b FROM knn "
     "UNION SELECT dst_id, src_id FROM knn), "
     "nodes AS (SELECT vec_id FROM embeddings), "
-    f"d0 AS (SELECT vec_id, CASE WHEN vec_id = {BFS_SEED} THEN 0 "
-    f"ELSE {10**9} END AS dist FROM nodes), "
+    "d0 AS (SELECT vec_id, CASE WHEN vec_id = (SELECT min(vec_id) FROM embeddings) "
+    f"THEN 0 ELSE {10**9} END AS dist FROM nodes), "
     + ", ".join(_bfs_iter_sql(i) for i in range(1, BFS_ITERS + 1))
     + " SELECT vec_id, CAST(dist AS BIGINT) AS dist "
     f"FROM d{BFS_ITERS} WHERE dist < {10**9} ORDER BY vec_id"
@@ -289,9 +299,12 @@ def graph_bfs_distance(t: Tables) -> DataFrame:
         .localCheckpoint(eager=True)  # reused every round
     )
     nodes = t.embeddings.select("vec_id")
-    dist = nodes.select(
+    seed = t.embeddings.agg(F.min("vec_id").alias("seed"))
+    dist = nodes.crossJoin(F.broadcast(seed)).select(
         "vec_id",
-        F.when(F.col("vec_id") == BFS_SEED, F.lit(0)).otherwise(F.lit(INF)).alias("dist"),
+        F.when(F.col("vec_id") == F.col("seed"), F.lit(0))
+        .otherwise(F.lit(INF))
+        .alias("dist"),
     )
     for _ in range(BFS_ITERS):
         reach = (

@@ -91,6 +91,36 @@ def test_simhash_hamming_banding_is_exact_for_small_radius(t):
     assert got == brute
 
 
+def test_simhash64_banding_is_exact_for_small_radius(t):
+    """The generalized pigeonhole claim (radius <= bands-1) for the
+    64-bit/16-bit-band scale variant: banded recall 1.0 + popcount
+    precision 1.0 == brute force over the 64-bit signatures."""
+    from realtimevotingdataengineer_spark.operators.dedup import (
+        SIMHAM64_MAX,
+        dedup_simhash64_hamming,
+        simhash64_signatures,
+    )
+
+    sig = {r.doc_id: (r.lo, r.hi) for r in simhash64_signatures(t).collect()}
+    ids = sorted(sig)
+    for lo, hi in sig.values():  # two clean 32-bit words, sign bit unused
+        assert 0 <= lo < 2**32 and 0 <= hi < 2**32
+
+    def ham(a, b):
+        return bin(sig[a][0] ^ sig[b][0]).count("1") + bin(
+            sig[a][1] ^ sig[b][1]
+        ).count("1")
+
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(a, b) <= SIMHAM64_MAX
+    }
+    got = {(r.doc_a, r.doc_b) for r in dedup_simhash64_hamming(t).collect()}
+    assert got == brute
+
+
 def test_knn_graph_bucket_local_with_full_fanout(t):
     """Every edge stays within one IVF bucket, fanout never exceeds
     KNN_K, and any vector whose bucket has more than KNN_K members gets
