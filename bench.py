@@ -54,6 +54,13 @@ HEADLINE = [
     "dedup_simhash_hamming",
     "sim_knn_graph",
     "agg_approx_distinct",
+    # round-5 additions: the BLAS kNN kernel (vs. the codegen plan above),
+    # the 64-bit simhash scale dial, and the two former sweep outliers so
+    # their sf-scaling is measured, not inferred (round-4 verdict #5)
+    "sim_knn_graph_arrow",
+    "dedup_simhash64_hamming",
+    "dedup_fuzzy_edit",
+    "pipeline_export_corpus",
 ]
 
 
