@@ -248,3 +248,35 @@ def test_tfidf_broadcasts_corpus_stats(t):
     never shuffle for these joins)."""
     df = QUERIES["text_keywords_tfidf"](t)
     assert broadcast_join_count(df) >= 2
+
+
+def test_knn_arrow_topk_inside_kernel_no_window(t):
+    """sim_knn_graph_arrow does its per-src top-k INSIDE the BLAS kernel,
+    so the plan must contain the grouped-map node and NO window operator
+    at all — the codegen variant's second (window) exchange is the work
+    the kernel exists to delete."""
+    df = QUERIES["sim_knn_graph_arrow"](t)
+    plan = formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    # the only Window in the plan is the IVF assignment's rank, BELOW the
+    # kernel (printed after it in the tree) — nothing windows the kernel's
+    # output
+    tree = plan.split("(1) ")[0]
+    assert tree.index("FlatMapGroupsInPandas") < tree.index("Window")
+    assert "SortMergeJoin" not in plan  # codebook/assign joins all broadcast
+
+
+def test_fuzzy_edit_gate_kernel_below_verify(t):
+    """dedup_fuzzy_edit's shape: band groups feed the numpy gate kernel
+    (grouped-map node present, BELOW the text back-joins in the tree),
+    so levenshtein — wherever the optimizer places it — can only ever
+    see gate survivors, never raw band candidates; and the back-joins
+    broadcast (no sort-merge join of the text table)."""
+    plan = formatted_plan(QUERIES["dedup_fuzzy_edit"](t))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan
+    tree = plan.split("(1) ")[0]
+    assert "levenshtein" not in tree  # lev never names a tree node; and
+    # the kernel sits below every join (parents print first)
+    first_join = tree.index("BroadcastHashJoin")
+    assert first_join < tree.index("FlatMapGroupsInPandas")
