@@ -133,6 +133,25 @@ def test_arrow_knn_graph_matches_exact(spark, knn_sf):
     assert exact == arrow
 
 
+def test_srp_lsh_subset_with_measured_recall(t):
+    """dedup_embedding_srp must return a strict SUBSET of the brute-force
+    pairs (identical bitwise cosines — the banded join only prunes, the
+    verify is the same pinned chain) with recall above the theoretical
+    floor for the fixture's theta=0.4 regime (measured 0.71/0.86 at
+    sf0.001/sf0.01; theory ~0.75 for p=0.63, 8x4-bit bands)."""
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in QUERIES["dedup_embedding_cosine"](t).collect()
+    }
+    srp = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in QUERIES["dedup_embedding_srp"](t).collect()
+    }
+    assert set(srp) <= set(exact)
+    assert all(exact[k] == v for k, v in srp.items())  # bitwise-equal verify
+    assert len(srp) / max(len(exact), 1) >= 0.6
+
+
 def test_fuzzy_edit_gate_lossless(spark):
     """The count-sketch gate inside dedup_fuzzy_edit must be LOSSLESS:
     crafted pairs within <=16 edits of each other (substitutions,
