@@ -735,3 +735,62 @@ def corpus_pack_sequences(t: Tables) -> DataFrame:
         .cast("bigint")
         .alias("end_seq_id"),
     ).orderBy("doc_id")
+
+
+#: Importance-resampling geometry: a doc with n_tokens >= IMP_PIVOT is
+#: always kept; shorter docs keep with probability n_tokens/IMP_PIVOT.
+#: The inclusion test is ALL-INTEGER — hv < min(16^6, n·16^6/IMP_PIVOT)
+#: — so no float compare sits on the keep/drop boundary in either
+#: engine.
+IMP_PIVOT = 64
+_IMP_SCALE = 16**6 // IMP_PIVOT  # 262144
+
+
+@register(
+    "corpus_importance_resample",
+    f"WITH tk AS (SELECT doc_id, {TOKENS_SQL} AS tk FROM documents), "
+    "w AS (SELECT doc_id, len(tk) AS n_tokens, "
+    "CAST('0x' || substr(md5('imp:' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) "
+    "AS hv FROM tk) "
+    "SELECT doc_id, n_tokens, "
+    f"least(1.0, CAST(n_tokens AS DOUBLE) / {IMP_PIVOT}.0) AS weight FROM w "
+    f"WHERE hv < least({16**6}, n_tokens * {_IMP_SCALE}) ORDER BY doc_id",
+)
+def corpus_importance_resample(t: Tables) -> DataFrame:
+    """Importance-weighted resampling (the DSIR/DoReMi-family plumbing):
+    each document carries a deterministic weight in (0, 1] — here
+    length-proportional capped at 1, the stand-in for any model-scored
+    importance — and is kept iff its salted 24-bit md5 draw falls under
+    the weight. Seed-free and partition-invariant like
+    sample_hash_bernoulli, but with a PER-DOC acceptance probability
+    instead of a global rate; the draw is salted ('imp:') so it is
+    independent of the split/shard/sampling draws. The keep/drop
+    boundary is an integer compare (hv < n·16^6/pivot), so no float
+    rounding sits on the decision in either engine. Zero shuffle —
+    pure per-row hashing; swapping the weight column for a real quality
+    model's score changes nothing structural."""
+    tk = t.documents.select("doc_id", tokens("text").alias("tk"))
+    n = F.size("tk")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("imp:"), F.col("doc_id").cast("string"))), 1, 6
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        tk.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            F.least(
+                F.lit(1.0), n.cast("double") / F.lit(float(IMP_PIVOT))
+            ).alias("weight"),
+            hv.alias("hv"),
+        )
+        .filter(
+            F.col("hv")
+            < F.least(F.lit(16**6).cast("bigint"), F.col("n_tokens").cast("bigint") * _IMP_SCALE)
+        )
+        .select("doc_id", "n_tokens", "weight")
+        .orderBy("doc_id")
+    )

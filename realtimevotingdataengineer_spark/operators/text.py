@@ -396,7 +396,10 @@ def text_unigram_typicality(t: Tables) -> DataFrame:
     )
 
 
-_PPLX_SQL = (
+# Core perplexity derivation WITHOUT the final ORDER BY, so
+# text_ccnet_buckets can reuse it verbatim as a derived table — one
+# definition, no string surgery.
+_PPLX_CORE = (
     f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
     "toks AS (SELECT doc_id, u.i AS pos, tk[u.i] AS tok FROM tk, "
     "LATERAL unnest(range(1, len(tk) + 1)) AS u(i)), "
@@ -409,8 +412,10 @@ _PPLX_SQL = (
     "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lp ORDER BY pos)), "
     "(acc, x) -> acc + x) / count(*) AS mean_logprob "
-    "FROM scored GROUP BY doc_id ORDER BY doc_id"
+    "FROM scored GROUP BY doc_id"
 )
+
+_PPLX_SQL = _PPLX_CORE + " ORDER BY doc_id"
 
 
 @register("text_perplexity_unigram", _PPLX_SQL)
@@ -453,3 +458,44 @@ def text_perplexity_unigram(t: Tables) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: CCNet's actual filtering scheme: split the corpus into perplexity
+#: TERCILES (head = most in-distribution third, then middle, tail) and
+#: train with head+middle (or reweight). ntile over (mean_logprob DESC,
+#: doc_id) — higher mean logprob = lower perplexity = head.
+_CCNET_SQL = (
+    f"WITH p AS ({_PPLX_CORE}) "
+    "SELECT doc_id, mean_logprob, "
+    "CASE ntile(3) OVER (ORDER BY mean_logprob DESC, doc_id) "
+    "WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket "
+    "FROM p ORDER BY doc_id"
+)
+
+
+@register("text_ccnet_buckets", _CCNET_SQL)
+def text_ccnet_buckets(t: Tables) -> DataFrame:
+    """CCNet-style quality bucketing: every document labeled head /
+    middle / tail by perplexity tercile (text_perplexity_unigram's
+    pinned mean-logprob statistic, so the whole composition stays
+    bitwise-oracled; tie-break by doc_id). The standard language-model-
+    filtered corpus recipe — keep head+middle, or sample the tail at a
+    reduced rate (compose with corpus_sample_to_budget).
+
+    Scale note: the global ntile is a total ORDER BY — fine for a
+    labeling job that runs once per corpus refresh, but at 100 TB the
+    production form thresholds against two APPROXIMATE quantiles
+    (agg_approx_percentile's GK sketch on mean_logprob) instead of
+    ranking every row: same buckets up to sketch error, no global
+    sort. The exact tercile key is the calibration baseline for that
+    swap."""
+    pplx = text_perplexity_unigram(t).select("doc_id", "mean_logprob")
+    w = Window.orderBy(F.desc("mean_logprob"), F.asc("doc_id"))
+    bucket = (
+        F.when(F.ntile(3).over(w) == 1, F.lit("head"))
+        .when(F.ntile(3).over(w) == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return pplx.select(
+        "doc_id", "mean_logprob", bucket.alias("ppl_bucket")
+    ).orderBy("doc_id")
