@@ -31,8 +31,24 @@ def spread(df, *cols):
     partition, which serializes CPU-bound per-row work (notably
     higher-order functions, which evaluate interpreted outside codegen).
     On a real cluster the input is already split; this makes the local
-    plan shape match the cluster plan shape."""
+    plan shape match the cluster plan shape.
+
+    STANDS ASIDE when the underlying scan already has >= the session's
+    shuffle parallelism in input files (the cluster case): there the
+    repartition would be a pure extra exchange — measured ~0.1-0.25s
+    constant on the test tables, a regression with no CPU win (round-4
+    verdict #8). File count is the split proxy because it is free
+    driver-side metadata; ``df.rdd.getNumPartitions()`` would finalize
+    the physical plan and, under AQE, can trigger upstream stage
+    execution. Every operator using spread() is partition-invariant by
+    repo rule (order-pinned folds / explicit tie-breaks), so the two
+    shapes are result-identical — asserted in tests/test_plans.py."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        if len(df.inputFiles()) >= n:
+            return df
+    except Exception:
+        pass  # non-file-backed lineage: keep the explicit repartition
     return df.repartition(n, *[F.col(c) if isinstance(c, str) else c for c in cols])
 
 

@@ -250,6 +250,31 @@ def test_tfidf_broadcasts_corpus_stats(t):
     assert broadcast_join_count(df) >= 2
 
 
+def test_spread_stands_aside_on_cluster_split_input(spark, tmp_path):
+    """spread() must repartition a single-file scan (the local case) but
+    become a no-op when the scan already arrives with >= the session's
+    shuffle parallelism in files (the cluster case) — and the two shapes
+    must be result-identical."""
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.functions import spread
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    src = spark.range(500).withColumn("v", F.col("id") * 2)
+    one = str(tmp_path / "one")
+    many = str(tmp_path / "many")
+    src.coalesce(1).write.parquet(one)
+    src.repartition(n).write.parquet(many)
+
+    spread_one = spread(spark.read.parquet(one), "id")
+    spread_many = spread(spark.read.parquet(many), "id")
+    assert "Exchange" in formatted_plan(spread_one)
+    assert "Exchange" not in formatted_plan(spread_many)
+    a = sorted(tuple(r) for r in spread_one.collect())
+    b = sorted(tuple(r) for r in spread_many.collect())
+    assert a == b == sorted((i, 2 * i) for i in range(500))
+
+
 def test_knn_arrow_topk_inside_kernel_no_window(t):
     """sim_knn_graph_arrow does its per-src top-k INSIDE the BLAS kernel,
     so the plan must contain the grouped-map node and NO window operator
