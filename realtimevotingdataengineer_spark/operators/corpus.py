@@ -794,3 +794,50 @@ def corpus_importance_resample(t: Tables) -> DataFrame:
         .select("doc_id", "n_tokens", "weight")
         .orderBy("doc_id")
     )
+
+
+def _keep_best_sql() -> str:
+    from .dedup import _CLUSTERS_CTES, _CLUSTERS_FINAL
+
+    return (
+        _CLUSTERS_CTES
+        + f", labels AS ({_CLUSTERS_FINAL}), "
+        f"q AS (SELECT doc_id, len({TOKENS_SQL}) AS n_tokens FROM documents), "
+        "r AS (SELECT l.doc_id, l.cluster_id, q.n_tokens, "
+        "row_number() OVER (PARTITION BY l.cluster_id "
+        "ORDER BY q.n_tokens DESC, l.doc_id) AS rn "
+        "FROM labels l JOIN q ON q.doc_id = l.doc_id) "
+        "SELECT doc_id, cluster_id, n_tokens, (rn = 1) AS is_survivor "
+        "FROM r ORDER BY doc_id"
+    )
+
+
+@register("corpus_dedup_keep_best", _keep_best_sql())
+def corpus_dedup_keep_best(t: Tables) -> DataFrame:
+    """Near-dup survivorship by QUALITY, not by id: within each MinHash
+    cluster (dedup_clusters' components) the survivor is the LONGEST
+    member (n_tokens DESC, doc_id tie-break) — what production dedup
+    actually keeps, vs. the lowest-id canonical the cluster key uses as
+    its deterministic label. Every doc is emitted with its cluster and
+    verdict so downstream filters stay auditable (singleton docs are
+    their own survivors). Swapping n_tokens for any scored quality
+    column changes nothing structural.
+
+    Scale shape: the cluster labels are the pointer-jumping output
+    (never O(n²)); the survivor choice adds ONE rank window partitioned
+    by cluster_id — co-partitionable with the label join."""
+    from .dedup import dedup_clusters
+
+    labels = dedup_clusters(t)
+    q = t.documents.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return (
+        labels.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id", "cluster_id", "n_tokens", (F.col("rn") == 1).alias("is_survivor")
+        )
+        .orderBy("doc_id")
+    )

@@ -1037,29 +1037,22 @@ SRP_BAND_BITS = 4
 SRP_BANDS = SRP_BITS // SRP_BAND_BITS
 
 
-def _srp_sig_exprs() -> tuple[str, str]:
-    """(spark_expr, duck_expr) building the 32-bit SRP signature as the
-    same left-assoc sum of sign bits in both dialects."""
+def _srp_duck_sig() -> str:
+    """DuckDB 32-bit SRP signature: sum of sign bits of the same pinned
+    projection chains the Spark side evaluates."""
     from .similarity import _rp_chain
 
-    sp_terms = []
-    du_terms = []
-    for j in range(SRP_BITS):
-        sp = _rp_chain(j, "CAST(element_at(embedding, {i}) AS DOUBLE)")
-        du = _rp_chain(j, "CAST(embedding[{i}] AS DOUBLE)")
-        sp_terms.append(
-            f"(CASE WHEN ({sp}) >= 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        )
-        du_terms.append(
-            f"(CASE WHEN ({du}) >= 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        )
-    return " + ".join(sp_terms), " + ".join(du_terms)
+    return " + ".join(
+        f"(CASE WHEN ({_rp_chain(j, 'CAST(embedding[{i}] AS DOUBLE)')}) >= 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SRP_BITS)
+    )
 
 
 def _srp_sql() -> str:
     from .similarity import EMB_DIM
 
-    _, duck_sig = _srp_sig_exprs()
+    duck_sig = _srp_duck_sig()
     cos = (
         f"({dot_sql('ea.embedding', 'eb.embedding', EMB_DIM)}) / "
         f"(({norm_sql('ea.embedding', EMB_DIM)}) * ({norm_sql('eb.embedding', EMB_DIM)}))"
@@ -1098,23 +1091,43 @@ def dedup_embedding_srp(t: Tables) -> DataFrame:
     signature length and band width (wider bands = fewer, sharper
     candidates), plus re-banding only the corpus delta on refresh —
     signatures are pure narrow map work, one shuffle on (band, bv)."""
-    from .similarity import EMB_DIM
+    from .similarity import EMB_DIM, _rp_chain
 
-    spark_sig, _ = _srp_sig_exprs()
-    sigs = spread(t.embeddings, "vec_id").select(
-        "vec_id", F.expr(spark_sig).alias("sig")
+    # Band values computed DIRECTLY as SRP_BANDS separate column
+    # expressions (bits 4k..4k+3 of the signature), NOT one 32-bit sig
+    # expression: the single-expression form is 2048 chain terms in ONE
+    # generated method, past Janino's 64KB limit → silent interpreted
+    # fallback (seen in the sf0.1 verification log). Per-band columns
+    # are ~256 terms each; the whole-stage attempt over all 8 still
+    # trips the limit once, but the non-WSCG fallback compiles each
+    # output expression into its own method, so the EXECUTED path is
+    # generated code. The eager checkpoint (a) keeps CollapseProject
+    # from re-merging the 8 columns into the explode's array expression
+    # and (b) materializes the signature once for both band-join sides
+    # (the dedup_simhash pattern).
+    def band_col(k: int):
+        terms = []
+        for b in range(SRP_BAND_BITS):
+            chain = _rp_chain(
+                SRP_BAND_BITS * k + b, "CAST(element_at(embedding, {i}) AS DOUBLE)"
+            )
+            terms.append(
+                f"(CASE WHEN ({chain}) >= 0 THEN CAST({1 << b} AS BIGINT) "
+                "ELSE CAST(0 AS BIGINT) END)"
+            )
+        return F.expr(" + ".join(terms)).alias(f"bv{k}")
+
+    sigs = (
+        spread(t.embeddings, "vec_id")
+        .select("vec_id", *[band_col(k) for k in range(SRP_BANDS)])
+        .localCheckpoint(eager=True)
     )
     bands = sigs.select(
         "vec_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.shiftright("sig", SRP_BAND_BITS * j)
-                        .bitwiseAND(F.lit((1 << SRP_BAND_BITS) - 1))
-                        .alias("bv"),
-                    )
+                    F.struct(F.lit(j).alias("band"), F.col(f"bv{j}").alias("bv"))
                     for j in range(SRP_BANDS)
                 ]
             )

@@ -499,3 +499,77 @@ def text_ccnet_buckets(t: Tables) -> DataFrame:
     return pplx.select(
         "doc_id", "mean_logprob", bucket.alias("ppl_bucket")
     ).orderBy("doc_id")
+
+
+_ENTROPY_SQL = (
+    "WITH d AS (SELECT doc_id, "
+    r"trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt FROM documents), "
+    "ch AS (SELECT doc_id, nt[u.i] AS c FROM d, "
+    "LATERAL unnest(range(1, len(nt) + 1)) AS u(i)), "
+    "cnts AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY doc_id, c), "
+    "lens AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS L FROM cnts GROUP BY doc_id), "
+    "terms AS (SELECT cnts.doc_id, cnts.c, "
+    "CAST(CAST(log2(CAST(n AS DOUBLE) / CAST(L AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE) "
+    "* (CAST(n AS DOUBLE) / CAST(L AS DOUBLE)) AS term "
+    "FROM cnts JOIN lens ON cnts.doc_id = lens.doc_id), "
+    "ent AS (SELECT doc_id, -list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list(term ORDER BY c)), (acc, x) -> acc + x) AS char_entropy "
+    "FROM terms GROUP BY doc_id) "
+    "SELECT d.doc_id, len(d.nt) AS n_chars, "
+    "coalesce(e.char_entropy, CAST(0 AS DOUBLE)) AS char_entropy, "
+    "CAST(len(regexp_extract_all(d.nt, '[^a-z0-9 ]')) AS DOUBLE) / "
+    "greatest(len(d.nt), 1) AS non_alnum_ratio "
+    "FROM d LEFT JOIN ent e ON e.doc_id = d.doc_id ORDER BY d.doc_id"
+)
+
+
+@register("text_entropy_charset", _ENTROPY_SQL)
+def text_entropy_charset(t: Tables) -> DataFrame:
+    """Character-distribution quality signals: per-doc Shannon entropy
+    of the normalized char stream (garbled / base64-blob / repeated-char
+    junk scores far from natural text's ~4 bits) plus the non-alnum
+    ratio — the charset half of a C4-style filter stack. The entropy's
+    transcendental (log2 of each char probability) rides the repo's
+    DECIMAL(18,9) pin and the per-doc sum is an ordered fold keyed by
+    the char, so the float score is bitwise-oracled and
+    partition-invariant. Plan: one explode of char positions, two
+    map-side-combinable aggregations keyed by doc — linear, no joins
+    beyond the tiny per-doc length."""
+    nt = normalize_text("text")
+    d = t.documents.select("doc_id", nt.alias("nt"), F.length(nt).alias("ln"))
+    ch = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.col("ln"), F.lit(1)))).alias("i"),
+        "nt",
+        "ln",
+    ).filter(F.col("ln") > 0).select(
+        "doc_id", F.expr("substring(nt, i, 1)").alias("c")
+    )
+    cnts = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    lens = cnts.groupBy("doc_id").agg(F.sum("n").alias("L"))
+    p = F.col("n").cast("double") / F.col("L").cast("double")
+    term = (F.log2(p).cast("decimal(18,9)").cast("double") * p).alias("term")
+    terms = cnts.join(lens, "doc_id").select("doc_id", "c", term)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("c", "term"))),
+        lambda s: s.getField("term"),
+    )
+    ent = terms.groupBy("doc_id").agg(
+        (-F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x)).alias(
+            "char_entropy"
+        )
+    )
+    non_alnum = (
+        F.regexp_count(F.col("nt"), F.lit(r"[^a-z0-9 ]")).cast("double")
+        / F.greatest(F.col("ln"), F.lit(1))
+    )
+    return (
+        d.join(ent, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("ln").alias("n_chars"),
+            F.coalesce(F.col("char_entropy"), F.lit(0.0)).alias("char_entropy"),
+            non_alnum.alias("non_alnum_ratio"),
+        )
+        .orderBy("doc_id")
+    )
