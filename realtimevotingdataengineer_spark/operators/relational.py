@@ -1415,3 +1415,76 @@ def lineitem_abc_analysis(t: Tables) -> DataFrame:
         .select("l_partkey", F.col("revenue").cast("double").alias("revenue"), cls.alias("abc_class"))
         .orderBy("l_partkey")
     )
+
+
+#: Market-basket noise floor and report size.
+BASKET_MIN_SUPPORT = 2
+BASKET_TOP = 20
+
+
+@register(
+    "lineitem_market_basket",
+    "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items), "
+    "supp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part FROM items "
+    "GROUP BY l_partkey), "
+    "pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+    "CAST(count(*) AS BIGINT) AS n_pair FROM items a "
+    "JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+    "GROUP BY a.l_partkey, b.l_partkey), "
+    "scored AS (SELECT part_a, part_b, n_pair, "
+    "(CAST(n_pair AS DOUBLE) * CAST(n_orders AS DOUBLE)) / "
+    "(CAST(sa.n_part AS DOUBLE) * CAST(sb.n_part AS DOUBLE)) AS lift "
+    "FROM pairs CROSS JOIN n "
+    "JOIN supp sa ON sa.l_partkey = part_a JOIN supp sb ON sb.l_partkey = part_b "
+    f"WHERE n_pair >= {BASKET_MIN_SUPPORT}) "
+    "SELECT part_a, part_b, n_pair, lift FROM scored "
+    f"ORDER BY lift DESC, part_a, part_b LIMIT {BASKET_TOP}",
+)
+def lineitem_market_basket(t: Tables) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs by LIFT —
+    P(a,b) / (P(a)·P(b)) over order baskets — with a minimum pair
+    support, the frequent-itemsets / association-rules staple. Float
+    lift is one double expression with identical shape in both engines
+    ((n_pair·N) / (n_a·n_b)), so it is bitwise-oracled; ties break on
+    the part ids.
+
+    Scale shape: pair generation is a SELF-JOIN CO-PARTITIONED ON
+    l_orderkey — one shuffle, and pair volume is bounded by
+    Σ basket_size² (baskets are ≤ ~13 items here and bounded in any
+    real order system), never |parts|². Pair counts and part supports
+    are map-side-combinable; supports broadcast back onto the pair
+    relation; the report is a TakeOrdered top-20, no global sort."""
+    items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= BASKET_MIN_SUPPORT)
+    )
+    lift = (
+        F.col("n_pair").cast("double") * F.col("n_orders").cast("double")
+    ) / (F.col("na.n_part").cast("double") * F.col("nb.n_part").cast("double"))
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .join(
+            F.broadcast(supp.alias("na")), F.col("part_a") == F.col("na.l_partkey")
+        )
+        .join(
+            F.broadcast(supp.alias("nb")), F.col("part_b") == F.col("nb.l_partkey")
+        )
+        .select("part_a", "part_b", "n_pair", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(BASKET_TOP)
+    )
