@@ -362,3 +362,96 @@ def mm_dedup_exact(t: Tables) -> DataFrame:
             F.min("content_len").alias("content_len"),
         )
     )
+
+
+#: Fixed chunk width (bytes) and containment threshold for near-dup
+#: payload detection. Fixed-offset chunking is the deterministic,
+#: oracle-friendly stand-in for content-defined chunking — the CDC
+#: rolling-hash cutpoints would make chunk boundaries edit-resistant
+#: but are byte-stream-stateful; the plan shape (chunk → inverted index
+#: → containment verify) is identical either way.
+MM_CHUNK_BYTES = 32
+MM_CHUNK_THETA = 0.25
+
+
+@register(
+    "mm_dedup_chunked",
+    "WITH ch AS (SELECT DISTINCT doc_id, "
+    f"md5(substr(text, CAST(s.r * {MM_CHUNK_BYTES} + 1 AS INT), {MM_CHUNK_BYTES})) AS h "
+    "FROM documents, LATERAL (SELECT unnest(range(0, "
+    f"(len(text) + {MM_CHUNK_BYTES - 1}) // {MM_CHUNK_BYTES})) AS r) s), "
+    "n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM ch GROUP BY doc_id), "
+    "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(count(*) AS BIGINT) AS shared FROM ch a "
+    "JOIN ch b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT doc_a, doc_b, shared, "
+    "CAST(shared AS DOUBLE) / least(na.n_chunks, nb.n_chunks) AS containment "
+    "FROM p JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b "
+    f"WHERE CAST(shared AS DOUBLE) / least(na.n_chunks, nb.n_chunks) >= {MM_CHUNK_THETA} "
+    "ORDER BY doc_a, doc_b",
+)
+def mm_dedup_chunked(t: Tables) -> DataFrame:
+    """Near-dup detection for OPAQUE BINARY payloads: fixed-width chunk
+    hashes (the backup/CDC dedup family) with containment scoring —
+    pairs of blobs sharing >= MM_CHUNK_THETA of the smaller blob's
+    chunks. This is what catches re-encoded-with-appended-metadata or
+    truncated copies that content-md5 (mm_dedup_exact) misses, without
+    any codec. Chunking runs on the binary column JVM-side
+    (substring/md5 on bytes); candidates come from the inverted chunk
+    index — an equi-join on the 128-bit chunk digest, so pair work is
+    bounded by chunk collisions, never |blobs|². The ASCII fixture
+    makes byte offsets == char offsets, which is what gives the binary
+    pipeline an exact text-side oracle.
+
+    100 TB shape: identical to dedup_ngram_containment's — one explode
+    (bounded by bytes/CHUNK per blob), one digest-keyed shuffle whose
+    key is uniform 128-bit, broadcast-size per-doc chunk counts. A hot
+    chunk (shared boilerplate header) would need the df-cap treatment
+    documented there."""
+    content = F.encode(F.col("text"), "UTF-8")
+    docs = t.documents.select("doc_id", content.alias("content"))
+    pos = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.expr(
+                f"CAST((octet_length(content) + {MM_CHUNK_BYTES - 1}) div {MM_CHUNK_BYTES} AS INT) - 1"
+            ),
+        )
+    ).alias("r")
+    ch = (
+        docs.select("doc_id", pos, "content")
+        .select(
+            "doc_id",
+            F.md5(
+                F.expr(
+                    f"substring(content, CAST(r * {MM_CHUNK_BYTES} + 1 AS INT), {MM_CHUNK_BYTES})"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    n = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    a, b = ch.alias("a"), ch.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n_chunks").alias("n_a"))
+    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n_chunks").alias("n_b"))
+    containment = F.col("shared").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
+    )
+    return (
+        p.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select("doc_a", "doc_b", "shared", containment.alias("containment"))
+        .filter(F.col("containment") >= MM_CHUNK_THETA)
+        .orderBy("doc_a", "doc_b")
+    )
