@@ -133,6 +133,76 @@ def test_arrow_knn_graph_matches_exact(spark, knn_sf):
     assert exact == arrow
 
 
+def test_mm_chunked_dedup_finds_truncated_copy(spark):
+    """mm_dedup_chunked must flag a blob that is a truncated copy of
+    another (containment 1.0 for the aligned prefix) and an
+    appended-metadata copy — the cases exact content hashing misses —
+    while unrelated payloads stay unpaired."""
+    from realtimevotingdataengineer_spark.operators.multimodal import (
+        MM_CHUNK_BYTES,
+        mm_dedup_chunked,
+    )
+
+    base = "".join(chr(97 + (i * 7) % 26) for i in range(MM_CHUNK_BYTES * 8))
+    other = "".join(chr(97 + (i * 11 + 3) % 26) for i in range(MM_CHUNK_BYTES * 8))
+    docs = [
+        (0, base),
+        (1, base[: MM_CHUNK_BYTES * 4]),  # truncated copy
+        (2, base + "METADATA-TRAILER"),  # appended metadata
+        (3, other),  # unrelated
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    class _T:
+        documents = df
+
+    rows = {(r.doc_a, r.doc_b): r.containment for r in mm_dedup_chunked(_T()).collect()}
+    assert rows[(0, 1)] == 1.0
+    assert rows[(0, 2)] == 1.0  # all 8 full chunks of base shared
+    assert all(3 not in pair for pair in rows)
+
+
+def test_market_basket_lift_definition(t):
+    """Every reported pair's lift must equal (n_pair*N)/(n_a*n_b)
+    recomputed from first principles, pairs must respect the support
+    floor, and no pair may beat the report's minimum lift while meeting
+    the floor (top-k completeness)."""
+    from realtimevotingdataengineer_spark.operators.relational import (
+        BASKET_MIN_SUPPORT,
+        BASKET_TOP,
+        lineitem_market_basket,
+    )
+
+    items = {}
+    for r in t.lineitem.select("l_orderkey", "l_partkey").distinct().collect():
+        items.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    n_orders = len(items)
+    supp: dict = {}
+    pair_n: dict = {}
+    for basket in items.values():
+        for p in basket:
+            supp[p] = supp.get(p, 0) + 1
+        b = sorted(basket)
+        for i, pa in enumerate(b):
+            for pb in b[i + 1 :]:
+                pair_n[(pa, pb)] = pair_n.get((pa, pb), 0) + 1
+    out = lineitem_market_basket(t).collect()
+    assert 0 < len(out) <= BASKET_TOP
+    for r in out:
+        assert r.n_pair == pair_n[(r.part_a, r.part_b)] >= BASKET_MIN_SUPPORT
+        expect = (r.n_pair * n_orders) / (supp[r.part_a] * supp[r.part_b])
+        assert r.lift == expect
+    floor = min(r.lift for r in out)
+    if len(out) == BASKET_TOP:
+        best_outside = max(
+            (n * n_orders) / (supp[a] * supp[b])
+            for (a, b), n in pair_n.items()
+            if n >= BASKET_MIN_SUPPORT
+            and (a, b) not in {(r.part_a, r.part_b) for r in out}
+        )
+        assert best_outside <= floor
+
+
 def test_srp_lsh_subset_with_measured_recall(t):
     """dedup_embedding_srp must return a strict SUBSET of the brute-force
     pairs (identical bitwise cosines — the banded join only prunes, the
