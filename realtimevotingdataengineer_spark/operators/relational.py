@@ -1488,3 +1488,99 @@ def lineitem_market_basket(t: Tables) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(BASKET_TOP)
     )
+
+
+#: Column pairs profiled by profile_correlations.
+_CORR_PAIRS = (
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+)
+#: The Pearson formula over the exact sums, as ONE text rendered for
+#: both dialects ({n} etc. substituted per pair) so the IEEE evaluation
+#: order is pinned.
+_CORR_FMT = (
+    "({n} * {sxy} - {sx} * {sy}) / "
+    "(sqrt({n} * {sxx} - {sx} * {sx}) * sqrt({n} * {syy} - {sy} * {sy}))"
+)
+
+
+def _corr_sql() -> str:
+    cols = sorted({c for p in _CORR_PAIRS for c in p})
+    sums = ["CAST(count(*) AS DOUBLE) AS n"]
+    for c in cols:
+        # decimal→double through VARCHAR: the power sums exceed 2^53 at
+        # sf0.1, where DuckDB's direct int128→double cast double-rounds
+        # while Spark's BigDecimal converts correctly-rounded; the
+        # string route is correctly rounded in both.
+        sums.append(
+            f"CAST(CAST(sum(CAST({c} AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s_{c}"
+        )
+        sums.append(
+            f"CAST(CAST(sum(CAST({c} AS DECIMAL(12,2)) * CAST({c} AS DECIMAL(12,2))) "
+            f"AS VARCHAR) AS DOUBLE) AS s_{c}_{c}"
+        )
+    for a, b in _CORR_PAIRS:
+        sums.append(
+            f"CAST(CAST(sum(CAST({a} AS DECIMAL(12,2)) * CAST({b} AS DECIMAL(12,2))) "
+            f"AS VARCHAR) AS DOUBLE) AS s_{a}_{b}"
+        )
+    selects = []
+    for a, b in _CORR_PAIRS:
+        expr = _CORR_FMT.format(
+            n="n", sxy=f"s_{a}_{b}", sx=f"s_{a}", sy=f"s_{b}",
+            sxx=f"s_{a}_{a}", syy=f"s_{b}_{b}",
+        )
+        selects.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, CAST(n AS BIGINT) AS n, "
+            f"{expr} AS corr FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem) "
+        + " UNION ALL ".join(selects)
+        + " ORDER BY col_x, col_y"
+    )
+
+
+@register("profile_correlations", _corr_sql())
+def profile_correlations(t: Tables) -> DataFrame:
+    """Pearson correlations between lineitem measures — the ANALYZE-
+    style dependency statistic a cost model or data-quality monitor
+    collects. Built from EXACT DECIMAL power sums (n, Σx, Σx², Σxy are
+    associative decimal aggregates → identical on any partitioning),
+    cast to double once, then one pinned-shape formula per pair — so
+    unlike F.corr (order-dependent float accumulation) the statistic is
+    bitwise-oracled AND cluster-deterministic. One scan, ten map-side-
+    combinable aggregates, a 1-row result exploded to the pair report:
+    zero data shuffle beyond the single-row partial merge at any
+    corpus size."""
+    cols = sorted({c for p in _CORR_PAIRS for c in p})
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in cols:
+        d = F.col(c).cast("decimal(12,2)")
+        aggs.append(F.sum(d).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(d * d).cast("double").alias(f"s_{c}_{c}"))
+    for a, b in _CORR_PAIRS:
+        da = F.col(a).cast("decimal(12,2)")
+        db = F.col(b).cast("decimal(12,2)")
+        aggs.append(F.sum(da * db).cast("double").alias(f"s_{a}_{b}"))
+    s = t.lineitem.agg(*aggs)
+    rows = []
+    for a, b in _CORR_PAIRS:
+        expr = _CORR_FMT.format(
+            n="n", sxy=f"s_{a}_{b}", sx=f"s_{a}", sy=f"s_{b}",
+            sxx=f"s_{a}_{a}", syy=f"s_{b}_{b}",
+        )
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("n").cast("bigint").alias("n"),
+                F.expr(expr).alias("corr"),
+            )
+        )
+    return (
+        s.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.col_x", "r.col_y", "r.n", "r.corr")
+        .orderBy("col_x", "col_y")
+    )
