@@ -999,3 +999,62 @@ def agg_approx_top_events(t: Tables) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_value_winsorized",
+    "WITH pct AS (SELECT event_type, "
+    "quantile_disc(value, 0.05) AS p05, quantile_disc(value, 0.95) AS p95 "
+    "FROM events GROUP BY event_type), "
+    "clipped AS (SELECT e.event_type, value, p05, p95, "
+    "CAST(least(greatest(value, p05), p95) AS DECIMAL(12,2)) AS w "
+    "FROM events e JOIN pct ON pct.event_type = e.event_type) "
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n, p05, p95, "
+    "CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
+    "AS mean_raw, "
+    "CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_winsorized "
+    "FROM clipped GROUP BY event_type, p05, p95 ORDER BY event_type",
+)
+def events_value_winsorized(t: Tables) -> DataFrame:
+    """Robust per-type value statistics: 5%/95% winsorization — clip to
+    the DISCRETE percentile bounds (actual data values, the
+    corpus_length_profile parity trick, so no interpolation floats),
+    then compare the raw mean against the winsorized mean. The standard
+    outlier-robust monitoring statistic; a large gap between the two
+    means flags a heavy tail. Both means are exact-DECIMAL sums (the
+    2-dec value domain is exact in DECIMAL(12,2)) divided once in
+    doubles — partition-invariant and bitwise-oracled.
+
+    Scale shape: pass 1 computes two discrete percentiles per type
+    (per-group sort; approx_percentile is the huge-group swap), pass 2
+    is one broadcast join of the |types|-row bounds plus a
+    map-side-combinable decimal agg."""
+    t.events.createOrReplaceTempView("_winsor_events")
+    pct = t.spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.05) WITHIN GROUP (ORDER BY value) AS p05,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95
+        FROM _winsor_events GROUP BY event_type
+        """
+    )
+    clipped = t.events.join(F.broadcast(pct), "event_type").select(
+        "event_type",
+        "p05",
+        "p95",
+        F.col("value").cast("decimal(12,2)").alias("v"),
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+        .cast("decimal(12,2)")
+        .alias("w"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        clipped.groupBy("event_type", "p05", "p95")
+        .agg(
+            n.alias("n"),
+            (F.sum("v").cast("double") / n.cast("double")).alias("mean_raw"),
+            (F.sum("w").cast("double") / n.cast("double")).alias("mean_winsorized"),
+        )
+        .select("event_type", "n", "p05", "p95", "mean_raw", "mean_winsorized")
+        .orderBy("event_type")
+    )
