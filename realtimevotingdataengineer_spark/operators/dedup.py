@@ -1354,3 +1354,111 @@ def dedup_fuzzy_edit(t: Tables) -> DataFrame:
         .filter(F.col("edit_dist") >= 0)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _srp_topk_sql() -> str:
+    from .similarity import EMB_DIM, N_QUERIES, TOP_K
+
+    duck_sig = _srp_duck_sig()
+    cos = (
+        f"({dot_sql('ea.embedding', 'eb.embedding', EMB_DIM)}) / "
+        f"(({norm_sql('ea.embedding', EMB_DIM)}) * ({norm_sql('eb.embedding', EMB_DIM)}))"
+    )
+    return (
+        f"WITH s AS (SELECT vec_id, {duck_sig} AS sig FROM embeddings), "
+        "bands AS (SELECT vec_id, u.j AS band, "
+        f"(sig >> ({SRP_BAND_BITS} * u.j)) & {(1 << SRP_BAND_BITS) - 1} AS bv "
+        f"FROM s, (SELECT unnest(range(0, {SRP_BANDS})) AS j) u), "
+        "cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id "
+        "FROM bands q JOIN bands c ON q.band = c.band AND q.bv = c.bv "
+        f"AND q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id), "
+        f"scored AS (SELECT query_id, neighbor_id, {cos} AS cosine FROM cand "
+        "JOIN embeddings ea ON ea.vec_id = query_id "
+        "JOIN embeddings eb ON eb.vec_id = neighbor_id) "
+        "SELECT query_id, neighbor_id, cosine FROM ("
+        "SELECT query_id, neighbor_id, cosine, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM scored) "
+        f"WHERE rn <= {TOP_K}"
+    )
+
+
+@register("sim_srp_topk", _srp_topk_sql())
+def sim_srp_topk(t: Tables) -> DataFrame:
+    """LSH-probed ANN search: each query vector retrieves only the
+    corpus vectors sharing at least one SRP signature band, then exact
+    pinned-chain cosine ranks the candidates — random-hyperplane LSH as
+    a SEARCH index, completing the ANN trio next to IVF probing
+    (partition-by-centroid) and quantized scan (compressed exhaustive).
+    Versus IVF: no codebook to fit or refresh, candidates concentrate
+    by ANGLE to the query rather than by cell, and recall tunes with
+    bands/bits instead of n_probe. Deterministic signatures (md5-derived
+    hyperplanes) give the banded semantics an exact oracle; pytest
+    measures recall against brute force. Same scale shape as
+    dedup_embedding_srp: narrow signature map, one (band, bv) shuffle,
+    verify on candidates only."""
+    from .similarity import EMB_DIM, N_QUERIES, TOP_K, _rp_chain
+
+    def band_col(k: int):
+        terms = []
+        for b in range(SRP_BAND_BITS):
+            chain = _rp_chain(
+                SRP_BAND_BITS * k + b, "CAST(element_at(embedding, {i}) AS DOUBLE)"
+            )
+            terms.append(
+                f"(CASE WHEN ({chain}) >= 0 THEN CAST({1 << b} AS BIGINT) "
+                "ELSE CAST(0 AS BIGINT) END)"
+            )
+        return F.expr(" + ".join(terms)).alias(f"bv{k}")
+
+    sigs = (
+        spread(t.embeddings, "vec_id")
+        .select("vec_id", *[band_col(k) for k in range(SRP_BANDS)])
+        .localCheckpoint(eager=True)
+    )
+    bands = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), F.col(f"bv{j}").alias("bv"))
+                    for j in range(SRP_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    q, c = bands.alias("q"), bands.alias("c")
+    cand = (
+        q.join(
+            c,
+            (F.col("q.band") == F.col("c.band"))
+            & (F.col("q.bv") == F.col("c.bv"))
+            & (F.col("q.vec_id") < N_QUERIES)
+            & (F.col("c.vec_id") != F.col("q.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"), F.col("c.vec_id").alias("neighbor_id")
+        )
+        .distinct()
+    )
+    ea = t.embeddings.withColumn("nrm", norm_expr("embedding", EMB_DIM)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+        F.col("nrm").alias("nrm_q"),
+    )
+    eb = t.embeddings.withColumn("nrm", norm_expr("embedding", EMB_DIM)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_c"),
+        F.col("nrm").alias("nrm_c"),
+    )
+    cos = dot_expr("emb_q", "emb_c", EMB_DIM) / (F.col("nrm_q") * F.col("nrm_c"))
+    scored = (
+        cand.join(F.broadcast(ea), "query_id")
+        .join(eb, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )

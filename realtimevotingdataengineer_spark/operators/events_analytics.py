@@ -1058,3 +1058,53 @@ def events_value_winsorized(t: Tables) -> DataFrame:
         .select("event_type", "n", "p05", "p95", "mean_raw", "mean_winsorized")
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_rolling_median_daily",
+    "WITH daily AS (SELECT CAST(ts AS DATE) AS d, event_type, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) "
+    "SELECT strftime(a.d, '%Y-%m-%d') AS day, a.event_type AS event_type, a.n AS n, "
+    "CAST(quantile_disc(b.n, 0.5) AS BIGINT) AS med7, "
+    "CAST(a.n - quantile_disc(b.n, 0.5) AS BIGINT) AS dev "
+    "FROM daily a JOIN daily b ON b.event_type = a.event_type "
+    "AND b.d BETWEEN a.d - 7 AND a.d - 1 "
+    "GROUP BY a.d, a.event_type, a.n ORDER BY 1, 2",
+)
+def events_rolling_median_daily(t: Tables) -> DataFrame:
+    """Trailing-7-day MEDIAN of daily volume per event type, with each
+    day's deviation from it — the outlier-ROBUST anomaly baseline that
+    complements events_anomaly_zscore (one spike day inflates a mean
+    and sigma for a week; it moves a median not at all). The median is
+    percentile_disc over the trailing window's integer counts via the
+    day-spine range join (the rolling-DISTINCT pattern of
+    events_rolling_active_users: order statistics, like distincts,
+    aren't frame-aggregable) — all-integer, exact oracle. Input to the
+    join is the |types|x|days| daily relation, not raw events, so the
+    range join is tiny at any corpus size."""
+    daily = (
+        t.events.groupBy(
+            F.to_date("ts").alias("d"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+    ).localCheckpoint(eager=True)  # both sides of the range self-join
+    a = daily.alias("a")
+    b = daily.alias("b")
+    joined = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & F.col("b.d").between(F.date_sub(F.col("a.d"), 7), F.date_sub(F.col("a.d"), 1)),
+    ).select(
+        F.col("a.d").alias("d"),
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("n"),
+        F.col("b.n").alias("bn"),
+    )
+    joined.createOrReplaceTempView("_med7")
+    return t.spark.sql(
+        """
+        SELECT date_format(d, 'yyyy-MM-dd') AS day, event_type, n,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY bn) AS BIGINT) AS med7,
+               CAST(n - percentile_disc(0.5) WITHIN GROUP (ORDER BY bn) AS BIGINT) AS dev
+        FROM _med7 GROUP BY d, event_type, n ORDER BY day, event_type
+        """
+    )

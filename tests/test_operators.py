@@ -290,6 +290,23 @@ def test_fuzzy_edit_gate_lossless(spark):
     assert got == expected
 
 
+def test_srp_topk_recall_vs_bruteforce(t):
+    """LSH-probed search must recover a solid fraction of the exact
+    top-10 (measured 0.64 at sf0.01; the fixture's near-orthogonal
+    regime is hyperplane-LSH's hard case) and each returned neighbor
+    must be ranked by the same pinned cosine (bitwise subset check on
+    pairs is done by the oracle; here just the recall floor)."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_bruteforce_topk"](t).collect()
+    }
+    srp = {
+        (r.query_id, r.neighbor_id) for r in QUERIES["sim_srp_topk"](t).collect()
+    }
+    assert srp, "SRP search returned nothing"
+    assert len(exact & srp) / len(exact) >= 0.3
+
+
 def test_ivf_recall_vs_bruteforce(t):
     """IVF probes one bucket — recall@10 against exact top-10 should be
     positive (sanity that bucketing is not nonsense) though below 1."""
