@@ -1108,3 +1108,53 @@ def events_rolling_median_daily(t: Tables) -> DataFrame:
         FROM _med7 GROUP BY d, event_type, n ORDER BY day, event_type
         """
     )
+
+
+@register(
+    "events_rolling_wau_bitmap",
+    # the oracle is the plain EXACT rolling distinct — bitmaps are an
+    # exact representation, so unlike the HLL key there is no envelope:
+    # the counts must match to the integer
+    "WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events), "
+    "user_days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS ud FROM events) "
+    "SELECT strftime(d, '%Y-%m-%d') AS day, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS wau "
+    "FROM days JOIN user_days ON ud BETWEEN d - 6 AND d GROUP BY d ORDER BY day",
+)
+def events_rolling_wau_bitmap(t: Tables) -> DataFrame:
+    """Rolling 7-day active users via EXACT mergeable BITMAPS — the
+    third member of the rolling-distinct family: the range-join key
+    (events_rolling_active_users) is exact but shuffles |users|x|days|;
+    the HLL key (events_rolling_wau_hll) is fixed-size but approximate;
+    bitmap_construct_agg/bitmap_or_agg state is BOTH exact AND
+    mergeable (one bitmap per (day, 32k-id bucket), map-side
+    combinable, window-unioned like sketches), which is why this is
+    the production plan for exact high-cardinality rolling distincts
+    when the id space is dense integers. The day window unions
+    |window|·|buckets| bitmaps; the final count is the bucket-sum of
+    popcounts. Being exact, the oracle is the plain distinct count —
+    no error envelope at all."""
+    buckets = t.events.selectExpr(
+        "CAST(ts AS DATE) AS d",
+        "bitmap_bucket_number(user_id) AS bkt",
+        "bitmap_bit_position(user_id) AS pos",
+    )
+    day_bm = buckets.groupBy("d", "bkt").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    days = day_bm.select("d").distinct()
+    win = (
+        days.alias("a")
+        .join(
+            day_bm.alias("b"),
+            F.col("b.d").between(F.date_sub(F.col("a.d"), 6), F.col("a.d")),
+        )
+        .groupBy(F.col("a.d").alias("d"), F.col("b.bkt").alias("bkt"))
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+    )
+    return (
+        win.groupBy("d")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("wau"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "wau")
+        .orderBy("day")
+    )
