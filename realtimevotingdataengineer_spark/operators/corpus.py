@@ -841,3 +841,71 @@ def corpus_dedup_keep_best(t: Tables) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Temperature for the tau-scaled domain mix (multilingual-LM sampling:
+#: tau < 1 flattens the domain distribution toward uniform, tau = 1 is
+#: proportional). Weights ride the DECIMAL(18,9) pin so the pow()
+#: transcendental is bitwise-portable, like every ln in this repo.
+MIX_TAU = 0.7
+
+_TAU_PW = (
+    "CAST(CAST(pow(CAST(total_tokens AS DOUBLE), "
+    f"{MIX_TAU}) AS DECIMAL(18,9)) AS DOUBLE)"
+)
+
+
+@register(
+    "corpus_mix_temperature",
+    "WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    f"CAST(sum(len({TOKENS_SQL})) AS BIGINT) AS total_tokens "
+    "FROM documents GROUP BY source), "
+    f"pw AS (SELECT source, n_docs, total_tokens, {_TAU_PW} AS p FROM per), "
+    "tot AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list(p ORDER BY source)), (acc, x) -> acc + x) AS w FROM pw) "
+    "SELECT source, n_docs, total_tokens, p / w AS weight, "
+    f"least(CAST(1.0 AS DOUBLE), CAST({MIX_TOKEN_BUDGET} AS DOUBLE) * (p / w) "
+    "/ total_tokens) AS sampling_rate, "
+    f"least(CAST(1.0 AS DOUBLE), CAST({MIX_TOKEN_BUDGET} AS DOUBLE) * (p / w) "
+    "/ total_tokens) * total_tokens AS expected_tokens "
+    "FROM pw CROSS JOIN tot ORDER BY source",
+)
+def corpus_mix_temperature(t: Tables) -> DataFrame:
+    """Temperature-scaled data mix (the multilingual-LM sampling recipe,
+    and DoReMi's static baseline): domain weight ∝ tokens^tau with
+    tau = MIX_TAU < 1 — big domains are damped, small ones boosted,
+    continuously between proportional (tau=1) and corpus_mix_weights'
+    uniform (tau=0). The pow() rides the repo's DECIMAL(18,9) pin and
+    the weight normalizer is an ordered fold over the (tiny) domain
+    list, so the float schedule is bitwise-oracled. Same downstream
+    contract as corpus_mix_weights: rates feed the stratified hash
+    sampler; metadata-sized at any corpus scale."""
+    per = t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text")).cast("bigint")).alias("total_tokens"),
+    )
+    pw = per.withColumn("p", F.expr(_TAU_PW))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("source", "p"))),
+        lambda s: s.getField("p"),
+    )
+    tot = pw.agg(
+        F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x).alias("w")
+    )
+    weight = F.col("p") / F.col("w")
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(MIX_TOKEN_BUDGET)) * weight / F.col("total_tokens"),
+    )
+    return (
+        pw.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            weight.alias("weight"),
+            rate.alias("sampling_rate"),
+            (rate * F.col("total_tokens")).alias("expected_tokens"),
+        )
+        .orderBy("source")
+    )

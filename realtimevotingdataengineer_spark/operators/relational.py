@@ -1584,3 +1584,63 @@ def profile_correlations(t: Tables) -> DataFrame:
         .select("r.col_x", "r.col_y", "r.n", "r.corr")
         .orderBy("col_x", "col_y")
     )
+
+
+#: Star-schema foreign keys audited by dq_referential_integrity:
+#: (constraint name, child table, child column, parent table, parent key).
+_DQ_FKS = (
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _dq_sql() -> str:
+    selects = []
+    for name, child, ck, parent, pk in _DQ_FKS:
+        selects.append(
+            f"SELECT '{name}' AS constraint_name, "
+            f"CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child, "
+            f"CAST((SELECT count(*) FROM {child} c WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck})) AS BIGINT) "
+            "AS n_orphans"
+        )
+    return (
+        "SELECT constraint_name, n_child, n_orphans, (n_orphans = 0) AS ok FROM ("
+        + " UNION ALL ".join(selects)
+        + ") ORDER BY constraint_name"
+    )
+
+
+@register("dq_referential_integrity", _dq_sql())
+def dq_referential_integrity(t: Tables) -> DataFrame:
+    """Deequ-style data-quality audit: every star-schema foreign key
+    checked for orphaned child rows (child count, orphan count, pass
+    verdict per constraint) in one run — the constraint suite a
+    pipeline gates ingestion on. Each check is a LEFT ANTI join count:
+    the parent key side broadcasts for the dimension FKs and the child
+    scan reads only the key column (pushdown-pruned), so the whole
+    audit is one cheap pass per table at any fact size."""
+    rows = []
+    for name, child, ck, parent, pk in _DQ_FKS:
+        cdf = getattr(t, child).select(F.col(ck).alias("k"))
+        pdf = getattr(t, parent).select(F.col(pk).alias("k"))
+        n_child = cdf.agg(F.count(F.lit(1)).alias("n_child"))
+        orphans = cdf.join(pdf, "k", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+        rows.append(
+            n_child.crossJoin(orphans).select(
+                F.lit(name).alias("constraint_name"),
+                F.col("n_child"),
+                F.col("n_orphans"),
+                (F.col("n_orphans") == 0).alias("ok"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("constraint_name")
