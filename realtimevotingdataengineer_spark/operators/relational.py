@@ -1644,3 +1644,68 @@ def dq_referential_integrity(t: Tables) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("constraint_name")
+
+
+@register(
+    "orders_cohort_ltv",
+    "WITH m AS (SELECT o_custkey, o_totalprice, "
+    "year(o_orderdate) * 12 + month(o_orderdate) AS mi FROM orders), "
+    "first AS (SELECT o_custkey, min(mi) AS m0 FROM m GROUP BY o_custkey), "
+    "sz AS (SELECT m0, CAST(count(*) AS BIGINT) AS cohort_customers "
+    "FROM first GROUP BY m0), "
+    "rev AS (SELECT f.m0, m.mi - f.m0 AS month_offset, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DECIMAL(38,2)) AS r "
+    "FROM m JOIN first f ON f.o_custkey = m.o_custkey GROUP BY f.m0, m.mi - f.m0) "
+    "SELECT CAST(rev.m0 AS BIGINT) AS cohort_month_idx, "
+    "CAST(month_offset AS BIGINT) AS month_offset, cohort_customers, "
+    "CAST(r AS DOUBLE) AS revenue, "
+    "CAST(CAST(sum(r) OVER (PARTITION BY rev.m0 ORDER BY month_offset) "
+    "AS DECIMAL(38,2)) AS DOUBLE) AS cum_revenue "
+    "FROM rev JOIN sz ON sz.m0 = rev.m0 "
+    "ORDER BY cohort_month_idx, month_offset",
+)
+def orders_cohort_ltv(t: Tables) -> DataFrame:
+    """Customer-cohort lifetime-value triangle: customers grouped by
+    first-order month, revenue per (cohort, month offset) and its
+    running cumulative — the money-side complement of
+    events_retention_cohort, the table every LTV / payback-period
+    analysis reads. All money flows through associative DECIMAL sums
+    (including the cumulative window) with one terminal double cast per
+    cell, so every float is bitwise-oracled and partition-invariant.
+
+    Scale shape: one custkey shuffle for first-order months, the fact
+    join is co-partitioned on the same key, and the output triangle is
+    |months|² rows — metadata-sized; the per-cohort running sum windows
+    over at most |months| rows."""
+    m = t.orders.select(
+        "o_custkey",
+        "o_totalprice",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi"),
+    )
+    first = m.groupBy("o_custkey").agg(F.min("mi").alias("m0"))
+    sz = first.groupBy("m0").agg(F.count(F.lit(1)).alias("cohort_customers"))
+    rev = (
+        m.join(first, "o_custkey")
+        .groupBy(F.col("m0"), (F.col("mi") - F.col("m0")).alias("month_offset"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(20,2)"))
+            .cast("decimal(38,2)")
+            .alias("r")
+        )
+    )
+    w = (
+        Window.partitionBy("m0")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(sz, "m0")
+        .select(
+            F.col("m0").cast("bigint").alias("cohort_month_idx"),
+            F.col("month_offset").cast("bigint").alias("month_offset"),
+            "cohort_customers",
+            F.col("r").cast("double").alias("revenue"),
+            F.sum("r").over(w).cast("decimal(38,2)").cast("double").alias("cum_revenue"),
+        )
+        .orderBy("cohort_month_idx", "month_offset")
+    )

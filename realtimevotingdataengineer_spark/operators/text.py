@@ -573,3 +573,95 @@ def text_entropy_charset(t: Tables) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _js_log2pin(x: str) -> str:
+    """log2 pinned through DECIMAL(18,9) — identical text both dialects."""
+    return f"CAST(CAST(log2({x}) AS DECIMAL(18,9)) AS DOUBLE)"
+
+
+_JSD_TERM = (
+    "CASE WHEN pa > 0 THEN (pa / 2) * " + _js_log2pin("pa / ((pa + pb) / 2)")
+    + " ELSE 0 END + "
+    "CASE WHEN pb > 0 THEN (pb / 2) * " + _js_log2pin("pb / ((pa + pb) / 2)")
+    + " ELSE 0 END"
+)
+
+_JSD_SQL = (
+    f"WITH tk AS (SELECT source, {_TOKENS_SQL} AS tk FROM documents), "
+    "toks AS (SELECT source, u.tok FROM tk, LATERAL unnest(tk) AS u(tok)), "
+    "cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM toks "
+    "GROUP BY source, tok), "
+    "tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source), "
+    "p AS (SELECT cnt.source, tok, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS pr "
+    "FROM cnt JOIN tot ON tot.source = cnt.source), "
+    "pairs AS (SELECT a.source AS src_a, b.source AS src_b FROM tot a "
+    "JOIN tot b ON a.source < b.source), "
+    "vocab AS (SELECT DISTINCT tok FROM cnt), "
+    "grid AS (SELECT src_a, src_b, vocab.tok AS tok, "
+    "coalesce(pa.pr, CAST(0 AS DOUBLE)) AS pa, "
+    "coalesce(pb.pr, CAST(0 AS DOUBLE)) AS pb "
+    "FROM pairs CROSS JOIN vocab "
+    "LEFT JOIN p pa ON pa.source = src_a AND pa.tok = vocab.tok "
+    "LEFT JOIN p pb ON pb.source = src_b AND pb.tok = vocab.tok), "
+    f"terms AS (SELECT src_a, src_b, tok, {_JSD_TERM} AS term FROM grid) "
+    "SELECT src_a, src_b, "
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY tok)), "
+    "(acc, x) -> acc + x) AS jsd "
+    "FROM terms GROUP BY src_a, src_b ORDER BY src_a, src_b"
+)
+
+
+@register("text_js_divergence_domains", _JSD_SQL)
+def text_js_divergence_domains(t: Tables) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the per-domain unigram
+    distributions — the distribution-shift matrix corpus curation reads
+    (which domains are interchangeable, which add diversity; JSD is
+    symmetric, bounded [0,1] in bits, and defined even where supports
+    differ — exactly why it beats KL here). Transcendentals ride the
+    DECIMAL(18,9) log2 pin and the per-pair sum is an ordered fold over
+    the shared vocab, so the float matrix is bitwise-oracled.
+
+    Scale shape: one (source, token) count shuffle — the |domains| ×
+    |vocab| probability relation and everything after it is
+    metadata-sized at any corpus scale (vocab grows sublinearly; the
+    pair grid is |domains|²·|vocab|)."""
+    toks = spread(
+        t.documents.select("source", tokens("text").alias("tk")), "source"
+    ).select("source", F.explode("tk").alias("tok"))
+    cnt = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    p = cnt.join(tot, "source").select(
+        "source", "tok", (F.col("c").cast("double") / F.col("n").cast("double")).alias("pr")
+    )
+    srcs = tot.select("source")
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+    )
+    vocab = cnt.select("tok").distinct()
+    pa = p.select(F.col("source").alias("src_a"), "tok", F.col("pr").alias("pr_a"))
+    pb = p.select(F.col("source").alias("src_b"), "tok", F.col("pr").alias("pr_b"))
+    grid = (
+        pairs.crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(pa), ["src_a", "tok"], "left")
+        .join(F.broadcast(pb), ["src_b", "tok"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "tok",
+            F.coalesce(F.col("pr_a"), F.lit(0.0)).alias("pa"),
+            F.coalesce(F.col("pr_b"), F.lit(0.0)).alias("pb"),
+        )
+    )
+    terms = grid.select("src_a", "src_b", "tok", F.expr(_JSD_TERM).alias("term"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("tok", "term"))),
+        lambda s: s.getField("term"),
+    )
+    return (
+        terms.groupBy("src_a", "src_b")
+        .agg(F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x).alias("jsd"))
+        .orderBy("src_a", "src_b")
+    )
