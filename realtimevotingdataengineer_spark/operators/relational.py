@@ -1709,3 +1709,116 @@ def orders_cohort_ltv(t: Tables) -> DataFrame:
         )
         .orderBy("cohort_month_idx", "month_offset")
     )
+
+
+@register(
+    "window_range_time_sum",
+    "SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, "
+    "CAST(count(*) OVER w AS BIGINT) AS n_1h, "
+    "CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DECIMAL(20,2)) "
+    "AS DOUBLE) AS value_1h "
+    "FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) "
+    "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) "
+    "ORDER BY event_id",
+)
+def window_range_time_sum(t: Tables) -> DataFrame:
+    """Trailing-ONE-HOUR per-user activity via a RANGE window frame —
+    the time-based frame ROWS can't express (peers are chosen by the
+    ORDER-BY VALUE distance, so sparse/ dense event streams both get
+    exactly the events within the last 3600 seconds). The session-rate
+    statistic behind throttling / abuse detection. Frame bounds are
+    integer epoch seconds in both engines; the value sum is associative
+    DECIMAL, cast to double once per row — bitwise-oracled.
+
+    Scale shape: one user_id shuffle + a per-user time sort; RANGE
+    frames keep a sliding aggregate (not O(frame) recompute) in both
+    engines, so per-row cost is amortized O(1)."""
+    epoch = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        t.events.select(
+            "event_id",
+            "user_id",
+            epoch.alias("ts_sec"),
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .over(w)
+            .cast("decimal(20,2)")
+            .cast("double")
+            .alias("value_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "events_chisq_type_weekday",
+    "WITH o AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+    "r AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS rn FROM o GROUP BY event_type), "
+    "c AS (SELECT dow, CAST(sum(n) AS BIGINT) AS cn FROM o GROUP BY dow), "
+    "tt AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM o), "
+    "cells AS (SELECT o.event_type, o.dow, "
+    "(CAST(n AS DOUBLE) - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(total AS DOUBLE)) "
+    "* (CAST(n AS DOUBLE) - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(total AS DOUBLE)) "
+    "/ (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(total AS DOUBLE)) AS term "
+    "FROM o JOIN r ON r.event_type = o.event_type JOIN c ON c.dow = o.dow "
+    "CROSS JOIN tt), "
+    "agg AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, "
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list(term ORDER BY event_type, dow)), (acc, x) -> acc + x) AS chi_square "
+    "FROM cells) "
+    "SELECT n_cells, "
+    "CAST((SELECT count(*) FROM r) - 1 AS BIGINT) * "
+    "CAST((SELECT count(*) FROM c) - 1 AS BIGINT) AS dof, chi_square FROM agg",
+)
+def events_chisq_type_weekday(t: Tables) -> DataFrame:
+    """Chi-square independence statistic for event_type × ISO weekday —
+    the hypothesis-testing staple behind 'does traffic mix shift by
+    day?' monitoring. Expected counts come from exact integer margins
+    in one pinned double expression per cell; the statistic is an
+    ordered fold over the |types|×7 cells, so the float is
+    bitwise-oracled. Compare chi_square to the chi-square critical
+    value at dof downstream. One bounded aggregation + metadata-sized
+    joins at any event volume."""
+    iso = (F.pmod(F.dayofweek("ts") + F.lit(5), F.lit(7)) + F.lit(1)).cast("bigint")
+    o = t.events.groupBy(
+        "event_type", iso.alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    r = o.groupBy("event_type").agg(F.sum("n").alias("rn"))
+    c = o.groupBy("dow").agg(F.sum("n").alias("cn"))
+    tt = o.agg(F.sum("n").alias("total"))
+    e = F.col("rn").cast("double") * F.col("cn").cast("double") / F.col("total").cast("double")
+    term = (F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e
+    cells = (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(tt))
+        .select("event_type", "dow", term.alias("term"))
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("event_type", "dow", "term"))),
+        lambda s: s.getField("term"),
+    )
+    nr = r.agg(F.count(F.lit(1)).alias("nr"))
+    nc = c.agg(F.count(F.lit(1)).alias("nc"))
+    return (
+        cells.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x).alias(
+                "chi_square"
+            ),
+        )
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_cells",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+            "chi_square",
+        )
+    )
