@@ -1462,3 +1462,78 @@ def sim_srp_topk(t: Tables) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+#: Incremental-dedup split: docs with id >= (max_id+1)*4/5 play the
+#: "new crawl" delta; the first 80% of the id range is the existing
+#: corpus. Derived from the data (not a hard-coded id — the BFS-seed
+#: lesson) so fixture growth moves the split with it.
+INCR_NUM, INCR_DEN = 4, 5
+
+_INCR_SQL = (
+    _SHINGLES_SQL
+    + f", cut AS (SELECT (max(doc_id) + 1) * {INCR_NUM} // {INCR_DEN} AS c "
+    "FROM documents), "
+    "icand AS (SELECT DISTINCT d.doc_id AS doc_new, b.doc_id AS doc_base "
+    "FROM bands d JOIN bands b ON d.band = b.band AND d.bv = b.bv "
+    "CROSS JOIN cut WHERE d.doc_id >= cut.c AND b.doc_id < cut.c) "
+    "SELECT doc_new, doc_base, "
+    "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / "
+    "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard "
+    "FROM icand JOIN sh sa ON doc_new = sa.doc_id JOIN sh sb ON doc_base = sb.doc_id "
+    "WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / "
+    f"(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= {LSH_THETA} "
+    "ORDER BY doc_new, doc_base"
+)
+
+
+@register("dedup_incremental_minhash", _INCR_SQL)
+def dedup_incremental_minhash(t: Tables) -> DataFrame:
+    """INCREMENTAL near-dup: the last 20% of the id range plays a fresh
+    crawl batch and is deduped ONLY against the existing 80% corpus —
+    the production refresh posture, where the full-corpus self-join
+    never reruns: the base's signatures/bands are a maintained table,
+    the delta's are a narrow map over new docs, and the candidate join
+    is delta-bands × base-bands (broadcast the delta at real scale:
+    it's the small side by construction). Same verify as
+    dedup_minhash_lsh (exact shingle-set Jaccard >= θ), so a delta pair
+    this key reports is exactly what the batch key would report for the
+    same ids — the incremental plan changes the JOIN SHAPE, never the
+    semantics. The split id derives from max(doc_id) in both engines
+    (no hard-coded fixture id)."""
+    sh, sig, _ = minhash_parts(t)
+    bands = sig.groupBy(
+        "doc_id", F.floor(F.col("i") / 2).cast("int").alias("band")
+    ).agg(
+        F.concat(
+            F.max(F.when(F.col("i") % 2 == 0, F.col("mh"))),
+            F.max(F.when(F.col("i") % 2 == 1, F.col("mh"))),
+        ).alias("bv")
+    )
+    cut = t.documents.agg(
+        F.expr(f"(max(doc_id) + 1) * {INCR_NUM} div {INCR_DEN}").alias("c")
+    )
+    d, b = bands.alias("d"), bands.alias("b")
+    cand = (
+        d.join(
+            b,
+            (F.col("d.band") == F.col("b.band")) & (F.col("d.bv") == F.col("b.bv")),
+        )
+        .crossJoin(F.broadcast(cut))
+        .filter((F.col("d.doc_id") >= F.col("c")) & (F.col("b.doc_id") < F.col("c")))
+        .select(
+            F.col("d.doc_id").alias("doc_new"), F.col("b.doc_id").alias("doc_base")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_base"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(sa, "doc_new")
+        .join(sb, "doc_base")
+        .select("doc_new", "doc_base", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= LSH_THETA)
+        .orderBy("doc_new", "doc_base")
+    )

@@ -665,3 +665,79 @@ def text_js_divergence_domains(t: Tables) -> DataFrame:
         .agg(F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x).alias("jsd"))
         .orderBy("src_a", "src_b")
     )
+
+
+#: Feature-hashing dimensionality (the HashingTF trick: fixed-width
+#: vectors with no vocabulary to fit or ship).
+HTF_DIM = 64
+
+_HTF_DIMS_SQL = ", ".join(
+    f"CAST(sum(CASE WHEN dim = {j} THEN c ELSE 0 END) AS BIGINT)" for j in range(HTF_DIM)
+)
+
+
+@register(
+    "text_hashing_tf",
+    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+    "toks AS (SELECT doc_id, u.tok FROM tk, LATERAL unnest(tk) AS u(tok)), "
+    "dims AS (SELECT doc_id, "
+    f"CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % {HTF_DIM} AS dim, "
+    "CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY doc_id, dim), "
+    "vec AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nnz, "
+    "CAST(sum(c) AS BIGINT) AS tf_sum, CAST(max(c) AS BIGINT) AS tf_max, "
+    f"md5(array_to_string([{_HTF_DIMS_SQL}], ',')) AS vec_md5 "
+    "FROM dims GROUP BY doc_id) "
+    "SELECT doc_id, nnz, tf_sum, tf_max, vec_md5 FROM vec ORDER BY doc_id",
+)
+def text_hashing_tf(t: Tables) -> DataFrame:
+    """Feature-hashed term-frequency vectors (the MLlib HashingTF
+    primitive): each doc becomes a fixed HTF_DIM-wide count vector with
+    NO vocabulary to fit, broadcast, or version — the text→vector
+    bridge that feeds the embedding-space operators (random projection,
+    SRP banding, cosine ANN) without any model. md5-derived dimension
+    hashing keeps the vectors engine-portable; the registered output
+    pins the vector by md5 of its canonical CSV plus scalar probes
+    (nnz, tf mass, max bucket) per the repo's array-output rule.
+    `hashing_tf_vectors` returns the raw arrays for library consumers.
+
+    Scale shape: explode → ONE (doc, dim) count shuffle with map-side
+    combine → a bounded 64-sum pivot per doc — linear at any corpus
+    size, and the 100 TB dial is HTF_DIM (collision rate ~ vocab/dim)."""
+    v = hashing_tf_vectors(t)
+    return v.select(
+        "doc_id",
+        F.size(F.filter("vec", lambda x: x > 0)).cast("bigint").alias("nnz"),
+        F.aggregate("vec", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("tf_sum"),
+        F.array_max("vec").cast("bigint").alias("tf_max"),
+        F.md5(F.array_join(F.col("vec").cast("array<string>"), ",")).alias("vec_md5"),
+    ).orderBy("doc_id")
+
+
+def hashing_tf_vectors(t: Tables) -> DataFrame:
+    """(doc_id, vec array<bigint>) raw hashed-TF vectors behind
+    text_hashing_tf."""
+    toks = spread(
+        t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id"
+    ).select("doc_id", F.explode("tk").alias("tok"))
+    dims = (
+        toks.select(
+            "doc_id",
+            F.pmod(
+                F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint"),
+                F.lit(HTF_DIM),
+            ).alias("dim"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sums = [
+        F.sum(F.when(F.col("dim") == j, F.col("c")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias(f"s{j}")
+        for j in range(HTF_DIM)
+    ]
+    return (
+        dims.groupBy("doc_id")
+        .agg(*sums)
+        .select("doc_id", F.array(*[F.col(f"s{j}") for j in range(HTF_DIM)]).alias("vec"))
+    )
