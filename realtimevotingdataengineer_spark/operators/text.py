@@ -741,3 +741,86 @@ def hashing_tf_vectors(t: Tables) -> DataFrame:
         .agg(*sums)
         .select("doc_id", F.array(*[F.col(f"s{j}") for j in range(HTF_DIM)]).alias("vec"))
     )
+
+
+#: Document-similarity query set / report size.
+HTF_N_QUERIES = 5
+HTF_TOP_K = 10
+
+
+def _htf_vec_cte() -> str:
+    """CTE chain ending in `vec(doc_id, v)` — the dense hashed-TF
+    vector as a DuckDB list, shared with the similarity oracle."""
+    dims_list = ", ".join(
+        f"CAST(sum(CASE WHEN dim = {j} THEN c ELSE 0 END) AS DOUBLE)"
+        for j in range(HTF_DIM)
+    )
+    return (
+        f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+        "toks AS (SELECT doc_id, u.tok FROM tk, LATERAL unnest(tk) AS u(tok)), "
+        "dims AS (SELECT doc_id, "
+        f"CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % {HTF_DIM} AS dim, "
+        "CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY doc_id, dim), "
+        f"vec AS (SELECT doc_id, [{dims_list}] AS v FROM dims GROUP BY doc_id)"
+    )
+
+
+def _htf_topk_sql() -> str:
+    from ..functions import dot_sql, norm_sql
+
+    cos = (
+        f"({dot_sql('q.v', 'c.v', HTF_DIM)}) / "
+        f"(({norm_sql('q.v', HTF_DIM)}) * ({norm_sql('c.v', HTF_DIM)}))"
+    )
+    return (
+        _htf_vec_cte()
+        + f", scored AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, "
+        f"{cos} AS cosine FROM vec q JOIN vec c "
+        f"ON q.doc_id < {HTF_N_QUERIES} AND c.doc_id <> q.doc_id) "
+        "SELECT query_id, neighbor_id, cosine FROM ("
+        "SELECT query_id, neighbor_id, cosine, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM scored) "
+        f"WHERE rn <= {HTF_TOP_K}"
+    )
+
+
+@register("sim_doc_topk_hashed", _htf_topk_sql())
+def sim_doc_topk_hashed(t: Tables) -> DataFrame:
+    """DOCUMENT similarity search end to end from raw text: hashed-TF
+    vectors (text_hashing_tf) scored by exact pinned-chain cosine, top-k
+    per query doc — the full text→vector→ANN loop with no model and no
+    pre-computed embedding table, which is what retrieval over a fresh
+    corpus looks like before an embedding model exists. Same broadcast-
+    queries/single-scan plan as sim_bruteforce_topk; the scale path is
+    feeding these vectors to the SRP/IVF bucketed operators unchanged
+    (they only assume an array column). Every doc has ≥1 token in the
+    fixtures, so norms are nonzero; the chains are order-pinned for the
+    bitwise oracle."""
+    from ..functions import dot_expr, norm_expr
+
+    v = hashing_tf_vectors(t).select(
+        "doc_id", F.col("vec").cast("array<double>").alias("v")
+    )
+    q = (
+        v.filter(F.col("doc_id") < HTF_N_QUERIES)
+        .withColumn("nrm", norm_expr("v", HTF_DIM))
+        .alias("q")
+    )
+    c = v.withColumn("nrm", norm_expr("v", HTF_DIM)).alias("c")
+    cos = dot_expr("q.v", "c.v", HTF_DIM) / (F.col("q.nrm") * F.col("c.nrm"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q.doc_id") != F.col("c.doc_id"))
+        .select(
+            F.col("q.doc_id").alias("query_id"),
+            F.col("c.doc_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HTF_TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
