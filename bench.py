@@ -61,6 +61,12 @@ HEADLINE = [
     "dedup_simhash64_hamming",
     "dedup_fuzzy_edit",
     "pipeline_export_corpus",
+    # late round-5 families: frequent itemsets, exact-bitmap rolling
+    # distincts, incremental dedup, hashed-TF document search
+    "lineitem_market_basket",
+    "events_rolling_wau_bitmap",
+    "dedup_incremental_minhash",
+    "sim_doc_topk_hashed",
 ]
 
 

@@ -290,6 +290,18 @@ def test_fuzzy_edit_gate_lossless(spark):
     assert got == expected
 
 
+def test_ccnet_buckets_are_balanced_terciles(t):
+    """text_ccnet_buckets must produce terciles whose sizes differ by at
+    most one doc, covering every document exactly once."""
+    from collections import Counter
+
+    rows = QUERIES["text_ccnet_buckets"](t).collect()
+    assert len(rows) == t.documents.count()
+    sizes = Counter(r.ppl_bucket for r in rows)
+    assert set(sizes) == {"head", "middle", "tail"}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
 def test_srp_topk_recall_vs_bruteforce(t):
     """LSH-probed search must recover a solid fraction of the exact
     top-10 (measured 0.64 at sf0.01; the fixture's near-orthogonal

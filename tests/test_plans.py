@@ -250,6 +250,33 @@ def test_tfidf_broadcasts_corpus_stats(t):
     assert broadcast_join_count(df) >= 2
 
 
+def test_market_basket_no_global_sort(t):
+    """lineitem_market_basket's top-20 must be a TakeOrderedAndProject,
+    not a full sort of the pair relation, and the support joins must
+    broadcast."""
+    df = QUERIES["lineitem_market_basket"](t)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert broadcast_join_count(df) >= 2
+
+
+def test_dq_audit_broadcasts_dimension_parents(t):
+    """dq_referential_integrity: the dimension-side parents of every FK
+    check must broadcast — the fact tables never shuffle for an
+    existence probe."""
+    df = QUERIES["dq_referential_integrity"](t)
+    assert broadcast_join_count(df) >= 4
+
+
+def test_incremental_minhash_filters_split_in_join(t):
+    """dedup_incremental_minhash's candidate join must stay an equi-join
+    on (band, bv) (no sort-merge of a theta join), with the delta/base
+    split applied as cheap post-join filters against the 1-row cut."""
+    plan = formatted_plan(QUERIES["dedup_incremental_minhash"](t))
+    assert "BroadcastNestedLoopJoin" not in plan or "cut" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_spread_stands_aside_on_cluster_split_input(spark, tmp_path):
     """spread() must repartition a single-file scan (the local case) but
     become a no-op when the scan already arrives with >= the session's
