@@ -1158,3 +1158,49 @@ def events_rolling_wau_bitmap(t: Tables) -> DataFrame:
         .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "wau")
         .orderBy("day")
     )
+
+
+@register(
+    "events_daily_trend_ols",
+    "WITH daily AS (SELECT event_type, "
+    "CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x, "
+    "CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2), "
+    "s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n, "
+    "CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy, "
+    "CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(x * y) AS DOUBLE) AS sxy "
+    "FROM daily GROUP BY event_type) "
+    "SELECT event_type, CAST(n AS BIGINT) AS n_days, "
+    "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope, "
+    "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept "
+    "FROM s ORDER BY event_type",
+)
+def events_daily_trend_ols(t: Tables) -> DataFrame:
+    """Ordinary-least-squares trend of daily volume per event type —
+    slope (events/day of drift) and intercept, the regression behind
+    'is this stream growing or decaying?' monitoring and the linear
+    half of any forecast. Built like profile_correlations: the power
+    sums are EXACT integer aggregates (day index × integer counts —
+    all < 2^53, so the double casts are exact), then one pinned-shape
+    formula per group — partition-invariant, bitwise-oracled, no
+    regr_slope dependence (whose accumulation order floats). One
+    date-bucketed shuffle; the regression itself is metadata-sized."""
+    x = (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))).cast("long")
+    daily = t.events.groupBy("event_type", x.alias("x")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    ).orderBy("event_type")

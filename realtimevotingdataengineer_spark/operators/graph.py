@@ -331,3 +331,78 @@ def graph_bfs_distance(t: Tables) -> DataFrame:
         .select("vec_id", F.col("dist").cast("bigint").alias("dist"))
         .orderBy("vec_id")
     )
+
+
+#: Link-prediction report size.
+LINKPRED_TOP = 20
+
+_LINKPRED_SQL = (
+    _KNN_EDGES_CTES + ", "
+    "und AS (SELECT src_id AS a, dst_id AS b FROM knn "
+    "UNION SELECT dst_id, src_id FROM knn), "
+    "canon AS (SELECT a, b FROM und WHERE a < b), "
+    "deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY a), "
+    "common AS (SELECT u1.b AS x, u2.b AS y, CAST(count(*) AS BIGINT) AS n_common "
+    "FROM und u1 JOIN und u2 ON u2.a = u1.a AND u1.b < u2.b GROUP BY u1.b, u2.b), "
+    "cand AS (SELECT x, y, n_common FROM common WHERE NOT EXISTS "
+    "(SELECT 1 FROM canon c WHERE c.a = x AND c.b = y)), "
+    "scored AS (SELECT x AS vec_a, y AS vec_b, n_common, "
+    "CAST(n_common AS DOUBLE) / (dx.deg + dy.deg - n_common) AS jaccard "
+    "FROM cand JOIN deg dx ON dx.v = x JOIN deg dy ON dy.v = y) "
+    "SELECT vec_a, vec_b, n_common, jaccard FROM scored "
+    f"ORDER BY jaccard DESC, vec_a, vec_b LIMIT {LINKPRED_TOP}"
+)
+
+
+@register("graph_link_prediction", _LINKPRED_SQL)
+def graph_link_prediction(t: Tables) -> DataFrame:
+    """Common-neighbor link prediction over the symmetrized k-NN graph:
+    the top non-adjacent pairs by neighbor-set Jaccard
+    (|N(a)∩N(b)| / |N(a)∪N(b)|) — the classic graph-completion score
+    (two docs whose neighborhoods already overlap are near-dup/related
+    candidates the kNN fanout missed). Candidate pairs come from the
+    SAME wedge join triangle counting uses (u ⨝ u on the shared center,
+    volume Σ deg² bounded by the constant kNN fanout), minus existing
+    edges via anti-join; scores are one double division of exact
+    integer counts; the report is a TakeOrdered top-20 with id
+    tie-breaks."""
+    edges = sim_knn_graph(t).select("src_id", "dst_id").localCheckpoint(eager=True)
+    und = (
+        edges.select(F.col("src_id").alias("a"), F.col("dst_id").alias("b"))
+        .union(edges.select(F.col("dst_id").alias("a"), F.col("src_id").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused: deg, both wedge sides, anti-join
+    )
+    canon = und.filter(F.col("a") < F.col("b"))
+    deg = und.groupBy(F.col("a").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    u1, u2 = und.alias("u1"), und.alias("u2")
+    common = (
+        u1.join(
+            u2,
+            (F.col("u2.a") == F.col("u1.a")) & (F.col("u1.b") < F.col("u2.b")),
+        )
+        .groupBy(F.col("u1.b").alias("x"), F.col("u2.b").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cand = common.join(
+        canon,
+        (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")),
+        "left_anti",
+    )
+    dx = deg.select(F.col("v").alias("x"), F.col("deg").alias("deg_x"))
+    dy = deg.select(F.col("v").alias("y"), F.col("deg").alias("deg_y"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("deg_x") + F.col("deg_y") - F.col("n_common")
+    )
+    return (
+        cand.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .select(
+            F.col("x").alias("vec_a"),
+            F.col("y").alias("vec_b"),
+            "n_common",
+            jac.alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "vec_a", "vec_b")
+        .limit(LINKPRED_TOP)
+    )

@@ -218,3 +218,148 @@ def sim_centroid_classify(t: Tables) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label", "pred_label")
     )
+
+
+#: Power-iteration rounds for the top principal component (unrolled in
+#: both engines, like kmeans_fit / PageRank).
+PI_ITERS = 2
+
+
+def _pi_fold(expr_list: str) -> str:
+    """DuckDB left fold 0.0 + x1 + x2 ... — the IEEE twin of Spark's
+    ``F.aggregate(..., 0.0, +)``."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {expr_list}), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _pi_round_sql(k: int, prev: str) -> str:
+    return (
+        f"s{k} AS (SELECT vec_id, c, "
+        + _pi_fold(f"list_transform(range(1, {EMB_DIM + 1}), j -> c[j] * vk[j])")
+        + f" AS s FROM cent CROSS JOIN {prev}), "
+        f"d{k} AS (SELECT vec_id, CAST(r.range AS INT) AS pos, "
+        f"c[CAST(r.range AS INT) + 1] * s AS t FROM s{k} CROSS JOIN range({EMB_DIM}) r), "
+        f"u{k} AS (SELECT pos, " + _pi_fold("list(t ORDER BY vec_id)")
+        + f" AS u FROM d{k} GROUP BY pos), "
+        f"n{k} AS (SELECT sqrt(" + _pi_fold("list_transform(uarr, x -> x * x)")
+        + f") AS lam, uarr FROM (SELECT list(u ORDER BY pos) AS uarr FROM u{k})), "
+        f"v{k} AS (SELECT list_transform(uarr, x -> x / lam) AS vk, lam FROM n{k})"
+    )
+
+
+_PI_SQL = (
+    "WITH v AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+    f"dims AS (SELECT vec_id, CAST(r.range AS INT) AS pos, "
+    f"v[CAST(r.range AS INT) + 1] AS val FROM v CROSS JOIN range({EMB_DIM}) r), "
+    "mn AS (SELECT pos, " + _pi_fold("list(val ORDER BY vec_id)")
+    + " / count(*) AS m FROM dims GROUP BY pos), "
+    "marr AS (SELECT list(m ORDER BY pos) AS m FROM mn), "
+    f"cent AS (SELECT vec_id, list_transform(range(1, {EMB_DIM + 1}), "
+    "j -> v[j] - m[j]) AS c FROM v CROSS JOIN marr), "
+    "v0 AS (SELECT list_prepend(CAST(1 AS DOUBLE), "
+    f"list_transform(range(1, {EMB_DIM}), j -> CAST(0 AS DOUBLE))) AS vk), "
+    + ", ".join(_pi_round_sql(k, f"v{k - 1}") for k in range(1, PI_ITERS + 1))
+    + f" SELECT CAST(r.range AS BIGINT) AS pos, "
+    f"vk[CAST(r.range AS INT) + 1] AS loading, lam AS eigenvalue "
+    f"FROM v{PI_ITERS} CROSS JOIN range({EMB_DIM}) r ORDER BY pos"
+)
+
+
+@register("emb_top_component", _PI_SQL)
+def emb_top_component(t: Tables) -> DataFrame:
+    """Top principal component of the (centered) embedding matrix by
+    PI_ITERS unrolled POWER-ITERATION rounds — the spectral member of
+    the iterative family (kmeans fits centroids, PageRank fits ranks,
+    this fits the dominant eigenvector): per round v ← normalize(XᵀXv),
+    computed as two linear passes (s = Xv per row, u = Xᵀs per
+    dimension) so the d×d covariance is never materialized — the
+    standard trick that makes PCA feasible when d² won't fit but two
+    matrix-vector passes will. Every cross-row accumulation is an
+    ordered fold (rows by vec_id, dims by pos) and elementwise steps
+    are zip_with twins, so the eigenvector AND the eigenvalue estimate
+    (||XᵀXv||, unnormalized by n) are bitwise-oracled despite ~260k
+    float accumulations. Init v0 = e_0 — deterministic, generic for
+    this fixture.
+
+    Scale shape per round: one broadcast of the 64-vector, one narrow
+    per-row dot, one (pos)-keyed fold shuffle of n·d terms — linear in
+    the corpus; at petabyte rows switch the folds to double partials
+    and drop the oracle, not the operator (the module-head rule)."""
+    v = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = v.select("vec_id", F.posexplode("v").alias("pos", "val"))
+    ordered_rows = F.transform(
+        F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+        lambda s: s.getField("val"),
+    )
+    mn = dims.groupBy("pos").agg(
+        (
+            F.aggregate(ordered_rows, F.lit(0.0), lambda acc, x: acc + x)
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    marr = mn.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s.getField("m"),
+        ).alias("m")
+    )
+    cent = v.crossJoin(F.broadcast(marr)).select(
+        "vec_id", F.zip_with("v", "m", lambda a, b: a - b).alias("c")
+    )
+    cent = cent.localCheckpoint(eager=True)  # reused by every round
+    vk = marr.sparkSession.range(1).select(
+        F.array(
+            F.lit(1.0), *[F.lit(0.0) for _ in range(EMB_DIM - 1)]
+        ).alias("vk"),
+        F.lit(0.0).alias("lam"),
+    )
+    for _ in range(PI_ITERS):
+        s = cent.crossJoin(F.broadcast(vk.select("vk"))).select(
+            "vec_id",
+            "c",
+            F.aggregate(
+                F.zip_with("c", "vk", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+        )
+        d = s.select("vec_id", F.posexplode("c").alias("pos", "cv")).join(
+            s.select("vec_id", "s"), "vec_id"
+        ).select("vec_id", "pos", (F.col("cv") * F.col("s")).alias("t"))
+        ordered_t = F.transform(
+            F.array_sort(F.collect_list(F.struct("vec_id", "t"))),
+            lambda st: st.getField("t"),
+        )
+        u = d.groupBy("pos").agg(
+            F.aggregate(ordered_t, F.lit(0.0), lambda acc, x: acc + x).alias("u")
+        )
+        uarr = u.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "u"))),
+                lambda st: st.getField("u"),
+            ).alias("uarr")
+        )
+        lam = F.sqrt(
+            F.aggregate(
+                F.transform("uarr", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        vk = uarr.select(
+            F.transform("uarr", lambda x: x / lam).alias("vk"), lam.alias("lam")
+        ).localCheckpoint(eager=True)
+    return (
+        vk.select(F.posexplode("vk").alias("pos", "loading"), "lam")
+        .select(
+            F.col("pos").cast("bigint").alias("pos"),
+            "loading",
+            F.col("lam").alias("eigenvalue"),
+        )
+        .orderBy("pos")
+    )
