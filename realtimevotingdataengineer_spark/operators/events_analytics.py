@@ -1204,3 +1204,43 @@ def events_daily_trend_ols(t: Tables) -> DataFrame:
         slope.alias("slope"),
         ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     ).orderBy("event_type")
+
+
+@register(
+    "events_stickiness_dau_wau",
+    "WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events), "
+    "user_days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS ud FROM events), "
+    "dau AS (SELECT ud AS d, CAST(count(*) AS BIGINT) AS dau FROM user_days GROUP BY ud), "
+    "wau AS (SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS wau "
+    "FROM days JOIN user_days ON ud BETWEEN d - 6 AND d GROUP BY d) "
+    "SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau, wau, "
+    "CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness "
+    "FROM dau JOIN wau ON wau.d = dau.d ORDER BY day",
+)
+def events_stickiness_dau_wau(t: Tables) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement-frequency ratio every
+    product dashboard tracks (1.0 = every weekly user active daily).
+    Composes the deduped user-day relation both ways: a per-day distinct
+    count and the 7-day range-join WAU, one double division of exact
+    integers. At 100 TB both inputs ride the same |users|x|days|
+    relation the WAU family already shares (or its bitmap/HLL form)."""
+    ud = t.events.select("user_id", F.to_date("ts").alias("ud")).distinct()
+    dau = ud.groupBy(F.col("ud").alias("d")).agg(F.count(F.lit(1)).alias("dau"))
+    days = ud.select(F.col("ud").alias("d")).distinct()
+    wau = (
+        days.join(ud, F.col("ud").between(F.date_sub(F.col("d"), 6), F.col("d")))
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -824,3 +824,78 @@ def sim_doc_topk_hashed(t: Tables) -> DataFrame:
         .filter(F.col("rn") <= HTF_TOP_K)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+def _zipf_ln(x: str) -> str:
+    """ln pinned through DECIMAL(18,9) — identical text both dialects."""
+    return f"CAST(CAST(ln({x}) AS DECIMAL(18,9)) AS DOUBLE)"
+
+
+_ZIPF_SQL = (
+    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+    "toks AS (SELECT u.tok FROM tk, LATERAL unnest(tk) AS u(tok)), "
+    "freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY tok), "
+    "ranked AS (SELECT tok, f, CAST(row_number() OVER "
+    "(ORDER BY f DESC, tok) AS BIGINT) AS r FROM freq), "
+    "pts AS (SELECT tok, " + _zipf_ln("CAST(r AS DOUBLE)") + " AS x, "
+    + _zipf_ln("CAST(f AS DOUBLE)") + " AS y FROM ranked), "
+    "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(x ORDER BY tok)), (a,b) -> a + b) AS sx, "
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(y ORDER BY tok)), (a,b) -> a + b) AS sy, "
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(x * x ORDER BY tok)), (a,b) -> a + b) AS sxx, "
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(x * y ORDER BY tok)), (a,b) -> a + b) AS sxy "
+    "FROM pts) "
+    "SELECT CAST(n AS BIGINT) AS vocab_size, "
+    "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope, "
+    "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept "
+    "FROM s"
+)
+
+
+@register("text_zipf_fit", _ZIPF_SQL)
+def text_zipf_fit(t: Tables) -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency distribution: OLS
+    slope of ln(freq) against ln(rank) — natural text sits near −1, and
+    drift is a corpus-health signal (template spam flattens the curve,
+    boilerplate steepens it). Rank ties break on the token so the rank
+    assignment is engine-identical; both logs ride the DECIMAL(18,9)
+    pin and all four OLS power sums are ordered folds keyed by the
+    token — a float-heavy regression that is still bitwise-oracled.
+    One vocab-sized aggregation; the fit itself is metadata-sized."""
+    toks = spread(
+        t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id"
+    ).select(F.explode("tk").alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("tok")))
+    )
+    lnpin = lambda c: F.log(c).cast("decimal(18,9)").cast("double")  # noqa: E731
+    pts = ranked.select(
+        "tok",
+        lnpin(F.col("r").cast("double")).alias("x"),
+        lnpin(F.col("f").cast("double")).alias("y"),
+    )
+
+    # ordered folds keyed by token for all four power sums
+    def osum(expr, name):
+        arr = F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("tok"), expr.alias("v")))),
+            lambda s: s.getField("v"),
+        )
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x).alias(name)
+
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        osum(F.col("x"), "sx"),
+        osum(F.col("y"), "sy"),
+        osum(F.col("x") * F.col("x"), "sxx"),
+        osum(F.col("x") * F.col("y"), "sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("vocab_size"),
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )
