@@ -1244,3 +1244,54 @@ def events_stickiness_dau_wau(t: Tables) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+#: Path-analysis geometry: first PATH_LEN event types of each user-day
+#: journey, top PATH_TOP paths reported.
+PATH_LEN = 5
+PATH_TOP = 10
+
+
+@register(
+    "events_session_path_topk",
+    "WITH seq AS (SELECT user_id, CAST(ts AS DATE) AS d, "
+    "list(event_type ORDER BY ts, event_id) AS path FROM events "
+    "GROUP BY user_id, CAST(ts AS DATE)), "
+    "p AS (SELECT array_to_string(path[1:" + str(PATH_LEN) + "], '>') AS path "
+    "FROM seq) "
+    "SELECT path, CAST(count(*) AS BIGINT) AS n_journeys FROM p GROUP BY path "
+    f"ORDER BY n_journeys DESC, path LIMIT {PATH_TOP}",
+)
+def events_session_path_topk(t: Tables) -> DataFrame:
+    """Clickstream path analysis: the most common user journeys — each
+    (user, day) session's first PATH_LEN event types in time order,
+    joined into a path string, counted and top-k'd. The funnel keys ask
+    about ONE prescribed sequence; this key DISCOVERS the dominant
+    sequences (the sankey/flow diagram's input). Ordering is pinned by
+    (ts, event_id), so the path strings are deterministic in both
+    engines.
+
+    Scale shape: one user-day shuffle building the ordered per-session
+    list (the same exchange every per-user sequence op shares), then a
+    map-side-combinable path count over strings bounded by
+    |types|^PATH_LEN, and a TakeOrdered report."""
+    seq = (
+        t.events.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s.getField("event_type"),
+            ).alias("path")
+        )
+    )
+    p = seq.select(
+        F.array_join(F.slice("path", 1, PATH_LEN), ">").alias("path")
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_journeys"))
+        .orderBy(F.desc("n_journeys"), "path")
+        .limit(PATH_TOP)
+    )

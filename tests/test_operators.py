@@ -290,6 +290,34 @@ def test_fuzzy_edit_gate_lossless(spark):
     assert got == expected
 
 
+def test_top_component_matches_numpy_power_iteration(t):
+    """emb_top_component must agree with an independent numpy
+    implementation of the same two power-iteration rounds (unit norm,
+    positive eigenvalue, near-parallel loading vector), and the loading
+    must be a unit vector."""
+    import numpy as np
+
+    rows = QUERIES["emb_top_component"](t).collect()
+    v_spark = np.array([r.loading for r in sorted(rows, key=lambda r: r.pos)])
+    lam = rows[0].eigenvalue
+    assert abs(np.linalg.norm(v_spark) - 1.0) < 1e-9
+    assert lam > 0
+    emb = np.array(
+        [r.embedding for r in t.embeddings.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    x = emb - emb.mean(axis=0)
+    v = np.zeros(x.shape[1])
+    v[0] = 1.0
+    for _ in range(2):
+        u = x.T @ (x @ v)
+        nrm = np.linalg.norm(u)
+        v = u / nrm
+    # same rounds, different summation orders — directions must align
+    assert abs(float(v @ v_spark)) > 0.9999
+    assert abs(lam - nrm) / nrm < 1e-6
+
+
 def test_ccnet_buckets_are_balanced_terciles(t):
     """text_ccnet_buckets must produce terciles whose sizes differ by at
     most one doc, covering every document exactly once."""
