@@ -899,3 +899,59 @@ def text_zipf_fit(t: Tables) -> DataFrame:
         slope.alias("zipf_slope"),
         ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     )
+
+
+#: Vocabulary-budget checkpoints for the coverage curve.
+VOCAB_BUDGETS = (8, 16, 32, 64, 128)
+
+
+@register(
+    "text_vocab_coverage_curve",
+    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+    "toks AS (SELECT u.tok FROM tk, LATERAL unnest(tk) AS u(tok)), "
+    "freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY tok), "
+    "ranked AS (SELECT f, CAST(row_number() OVER (ORDER BY f DESC, tok) AS BIGINT) "
+    "AS r FROM freq), "
+    "tot AS (SELECT CAST(sum(f) AS BIGINT) AS total FROM freq), "
+    "b AS (SELECT CAST(u.k AS BIGINT) AS vocab_budget FROM "
+    f"(SELECT unnest([{', '.join(str(k) for k in VOCAB_BUDGETS)}]) AS k) u) "
+    "SELECT vocab_budget, "
+    "CAST(sum(CASE WHEN r <= vocab_budget THEN f ELSE 0 END) AS BIGINT) AS tokens_covered, "
+    "CAST(sum(CASE WHEN r <= vocab_budget THEN f ELSE 0 END) AS DOUBLE) / total AS coverage "
+    "FROM b CROSS JOIN ranked CROSS JOIN tot GROUP BY vocab_budget, total "
+    "ORDER BY vocab_budget",
+)
+def text_vocab_coverage_curve(t: Tables) -> DataFrame:
+    """Token-mass coverage as a function of vocabulary budget — the
+    curve a tokenizer-vocab-size decision reads (what fraction of all
+    token occurrences do the top-k types cover?). Rank ties pinned on
+    the token; coverage is one double division of exact integer sums
+    per budget. The budget×vocab 'join' is a broadcast of the tiny
+    budget list over the ranked vocab — one vocab-sized aggregation at
+    any corpus scale."""
+    toks = spread(
+        t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id"
+    ).select(F.explode("tk").alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("tok")))
+    ).select("f", "r")
+    tot = freq.agg(F.sum("f").alias("total"))
+    budgets = t.spark.createDataFrame(
+        [(k,) for k in VOCAB_BUDGETS], "vocab_budget long"
+    )
+    covered = F.sum(
+        F.when(F.col("r") <= F.col("vocab_budget"), F.col("f")).otherwise(F.lit(0))
+    )
+    return (
+        F.broadcast(budgets)
+        .crossJoin(ranked)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("vocab_budget", "total")
+        .agg(
+            covered.alias("tokens_covered"),
+            (covered.cast("double") / F.col("total")).alias("coverage"),
+        )
+        .select("vocab_budget", "tokens_covered", "coverage")
+        .orderBy("vocab_budget")
+    )
