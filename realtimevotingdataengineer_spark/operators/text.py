@@ -955,3 +955,54 @@ def text_vocab_coverage_curve(t: Tables) -> DataFrame:
         .select("vocab_budget", "tokens_covered", "coverage")
         .orderBy("vocab_budget")
     )
+
+
+@register(
+    "udf_pandas_scalar_stats",
+    "SELECT doc_id, "
+    r"CAST(len(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) "
+    "AS n_norm_chars, "
+    f"CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens_udf "
+    "FROM documents ORDER BY doc_id",
+)
+def udf_pandas_scalar_stats(t: Tables) -> DataFrame:
+    """The SCALAR Arrow UDF surface (@pandas_udf), completing the
+    vectorized-Python matrix next to grouped-map (applyInPandas),
+    map-iterator (mapInPandas) and stateful (applyInPandasWithState):
+    batches arrive as pandas Series over Arrow, one vectorized pass per
+    batch, no per-row Python. The computation (normalized length +
+    whitespace token count) is integer-exact, so unlike the float BLAS
+    kernels this Python path carries a full bitwise oracle — proving
+    the Arrow boundary itself loses nothing. Hot paths still prefer
+    built-ins (the repo computes these same stats JVM-side elsewhere);
+    this key exists because a real pipeline inevitably needs SOME
+    Python scalar function, and this is the shape it should take."""
+    from pyspark.sql.functions import pandas_udf
+
+    # lambda form: this module runs under `from __future__ import
+    # annotations`, which stringifies type hints and breaks
+    # pandas_udf's hint-based signature inference; the hint-free lambda
+    # defaults to the scalar (Series -> Series) variant
+    norm_len = pandas_udf(
+        lambda s: s.str.lower()
+        .str.replace(r"\s+", " ", regex=True)
+        .str.strip()
+        .str.len(),
+        "long",
+    )
+    tok_count = pandas_udf(
+        lambda s: s.str.lower()
+        .str.replace(r"\s+", " ", regex=True)
+        .str.strip()
+        .map(lambda x: len(x.split(" ")) if x else 0),
+        "long",
+    )
+
+    return (
+        t.documents.select(
+            "doc_id",
+            norm_len(F.col("text")).alias("n_norm_chars"),
+            tok_count(F.col("text")).alias("n_tokens_udf"),
+        )
+        .orderBy("doc_id")
+    )
