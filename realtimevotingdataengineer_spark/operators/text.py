@@ -994,7 +994,8 @@ def udf_pandas_scalar_stats(t: Tables) -> DataFrame:
         lambda s: s.str.lower()
         .str.replace(r"\s+", " ", regex=True)
         .str.strip()
-        .map(lambda x: len(x.split(" ")) if x else 0),
+        .str.split(" ")
+        .str.len(),
         "long",
     )
 
