@@ -1295,3 +1295,42 @@ def events_session_path_topk(t: Tables) -> DataFrame:
         .orderBy(F.desc("n_journeys"), "path")
         .limit(PATH_TOP)
     )
+
+
+#: Equi-depth histogram bucket count.
+EQD_BINS = 10
+
+
+@register(
+    "events_value_equidepth",
+    "WITH b AS (SELECT value, ntile("
+    + str(EQD_BINS)
+    + ") OVER (ORDER BY value, event_id) AS bin FROM events) "
+    "SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n, "
+    "min(value) AS lo, max(value) AS hi FROM b GROUP BY bin ORDER BY bin",
+)
+def events_value_equidepth(t: Tables) -> DataFrame:
+    """EQUI-DEPTH histogram of the value column — the optimizer-stats /
+    data-profiling complement of events_value_histogram's equi-width
+    bins: every bucket holds (count/EQD_BINS)±1 rows and the [lo, hi]
+    boundaries adapt to density, which is what selectivity estimation
+    actually wants on skewed columns. ntile ties are pinned on
+    (value, event_id), so bucket membership — and therefore every
+    boundary — is deterministic in both engines.
+
+    Scale note: exact ntile is a total sort; the at-scale swap is
+    approx_percentile boundaries + one bucketing pass
+    (agg_approx_percentile is the calibrated sketch for it), same as
+    the CCNet-buckets dial."""
+    w = Window.orderBy("value", "event_id")
+    b = t.events.select("value", F.ntile(EQD_BINS).over(w).alias("bin"))
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .select(F.col("bin").cast("bigint").alias("bin"), "n", "lo", "hi")
+        .orderBy("bin")
+    )
