@@ -1334,3 +1334,116 @@ def events_value_equidepth(t: Tables) -> DataFrame:
         .select(F.col("bin").cast("bigint").alias("bin"), "n", "lo", "hi")
         .orderBy("bin")
     )
+
+
+#: Autocorrelation lags profiled (1 day, half week, week).
+ACF_LAGS = (1, 3, 7)
+
+
+@register(
+    "events_autocorr_daily",
+    "WITH daily AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y "
+    "FROM events GROUP BY 1), "
+    "lags AS (SELECT CAST(u.k AS BIGINT) AS lag FROM "
+    f"(SELECT unnest([{', '.join(str(k) for k in ACF_LAGS)}]) AS k) u), "
+    "pairs AS (SELECT l.lag, a.y AS x, b.y AS z FROM lags l "
+    "JOIN daily a ON TRUE JOIN daily b ON b.d = a.d + CAST(l.lag AS INT)), "
+    "s AS (SELECT lag, CAST(count(*) AS DOUBLE) AS n, "
+    "CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(z) AS DOUBLE) AS sz, "
+    "CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(z * z) AS DOUBLE) AS szz, "
+    "CAST(sum(x * z) AS DOUBLE) AS sxz FROM pairs GROUP BY lag) "
+    "SELECT lag, CAST(n AS BIGINT) AS n_pairs, "
+    "(n * sxz - sx * sz) / (sqrt(n * sxx - sx * sx) * sqrt(n * szz - sz * sz)) "
+    "AS autocorr FROM s ORDER BY lag",
+)
+def events_autocorr_daily(t: Tables) -> DataFrame:
+    """Lag-k autocorrelation of the daily event-volume series (k = 1, 3,
+    7 days) — the seasonality-detection statistic behind choosing the
+    z-score window and the weekly profile (a strong lag-7 peak says the
+    cyclic baseline matters). Computed as the Pearson correlation of the
+    series with its k-shifted self: exact integer power sums (counts ×
+    counts, all < 2^53 so the double casts are exact) and one
+    pinned-shape formula per lag — the profile_correlations discipline
+    on a self-join. The |days|-sized series makes everything after the
+    one date-bucketed shuffle metadata-sized."""
+    daily = t.events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    lags = t.spark.createDataFrame([(k,) for k in ACF_LAGS], "lag long")
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("x"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("z"))
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("db") == F.expr("date_add(da, CAST(lag AS INT))"))
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("z").cast("double").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("z") * F.col("z")).cast("double").alias("szz"),
+        F.sum(F.col("x") * F.col("z")).cast("double").alias("sxz"),
+    )
+    ac = (F.col("n") * F.col("sxz") - F.col("sx") * F.col("sz")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("szz") - F.col("sz") * F.col("sz"))
+    )
+    return s.select(
+        "lag", F.col("n").cast("bigint").alias("n_pairs"), ac.alias("autocorr")
+    ).orderBy("lag")
+
+
+@register(
+    "events_weekday_weekend_ttest",
+    "WITH daily AS (SELECT CAST(ts AS DATE) AS d, "
+    "CASE WHEN isodow(ts) >= 6 THEN 'weekend' ELSE 'weekday' END AS grp, "
+    "CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2), "
+    "s AS (SELECT grp, CAST(count(*) AS DOUBLE) AS n, "
+    "CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(y * y) AS DOUBLE) AS syy "
+    "FROM daily GROUP BY grp), "
+    "w AS (SELECT n AS n1, sy AS sy1, syy AS syy1 FROM s WHERE grp = 'weekday'), "
+    "e AS (SELECT n AS n2, sy AS sy2, syy AS syy2 FROM s WHERE grp = 'weekend') "
+    "SELECT CAST(n1 AS BIGINT) AS n_weekday, CAST(n2 AS BIGINT) AS n_weekend, "
+    "sy1 / n1 AS mean_weekday, sy2 / n2 AS mean_weekend, "
+    "(sy1 / n1 - sy2 / n2) / sqrt("
+    "((syy1 - sy1 * sy1 / n1) / (n1 - 1)) / n1 + "
+    "((syy2 - sy2 * sy2 / n2) / (n2 - 1)) / n2) AS t_stat "
+    "FROM w CROSS JOIN e",
+)
+def events_weekday_weekend_ttest(t: Tables) -> DataFrame:
+    """Welch two-sample t-statistic for weekday vs weekend daily volume
+    — the second member of the testing family (chi-square asks about
+    MIX shift; this asks about LEVEL shift, the canonical 'is weekend
+    traffic different?' question). Group variances come from exact
+    integer power sums in one pinned double expression; compare t_stat
+    to the Welch-df critical value downstream. ISO dow >= 6 = weekend
+    in both engines (the seasonality-profile convention)."""
+    iso = F.pmod(F.dayofweek("ts") + F.lit(5), F.lit(7)) + F.lit(1)
+    daily = t.events.groupBy(
+        F.to_date("ts").alias("d"),
+        F.when(iso >= 6, F.lit("weekend")).otherwise(F.lit("weekday")).alias("grp"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    s = daily.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    w = s.filter(F.col("grp") == "weekday").select(
+        F.col("n").alias("n1"), F.col("sy").alias("sy1"), F.col("syy").alias("syy1")
+    )
+    e = s.filter(F.col("grp") == "weekend").select(
+        F.col("n").alias("n2"), F.col("sy").alias("sy2"), F.col("syy").alias("syy2")
+    )
+    m1 = F.col("sy1") / F.col("n1")
+    m2 = F.col("sy2") / F.col("n2")
+    v1 = (F.col("syy1") - F.col("sy1") * F.col("sy1") / F.col("n1")) / (F.col("n1") - 1)
+    v2 = (F.col("syy2") - F.col("sy2") * F.col("sy2") / F.col("n2")) / (F.col("n2") - 1)
+    tstat = (m1 - m2) / F.sqrt(v1 / F.col("n1") + v2 / F.col("n2"))
+    return w.crossJoin(e).select(
+        F.col("n1").cast("bigint").alias("n_weekday"),
+        F.col("n2").cast("bigint").alias("n_weekend"),
+        m1.alias("mean_weekday"),
+        m2.alias("mean_weekend"),
+        tstat.alias("t_stat"),
+    )
