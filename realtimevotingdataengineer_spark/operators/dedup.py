@@ -1537,3 +1537,43 @@ def dedup_incremental_minhash(t: Tables) -> DataFrame:
         .filter(F.col("jaccard") >= LSH_THETA)
         .orderBy("doc_new", "doc_base")
     )
+
+
+#: Prefix width for boilerplate-opening detection.
+PREFIX_LEN = 64
+
+
+@register(
+    "dedup_prefix_exact",
+    "WITH p AS (SELECT doc_id, "
+    f"substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, {PREFIX_LEN}) "
+    "AS prefix FROM documents), "
+    "g AS (SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(min(doc_id) AS BIGINT) AS canonical_doc_id FROM p GROUP BY prefix) "
+    "SELECT md5(prefix) AS prefix_md5, n_docs, canonical_doc_id FROM g "
+    "WHERE n_docs > 1 ORDER BY prefix_md5",
+)
+def dedup_prefix_exact(t: Tables) -> DataFrame:
+    """Shared-opening detection: groups of documents whose normalized
+    first PREFIX_LEN characters are identical — the boilerplate /
+    template-header signal (crawl corpora are full of pages that begin
+    with the same navigation or license block; near-dup methods score
+    them low overall, but the shared opening itself is what a
+    boilerplate-stripping pass wants to find). One groupBy on a
+    fixed-width key — a uniform-width shuffle at any corpus size; the
+    prefix is reported md5-keyed (repo rule: no long raw strings in
+    comparison cells)."""
+    p = t.documents.select(
+        "doc_id",
+        F.substring(normalize_text("text"), 1, PREFIX_LEN).alias("prefix"),
+    )
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(F.md5("prefix").alias("prefix_md5"), "n_docs", "canonical_doc_id")
+        .orderBy("prefix_md5")
+    )

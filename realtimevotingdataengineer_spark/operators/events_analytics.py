@@ -1447,3 +1447,89 @@ def events_weekday_weekend_ttest(t: Tables) -> DataFrame:
         m2.alias("mean_weekend"),
         tstat.alias("t_stat"),
     )
+
+
+#: Robust peak threshold: flag days exceeding median + MAD_K * MAD of
+#: the trailing window.
+MAD_K = 3
+
+
+@register(
+    "events_peak_mad_flags",
+    "WITH daily AS (SELECT CAST(ts AS DATE) AS d, event_type, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+    "w AS (SELECT a.d, a.event_type, a.n, b.n AS bn FROM daily a "
+    "JOIN daily b ON b.event_type = a.event_type "
+    "AND b.d BETWEEN a.d - 7 AND a.d - 1), "
+    "med AS (SELECT d, event_type, n, "
+    "CAST(quantile_disc(bn, 0.5) AS BIGINT) AS med7 FROM w "
+    "GROUP BY d, event_type, n), "
+    "mad AS (SELECT w.d, w.event_type, "
+    "CAST(quantile_disc(abs(w.bn - m.med7), 0.5) AS BIGINT) AS mad7 "
+    "FROM w JOIN med m ON m.d = w.d AND m.event_type = w.event_type "
+    "GROUP BY w.d, w.event_type) "
+    "SELECT strftime(m.d, '%Y-%m-%d') AS day, m.event_type AS event_type, "
+    "m.n AS n, m.med7, mad.mad7, "
+    f"(m.n > m.med7 + {MAD_K} * mad.mad7) AS is_peak "
+    "FROM med m JOIN mad ON mad.d = m.d AND mad.event_type = m.event_type "
+    "ORDER BY 1, 2",
+)
+def events_peak_mad_flags(t: Tables) -> DataFrame:
+    """Robust peak detection: a day is flagged when its volume exceeds
+    the trailing-7-day MEDIAN by more than MAD_K trailing MADs (median
+    absolute deviation) — the median/MAD twin of events_anomaly_zscore's
+    mean/sigma rule, immune to the window's own outliers (one spike day
+    corrupts a mean AND its sigma for a week; it moves neither the
+    median nor the MAD). Two grouped discrete-percentile passes over
+    the same day-spine range join, all-integer end to end — the verdict
+    column is a pure integer comparison, so even the flag is
+    bitwise-oracled. Input is the |types|×|days| daily relation; tiny
+    at any event volume."""
+    daily = (
+        t.events.groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # both sides of the range self-join
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    w = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & F.col("b.d").between(
+            F.date_sub(F.col("a.d"), 7), F.date_sub(F.col("a.d"), 1)
+        ),
+    ).select(
+        F.col("a.d").alias("d"),
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("n"),
+        F.col("b.n").alias("bn"),
+    )
+    w.createOrReplaceTempView("_mad_w")
+    med = t.spark.sql(
+        """
+        SELECT d, event_type, n,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY bn) AS BIGINT) AS med7
+        FROM _mad_w GROUP BY d, event_type, n
+        """
+    )
+    w.join(
+        med.select("d", "event_type", "med7"), ["d", "event_type"]
+    ).createOrReplaceTempView("_mad_dev")
+    mad = t.spark.sql(
+        """
+        SELECT d, event_type,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(bn - med7)) AS BIGINT) AS mad7
+        FROM _mad_dev GROUP BY d, event_type
+        """
+    )
+    return (
+        med.join(mad, ["d", "event_type"])
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n",
+            "med7",
+            "mad7",
+            (F.col("n") > F.col("med7") + MAD_K * F.col("mad7")).alias("is_peak"),
+        )
+        .orderBy("day", "event_type")
+    )
