@@ -45,7 +45,14 @@ def spread(df, *cols):
     shapes are result-identical — asserted in tests/test_plans.py."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     try:
-        if len(df.inputFiles()) >= n:
+        # Guarded to SINGLE-relation lineage: inputFiles() aggregates
+        # files across the whole plan, so on a joined/unioned frame the
+        # summed count could exceed the threshold and silently skip a
+        # repartition the one hot scan still needs. One leaf ⇒ the file
+        # count IS that scan's split count and the proxy is sound.
+        plan = df._jdf.queryExecution().analyzed().toString()
+        n_leaves = plan.count("Relation") + plan.count("LogicalRDD")
+        if n_leaves == 1 and len(df.inputFiles()) >= n:
             return df
     except Exception:
         pass  # non-file-backed lineage: keep the explicit repartition

@@ -1190,8 +1190,8 @@ FUZZY_Q = 4
 #: sf0.1, widening to 2048 prunes only ~10% more pairs (53k vs 48k — the
 #: survivor floor is docs with genuinely similar word MULTISETS, which
 #: no order-blind filter separates) while the pair scan is memory-bound
-#: and costs 8× the traffic; 256×int16 keeps the whole count matrix in
-#: L2.
+#: and costs 8× the traffic; 256×int32 keeps the whole count matrix in
+#: L2 (int32 over int16 so >32767-gram buckets can't wrap — see gate()).
 FUZZY_GATE_BUCKETS = 256
 
 _NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
@@ -1307,7 +1307,12 @@ def dedup_fuzzy_edit(t: Tables) -> DataFrame:
         # exact codepoint q-grams (matches levenshtein's codepoint
         # semantics, so the FUZZY_Q*D bound holds verbatim); short docs
         # (< Q chars) always pass the gate — trivially lossless
-        counts = np.zeros((n, FUZZY_GATE_BUCKETS), dtype=np.int16)
+        # int32, not int16: a doc with >32767 grams in one of the 256
+        # buckets (~8M+ chars) would silently wrap int16, inflating the
+        # computed miss and dropping a genuine <=D-edit pair — turning
+        # the lossless gate lossy. The pair-scan traffic argument still
+        # holds: 256 int32 counts = 1 KiB/doc, well inside L2.
+        counts = np.zeros((n, FUZZY_GATE_BUCKETS), dtype=np.int32)
         mul = (np.uint64(2654435761) ** np.arange(FUZZY_Q, dtype=np.uint64))
         for r, s in enumerate(pdf["nt"]):
             cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)

@@ -449,8 +449,11 @@ def mm_dedup_chunked(t: Tables) -> DataFrame:
         F.col("n_a"), F.col("n_b")
     )
     return (
-        p.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        # na/nb are |documents|-proportional — no forced broadcast hint;
+        # autoBroadcastJoinThreshold broadcasts them at bench SF and the
+        # join degrades to a doc_id shuffle at corpus scale.
+        p.join(na, "doc_a")
+        .join(nb, "doc_b")
         .select("doc_a", "doc_b", "shared", containment.alias("containment"))
         .filter(F.col("containment") >= MM_CHUNK_THETA)
         .orderBy("doc_a", "doc_b")

@@ -379,10 +379,14 @@ def join_enrich_random(t: Tables) -> DataFrame:
 )
 def join_votes_candidates(t: Tables) -> DataFrame:
     """Fact⨝small-dim tally — votes re-attached to candidate names
-    (FK main.py:56→main.py:20). supplier is broadcast; the aggregation is
-    partial map-side, so the only shuffle is |distinct keys| rows."""
+    (FK main.py:56→main.py:20). The reference's candidates dim is 3 rows,
+    but the registered stand-in (supplier) is SF-proportional, so NO
+    forced broadcast hint: autoBroadcastJoinThreshold broadcasts it at
+    bench SF (identical plan) and AQE falls back to a shuffle join at the
+    100 TB design point. The aggregation is partial map-side, so the only
+    shuffle is |distinct keys| rows."""
     return (
-        t.lineitem.join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        t.lineitem.join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("votes"), money_sum("l_quantity", "total_qty"))
     )
@@ -1453,8 +1457,12 @@ def lineitem_market_basket(t: Tables) -> DataFrame:
     l_orderkey — one shuffle, and pair volume is bounded by
     Σ basket_size² (baskets are ≤ ~13 items here and bounded in any
     real order system), never |parts|². Pair counts and part supports
-    are map-side-combinable; supports broadcast back onto the pair
-    relation; the report is a TakeOrdered top-20, no global sort."""
+    are map-side-combinable. The per-part support relation is
+    |parts|-proportional, so it carries NO broadcast hint — the
+    threshold auto-broadcasts it at bench SF and the join degrades
+    gracefully to a partkey-shuffle at scale (the 1-row n_orders scalar
+    keeps its hint). The report is a TakeOrdered top-20, no global
+    sort."""
     items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
     n = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
@@ -1478,12 +1486,8 @@ def lineitem_market_basket(t: Tables) -> DataFrame:
     ) / (F.col("na.n_part").cast("double") * F.col("nb.n_part").cast("double"))
     return (
         pairs.crossJoin(F.broadcast(n))
-        .join(
-            F.broadcast(supp.alias("na")), F.col("part_a") == F.col("na.l_partkey")
-        )
-        .join(
-            F.broadcast(supp.alias("nb")), F.col("part_b") == F.col("nb.l_partkey")
-        )
+        .join(supp.alias("na"), F.col("part_a") == F.col("na.l_partkey"))
+        .join(supp.alias("nb"), F.col("part_b") == F.col("nb.l_partkey"))
         .select("part_a", "part_b", "n_pair", lift.alias("lift"))
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(BASKET_TOP)

@@ -644,9 +644,13 @@ def text_js_divergence_domains(t: Tables) -> DataFrame:
     pa = p.select(F.col("source").alias("src_a"), "tok", F.col("pr").alias("pr_a"))
     pb = p.select(F.col("source").alias("src_b"), "tok", F.col("pr").alias("pr_b"))
     grid = (
-        pairs.crossJoin(F.broadcast(vocab))
-        .join(F.broadcast(pa), ["src_a", "tok"], "left")
-        .join(F.broadcast(pb), ["src_b", "tok"], "left")
+        # Broadcast the |domains|² pair grid (tiny, SF-invariant) onto the
+        # vocab relation — NOT the other way round: vocab and the pa/pb
+        # probability relations are |vocab|-proportional, so they carry no
+        # hint and the threshold/AQE machinery picks the join strategy.
+        vocab.crossJoin(F.broadcast(pairs))
+        .join(pa, ["src_a", "tok"], "left")
+        .join(pb, ["src_b", "tok"], "left")
         .select(
             "src_a",
             "src_b",

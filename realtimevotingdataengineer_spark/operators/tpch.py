@@ -120,7 +120,11 @@ def q1_pricing_summary_cents(t: Tables) -> DataFrame:
 )
 def q3_shipping_priority(t: Tables) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → join → agg → top-k.
-    customer(filtered) broadcasts; lineitem⨝orders shuffles on orderkey.
+    lineitem⨝orders shuffles on orderkey. customer is SF-proportional
+    (SF×150k rows), so NO forced broadcast hint: under
+    autoBroadcastJoinThreshold the filtered side auto-broadcasts at bench
+    SF (same physical plan), while at the 100 TB design point AQE picks a
+    shuffle join instead of attempting an executor-killing broadcast.
     orderBy+limit compiles to TakeOrderedAndProject (per-partition top-10,
     no global sort). Deterministic tie-break on l_orderkey."""
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
@@ -129,7 +133,7 @@ def q3_shipping_priority(t: Tables) -> DataFrame:
     li = t.lineitem.filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(disc_price()).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -152,10 +156,12 @@ def q3_shipping_priority(t: Tables) -> DataFrame:
     "GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS INT)",
 )
 def q7_volume_shipping(t: Tables) -> DataFrame:
-    """TPC-H Q7 shape: trade volume between nation pairs by year. Two
-    broadcast dims (nation via supplier/customer), one orderkey shuffle;
-    the (n1,n2,year) group space is tiny so partial agg collapses it
-    map-side."""
+    """TPC-H Q7 shape: trade volume between nation pairs by year. nation
+    (25 rows, SF-invariant) keeps a broadcast hint; supplier is
+    SF-proportional so it carries NO hint — the threshold auto-broadcasts
+    it at bench SF and AQE shuffles it at real scale. One orderkey
+    shuffle; the (n1,n2,year) group space is tiny so partial agg
+    collapses it map-side."""
     n1 = t.nation.select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
@@ -163,7 +169,7 @@ def q7_volume_shipping(t: Tables) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     return (
-        t.lineitem.join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        t.lineitem.join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -187,10 +193,13 @@ def q7_volume_shipping(t: Tables) -> DataFrame:
 def q2_cheapest_supplier(t: Tables) -> DataFrame:
     """TPC-H Q2 shape: argmin-per-group (the supplier quoting each
     part's lowest price) via row_number — one shuffle on partkey; at
-    scale prefer this over a min-join-back (one pass, no re-join)."""
+    scale prefer this over a min-join-back (one pass, no re-join).
+    supplier is SF-proportional: no broadcast hint, the
+    threshold/AQE machinery picks broadcast only when the side is
+    actually small."""
     w = Window.partitionBy("l_partkey").orderBy(F.asc("min_price"), F.asc("s_name"))
     return (
-        t.lineitem.join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        t.lineitem.join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_partkey", "s_name", F.col("l_extendedprice").alias("min_price"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -236,9 +245,11 @@ def q10_returned_items(t: Tables) -> DataFrame:
     "GROUP BY n_name",
 )
 def q5_local_supplier(t: Tables) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join rollup. region/nation/supplier broadcast
-    (small dims); the only real shuffle co-locates lineitem with orders on
-    orderkey. Region filter prunes before any join work."""
+    """TPC-H Q5 shape: 6-way join rollup. region/nation broadcast-hinted
+    (5/25 rows, SF-invariant); supplier is SF-proportional so it carries
+    NO hint — auto-broadcast at bench SF, shuffle join via AQE at scale.
+    The only real shuffle co-locates lineitem with orders on orderkey.
+    Region filter prunes before any join work."""
     lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
     hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
     ords = t.orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
@@ -246,7 +257,7 @@ def q5_local_supplier(t: Tables) -> DataFrame:
         t.lineitem.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(t.supplier),
+            t.supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

@@ -106,8 +106,11 @@ def q6_forecast_revenue(t: Tables) -> DataFrame:
 def q8_market_share(t: Tables) -> DataFrame:
     """TPC-H Q8 shape: a supplier nation's market share inside one
     customer region, by year — conditional-sum ÷ total-sum over an
-    8-table join. Everything except lineitem⨝orders broadcasts; the
-    ratio is one double division of two exact decimal sums."""
+    8-table join. nation/region carry broadcast hints (SF-invariant,
+    25/5 rows); part and supplier are SF-proportional so they carry NO
+    hint — the threshold auto-broadcasts them at bench SF (identical
+    physical plan) and AQE shuffles them at the 100 TB design point.
+    The ratio is one double division of two exact decimal sums."""
     n1 = t.nation.select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
     )
@@ -116,10 +119,10 @@ def q8_market_share(t: Tables) -> DataFrame:
     )
     joined = (
         t.lineitem.join(
-            F.broadcast(t.part.filter(F.col("p_type") == "ECONOMY")),
+            t.part.filter(F.col("p_type") == "ECONOMY"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
@@ -162,8 +165,9 @@ def q8_market_share(t: Tables) -> DataFrame:
 def q9_product_profit(t: Tables) -> DataFrame:
     """TPC-H Q9 shape: profit by supplier nation × year for parts whose
     name matches a pattern. (Adapted: cost is 0.5×p_retailprice×quantity
-    since this schema has no partsupp.ps_supplycost.) The part-name
-    filter broadcasts; profit stays exact DECIMAL until the final cast."""
+    since this schema has no partsupp.ps_supplycost.) part and supplier
+    are SF-proportional — no broadcast hints; threshold/AQE decide.
+    Profit stays exact DECIMAL until the final cast."""
     amount = dec(disc_price(), 25, 4) - dec(
         dec("p_retailprice", 15, 2) * dec("l_quantity", 15, 2) * dec(F.lit(0.5), 2, 1),
         25,
@@ -171,10 +175,10 @@ def q9_product_profit(t: Tables) -> DataFrame:
     )
     return (
         t.lineitem.join(
-            F.broadcast(t.part.filter(F.col("p_name").like("%red%"))),
+            t.part.filter(F.col("p_name").like("%red%")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
@@ -206,7 +210,7 @@ def q11_important_stock(t: Tables) -> DataFrame:
     supplier nations; no partsupp.) Threshold compare is double-vs-double
     with the scale-2 decimal sums converted once each."""
     val = (
-        t.lineitem.join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        t.lineitem.join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
         .groupBy("l_partkey")
@@ -307,7 +311,7 @@ def q14_promo_revenue(t: Tables) -> DataFrame:
     ).cast("double")
     den = F.sum(disc_price()).cast("double")
     return (
-        li.join(F.broadcast(t.part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(t.part, F.col("p_partkey") == F.col("l_partkey"))
         .agg((F.lit(100.0) * num / den).alias("promo_revenue"))
     )
 
@@ -338,7 +342,7 @@ def q15_top_supplier(t: Tables) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(top))
         .filter(F.col("total_rev") == F.col("max_rev"))
-        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(t.supplier, F.col("s_suppkey") == F.col("supplier_no"))
         .select(
             "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
         )
@@ -366,7 +370,7 @@ def q16_parts_supplier_count(t: Tables) -> DataFrame:
         & (F.col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 49))
     )
     return (
-        t.lineitem.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        t.lineitem.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -393,7 +397,7 @@ def q17_small_quantity_revenue(t: Tables) -> DataFrame:
     )
     return (
         t.lineitem.join(
-            F.broadcast(t.part.filter(F.col("p_brand") == "Brand#23")),
+            t.part.filter(F.col("p_brand") == "Brand#23"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .join(avgq, F.col("ap") == F.col("l_partkey"))
@@ -455,7 +459,8 @@ def q18_large_orders(t: Tables) -> DataFrame:
 )
 def q19_discounted_revenue(t: Tables) -> DataFrame:
     """TPC-H Q19: disjunctive (OR-of-ANDs) predicate across both join
-    sides. The brand/size arms prune the broadcast part side; the mixed
+    sides. The brand/size arms prune the part side (SF-proportional — no
+    broadcast hint; threshold/AQE decide the strategy); the mixed
     arms evaluate post-join — Catalyst splits the conjuncts it can push."""
     arm = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
         (F.col("p_brand") == brand)
@@ -464,7 +469,7 @@ def q19_discounted_revenue(t: Tables) -> DataFrame:
         & (F.col("l_quantity") <= q_hi)
     )
     return (
-        t.lineitem.join(F.broadcast(t.part), F.col("p_partkey") == F.col("l_partkey"))
+        t.lineitem.join(t.part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20) | arm("Brand#34", 15, 20, 30))
         .agg(F.sum(disc_price()).cast("double").alias("revenue"))
     )
@@ -489,7 +494,7 @@ def q20_potential_promotion(t: Tables) -> DataFrame:
     movers = (
         t.lineitem.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
         .join(
-            F.broadcast(t.part.filter(F.col("p_name").like("red%"))),
+            t.part.filter(F.col("p_name").like("red%")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .groupBy("l_suppkey")
@@ -544,7 +549,7 @@ def q21_waiting_supplier(t: Tables) -> DataFrame:
             t.orders.filter(F.col("o_orderstatus") == "F"),
             F.col("o_orderkey") == F.col("l1_orderkey"),
         )
-        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l1_suppkey"))
+        .join(t.supplier, F.col("s_suppkey") == F.col("l1_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))

@@ -20,6 +20,15 @@ def spark():
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
+        # Pinned explicitly (same value as the Spark default): round 6
+        # removed every forced F.broadcast hint on SF-proportional
+        # relations (part/supplier/customer/support aggregates), so the
+        # broadcast assertions in test_plans.py now prove that the
+        # *threshold* machinery — not a hint — picks broadcast at test
+        # SF. At the 100 TB design point those sides exceed the
+        # threshold and AQE degrades them to shuffle joins instead of
+        # attempting an executor-killing broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")

@@ -111,3 +111,23 @@ def test_resize_bounds_and_determinism(t):
         for r in resize_payloads(mm.repartition(7), target=32).collect()
     }
     assert alt == {k: bytes(r["resized"]) for k, r in rows.items()}
+
+
+def test_documents_text_is_ascii_for_chunk_parity(t):
+    """mm_dedup_chunked's cross-engine parity hinges on documents.text
+    being pure ASCII: Spark's substring() on the binary-cast content
+    chunks the UTF-8 BYTE stream while the DuckDB oracle's substr chunks
+    CHARACTERS — one multi-byte character would shift every later chunk
+    boundary and silently diverge the engines. The docstring documents
+    the assumption; this test enforces it against the fixture, so a
+    testdata refresh that introduces non-ASCII turns a silent divergence
+    into a named failure pointing here."""
+    non_ascii = t.documents.filter(
+        F.length(F.col("text")) != F.octet_length(F.col("text"))
+    ).count()
+    assert non_ascii == 0, (
+        f"{non_ascii} documents contain multi-byte characters — "
+        "mm_dedup_chunked's byte-vs-char chunk parity no longer holds; "
+        "switch the DuckDB oracle to octet-offset chunking (encode to "
+        "BLOB) before trusting the hash compare"
+    )

@@ -332,3 +332,128 @@ def test_fuzzy_edit_gate_kernel_below_verify(t):
     # the kernel sits below every join (parents print first)
     first_join = tree.index("BroadcastHashJoin")
     assert first_join < tree.index("FlatMapGroupsInPandas")
+
+
+def test_no_forced_broadcast_of_sf_proportional_relations(spark, t):
+    """Round-6 scale-safety invariant: NO forced F.broadcast hint
+    survives on any SF-proportional relation (part / supplier /
+    customer / per-part support / per-doc chunk counts / per-token
+    probability relations). With autoBroadcastJoinThreshold disabled,
+    every one of the former 19 hint sites must degrade to a shuffle
+    join — a lingering hint would still print BroadcastHashJoin and
+    would attempt a job-killing broadcast of a ~1B-row supplier /
+    ~20B-row part table at the 100 TB design point. Only genuinely
+    SF-invariant sides (nation=25, region=5, 1-row scalar aggregates,
+    the 3-row candidates dim, bounded query sets) may keep broadcasting
+    under -1 via their explicit hints."""
+    former_hint_keys = [
+        "q2_cheapest_supplier",
+        "q3_shipping_priority",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q11_important_stock",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_parts_supplier_count",
+        "q17_small_quantity_revenue",
+        "q19_discounted_revenue",
+        "q20_potential_promotion",
+        "q21_waiting_supplier",
+        "join_votes_candidates",
+        "lineitem_market_basket",
+    ]
+    # relations that legitimately keep a hint (SF-invariant):
+    # nation/region dims and 1-row scalar aggregates. Count broadcasts
+    # with the threshold OFF — anything broadcasting then is hinted.
+    allowed_hinted = {
+        "q2_cheapest_supplier": 0,
+        "q3_shipping_priority": 0,
+        "q7_volume_shipping": 2,   # n1, n2 (nation, 25 rows)
+        "q8_market_share": 3,      # n1, n2, region
+        "q9_product_profit": 1,    # nation
+        "q11_important_stock": 2,  # nation + 1-row threshold
+        "q14_promo_revenue": 0,
+        "q15_top_supplier": 1,     # 1-row max_rev scalar
+        "q16_parts_supplier_count": 0,
+        "q17_small_quantity_revenue": 0,
+        "q19_discounted_revenue": 0,
+        "q20_potential_promotion": 0,
+        "q21_waiting_supplier": 0,
+        "join_votes_candidates": 0,
+        "lineitem_market_basket": 1,  # 1-row n_orders scalar
+    }
+    import re
+
+    def bhj_nodes(df):
+        # count physical join NODES — broadcast_join_count counts raw
+        # string occurrences and each node prints twice (tree + detail)
+        return len(
+            re.findall(r"^\s*\(\d+\) BroadcastHashJoin", formatted_plan(df), re.M)
+        ) + len(
+            re.findall(
+                r"^\s*\(\d+\) BroadcastNestedLoopJoin", formatted_plan(df), re.M
+            )
+        )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for key in former_hint_keys:
+            df = QUERIES[key](t)
+            n = bhj_nodes(df)
+            assert n <= allowed_hinted[key], (
+                f"{key}: {n} broadcast joins with threshold=-1, expected "
+                f"<= {allowed_hinted[key]} — a forced hint survives on an "
+                f"SF-proportional relation"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q5_supplier_degrades_without_threshold(spark, t):
+    """q5 keeps nation/region hinted (SF-invariant) but supplier must
+    come from the threshold: with -1 exactly the 2 hinted dims
+    broadcast; with the default threshold the full 3+ broadcast plan
+    reappears (asserted by test_q5_broadcasts_small_dims)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        import re
+
+        df = QUERIES["q5_local_supplier"](t)
+        n = len(
+            re.findall(r"^\s*\(\d+\) BroadcastHashJoin", formatted_plan(df), re.M)
+        )
+        assert n == 2  # nation + region only
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_spread_guard_ignores_multi_relation_file_counts(spark, tmp_path):
+    """spread()'s stand-aside proxy (inputFiles count) is only sound on
+    single-relation lineage: on a join, inputFiles() sums files across
+    BOTH scans, which could clear the threshold while the one hot scan
+    is still a single split. The guard must therefore keep the explicit
+    repartition on any multi-leaf frame."""
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.functions import spread
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    src = spark.range(500).withColumn("v", F.col("id") * 2)
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    # each side alone is below the threshold, summed they clear it
+    src.repartition(max(1, n // 2)).write.parquet(a)
+    src.repartition(max(1, n // 2)).write.parquet(b)
+    joined = spark.read.parquet(a).join(
+        spark.read.parquet(b).withColumnRenamed("v", "w"), "id"
+    )
+    assert len(joined.inputFiles()) >= n  # the proxy WOULD stand aside
+    plan = formatted_plan(spread(joined, "id"))
+    # …but the guard keeps the repartition: an Exchange on id above the join
+    import re
+
+    assert re.search(r"^\(\d+\) Exchange$", plan, re.M), plan[:1500]
+    assert "hashpartitioning(id#" in plan
