@@ -291,11 +291,143 @@ def dedup_minhash_lsh(t: Tables) -> DataFrame:
     )
 
 
+#: Cap on the per-worker shingle→minhash memo (entries). The fixture's
+#: trigram space is tiny (word salad over a small vocabulary) so the
+#: memo converges fast; at real corpus scale Zipf makes the hot grams
+#: dominate, and once the cap is hit new grams are hashed uncached —
+#: graceful degradation, never unbounded memory.
+_MINHASH_MEMO_CAP = 1 << 20
+_MINHASH_MEMO: dict = {}
+
+
+def _minhash_doc_kernel(batches):
+    """Arrow kernel for the whole shingle→signature path: one Python pass
+    per document computes the normalized-token trigram shingle set AND
+    the k md5 minhash components, replacing the interpreted
+    transform/sequence HOF lambdas plus the |shingles|×k explode that
+    PERF.md measured at ~ms/doc (round-5 'next step at real scale').
+
+    Bitwise contract (everything downstream depends on it):
+    - tokenization replicates functions.tokens exactly — Java
+      ``\\s`` is [ \\t\\n\\x0B\\f\\r], lower() and split(' ') agree with
+      Python on the ASCII fixture (enforced by
+      tests/test_multimodal.py::test_documents_text_is_ascii_for_chunk_parity);
+    - shingles are first-occurrence-distinct trigrams (array_distinct
+      order);
+    - mh[i] = min over shingles g of md5("s{i}:" + g) hex — hashlib md5
+      is bitwise-equal to Spark's, and numpy '<U32' min over lowercase
+      hex orders identically to Spark's UTF-8 string min.
+    tests/test_operators.py asserts the kernel's (sh, sig) equal the
+    retired HOF expression chain's output exactly.
+
+    The per-worker memo (gram → k digests) is the real win: repeated
+    grams — the common case under Zipf — cost a dict hit, not k md5s.
+    """
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    memo = _MINHASH_MEMO
+    ws = _re.compile("[ \t\n\x0b\x0c\r]+")
+    prefixes = [f"s{i}:".encode() for i in range(MINHASH_K)]
+    for pdf in batches:
+        ids, shs, mhs = [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = ws.sub(" ", text.lower()).strip(" ").split(" ")
+            if len(toks) >= 3:
+                grams = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                    )
+                )
+            else:
+                grams = []
+            if grams:
+                digs = []
+                for g in grams:
+                    got = memo.get(g)
+                    if got is None:
+                        gb = g.encode()
+                        got = tuple(
+                            hashlib.md5(p + gb).hexdigest() for p in prefixes
+                        )
+                        if len(memo) < _MINHASH_MEMO_CAP:
+                            memo[g] = got
+                    digs.append(got)
+                # component-wise min over lowercase hex == Spark's UTF-8
+                # string min (ASCII ordering)
+                mh = [min(col) for col in zip(*digs)]
+            else:
+                mh = []
+            ids.append(doc_id)
+            shs.append(grams)
+            mhs.append(mh)
+        yield pd.DataFrame({"doc_id": ids, "sh": shs, "mh": mhs})
+
+
 def minhash_parts(t: Tables):
     """(sh, sig, cand): the shared MinHash pipeline — distinct-trigram
     shingle arrays, the k per-doc minhash components, and the LSH
-    candidate pairs. Used by dedup_minhash_lsh (exact-Jaccard verify)
-    and dedup_minhash_estimate (estimator calibration)."""
+    candidate pairs. Used by dedup_minhash_lsh (exact-Jaccard verify),
+    dedup_minhash_estimate (estimator calibration) and
+    dedup_incremental_minhash (delta-vs-base refresh).
+
+    Round 6: shingling + signatures come from the _minhash_doc_kernel
+    Arrow pass (bitwise-identical to the HOF chain it replaced — the
+    registered oracles did not change); the band/candidate join stays
+    declarative DataFrame code. Eager localCheckpoint materializes the
+    kernel output once for its four downstream consumers."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("sh", ArrayType(StringType())),
+            StructField("mh", ArrayType(StringType())),
+        ]
+    )
+    per_doc = (
+        spread(t.documents.select("doc_id", "text"), "doc_id")
+        .mapInPandas(_minhash_doc_kernel, out_schema)
+        .localCheckpoint(eager=True)
+    )
+    sh = per_doc.select("doc_id", "sh")
+    sig = per_doc.select(
+        "doc_id", F.posexplode("mh").alias("i", "mh")
+    )
+    bands = sig.groupBy("doc_id", F.floor(F.col("i") / 2).cast("int").alias("band")).agg(
+        F.concat(
+            F.max(F.when(F.col("i") % 2 == 0, F.col("mh"))),
+            F.max(F.when(F.col("i") % 2 == 1, F.col("mh"))),
+        ).alias("bv")
+    )
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bv") == F.col("bb.bv"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return sh, sig, cand
+
+
+def _minhash_parts_hof(t: Tables):
+    """The retired pure-expression shingle/signature chain, kept as the
+    verification twin for the Arrow kernel (tests assert bitwise
+    equality of sh and sig) and as the reference for what the kernel
+    must reproduce. Not registered; not on the bench path."""
     tk = spread(t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id")
     # Guard: Spark's sequence(1, n) runs DESCENDING when n < 1 (short
     # docs), unlike DuckDB's empty range — emit an empty shingle list.

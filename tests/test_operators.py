@@ -955,3 +955,22 @@ def test_session_window_native_equals_composed(t):
     a = sorted(map(tuple, QUERIES["window_session"](t).collect()))
     b = sorted(map(tuple, QUERIES["window_session_native"](t).collect()))
     assert a == b
+
+
+def test_minhash_arrow_kernel_bitwise_equals_hof_chain(t):
+    """The round-6 Arrow shingle→signature kernel must reproduce the
+    retired expression chain EXACTLY — shingle arrays (content AND
+    first-occurrence order), all k md5 signature components bitwise,
+    and therefore the LSH candidate set. This is what lets the kernel
+    replace the HOF path inside minhash_parts without touching any
+    registered oracle: same answers, one Python pass instead of
+    interpreted lambdas plus a k×-exploded shuffle."""
+    from realtimevotingdataengineer_spark.operators import dedup
+
+    sh_a, sig_a, cand_a = dedup.minhash_parts(t)
+    sh_h, sig_h, cand_h = dedup._minhash_parts_hof(t)
+    a = sorted((r["doc_id"], tuple(r["sh"])) for r in sh_a.collect())
+    h = sorted((r["doc_id"], tuple(r["sh"])) for r in sh_h.collect())
+    assert a == h
+    assert sorted(map(tuple, sig_a.collect())) == sorted(map(tuple, sig_h.collect()))
+    assert sorted(map(tuple, cand_a.collect())) == sorted(map(tuple, cand_h.collect()))
