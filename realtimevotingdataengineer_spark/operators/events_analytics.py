@@ -1319,9 +1319,9 @@ def events_value_equidepth(t: Tables) -> DataFrame:
     boundary — is deterministic in both engines.
 
     Scale note: exact ntile is a total sort; the at-scale swap is
-    approx_percentile boundaries + one bucketing pass
-    (agg_approx_percentile is the calibrated sketch for it), same as
-    the CCNet-buckets dial."""
+    approx_percentile boundaries + one bucketing pass — REGISTERED as
+    events_value_equidepth_approx (GK rank-bound oracle), same as the
+    CCNet-buckets dial."""
     w = Window.orderBy("value", "event_id")
     b = t.events.select("value", F.ntile(EQD_BINS).over(w).alias("bin"))
     return (
@@ -1333,6 +1333,68 @@ def events_value_equidepth(t: Tables) -> DataFrame:
         )
         .select(F.col("bin").cast("bigint").alias("bin"), "n", "lo", "hi")
         .orderBy("bin")
+    )
+
+
+@register(
+    "events_value_equidepth_approx",
+    "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events) "
+    f"SELECT CAST(u.b AS INT) AS boundary, n.n AS n, TRUE AS approx_ok "
+    f"FROM (SELECT unnest(range(1, {EQD_BINS})) AS b) u, n ORDER BY boundary",
+)
+def events_value_equidepth_approx(t: Tables) -> DataFrame:
+    """The documented at-scale swap for events_value_equidepth,
+    REGISTERED (round-5 verdict #3 — a documented dial should be a
+    passing key): the 9 decile boundaries come from ONE
+    percentile_approx (Greenwald-Khanna) pass instead of the exact
+    ntile's total sort, then a second scan re-ranks every boundary.
+    The oracle-checkable claim is GK's deterministic rank guarantee —
+    the returned boundary for quantile q has rank within n/PCT_ACCURACY
+    of q·n, verified by counting value ≤/< boundary over the raw column
+    (the agg_approx_percentile envelope, applied to all 9 boundaries at
+    once). approx_ok is a theorem, not a hope, so the key is exact-
+    oracled despite being a sketch.
+
+    Scale shape: two scans, zero total sorts, no window — the sketch is
+    fixed-size mergeable state (map-side partials), the re-rank is 18
+    conditional sums in one partial agg. This replaces an O(n log n)
+    global sort with O(n); at 100 TB the exact twin is the calibration
+    baseline, this is the plan you run."""
+    qs = [i / EQD_BINS for i in range(1, EQD_BINS)]
+    ap = t.events.agg(
+        F.percentile_approx(
+            "value", F.array(*[F.lit(q) for q in qs]), F.lit(PCT_ACCURACY)
+        ).alias("bs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = t.events.select("value").crossJoin(F.broadcast(ap))
+    aggs = [F.max("n").alias("n")]
+    for i in range(len(qs)):
+        b = F.col("bs")[i]
+        aggs.append(
+            F.sum(F.when(F.col("value") <= b, 1).otherwise(0)).alias(f"le{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("value") < b, 1).otherwise(0)).alias(f"lt{i}")
+        )
+    row = joined.agg(*aggs)
+    eps = 1.0 / PCT_ACCURACY
+    structs = []
+    for i, q in enumerate(qs):
+        ok = (F.col(f"le{i}") >= (q - eps) * F.col("n")) & (
+            F.col(f"lt{i}") <= (q + eps) * F.col("n")
+        )
+        structs.append(
+            F.struct(
+                F.lit(i + 1).alias("boundary"),
+                F.col("n").alias("n"),
+                ok.alias("approx_ok"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.boundary", "s.n", "s.approx_ok")
+        .orderBy("boundary")
     )
 
 

@@ -485,10 +485,10 @@ def text_ccnet_buckets(t: Tables) -> DataFrame:
     Scale note: the global ntile is a total ORDER BY — fine for a
     labeling job that runs once per corpus refresh, but at 100 TB the
     production form thresholds against two APPROXIMATE quantiles
-    (agg_approx_percentile's GK sketch on mean_logprob) instead of
-    ranking every row: same buckets up to sketch error, no global
-    sort. The exact tercile key is the calibration baseline for that
-    swap."""
+    instead of ranking every row: same buckets up to sketch error, no
+    global sort — REGISTERED as text_ccnet_buckets_approx (GK
+    rank-bound oracle), with this exact tercile key as its calibration
+    baseline."""
     pplx = text_perplexity_unigram(t).select("doc_id", "mean_logprob")
     w = Window.orderBy(F.desc("mean_logprob"), F.asc("doc_id"))
     bucket = (
@@ -499,6 +499,69 @@ def text_ccnet_buckets(t: Tables) -> DataFrame:
     return pplx.select(
         "doc_id", "mean_logprob", bucket.alias("ppl_bucket")
     ).orderBy("doc_id")
+
+
+#: GK accuracy for the approx CCNet tercile boundaries: deterministic
+#: rank error ≤ n/CCNET_ACCURACY (same guarantee agg_approx_percentile
+#: calibrates for the events.value column).
+CCNET_ACCURACY = 100
+
+
+@register(
+    "text_ccnet_buckets_approx",
+    f"WITH p AS ({_PPLX_CORE}), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p) "
+    "SELECT CAST(u.b AS INT) AS boundary, n.n AS n, TRUE AS approx_ok "
+    "FROM (SELECT unnest([1, 2]) AS b) u, n ORDER BY boundary",
+)
+def text_ccnet_buckets_approx(t: Tables) -> DataFrame:
+    """The documented at-scale swap for text_ccnet_buckets, REGISTERED
+    (round-5 verdict #3): the two tercile boundaries on mean_logprob
+    come from ONE percentile_approx (Greenwald-Khanna) pass — no global
+    ntile sort — and a second pass re-ranks each boundary against the
+    raw statistic. approx_ok asserts GK's deterministic guarantee (the
+    boundary's true rank is within n/CCNET_ACCURACY of q·n, verified by
+    the ≤/< count window), so the claim is oracle-checkable even though
+    the boundary VALUES are sketch-dependent. Production bucketing is
+    then a stateless three-way comparison against the two boundaries —
+    same buckets as the exact key up to the bounded rank error, with
+    the exact tercile key kept as the calibration baseline."""
+    pplx = text_perplexity_unigram(t).select("mean_logprob")
+    qs = (1.0 / 3.0, 2.0 / 3.0)
+    ap = pplx.agg(
+        F.percentile_approx(
+            "mean_logprob", F.array(F.lit(qs[0]), F.lit(qs[1])), F.lit(CCNET_ACCURACY)
+        ).alias("bs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = pplx.crossJoin(F.broadcast(ap))
+    aggs = [F.max("n").alias("n")]
+    for i in range(2):
+        b = F.col("bs")[i]
+        aggs.append(
+            F.sum(F.when(F.col("mean_logprob") <= b, 1).otherwise(0)).alias(f"le{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("mean_logprob") < b, 1).otherwise(0)).alias(f"lt{i}")
+        )
+    row = joined.agg(*aggs)
+    eps = 1.0 / CCNET_ACCURACY
+    structs = []
+    for i, q in enumerate(qs):
+        ok = (F.col(f"le{i}") >= (q - eps) * F.col("n")) & (
+            F.col(f"lt{i}") <= (q + eps) * F.col("n")
+        )
+        structs.append(
+            F.struct(
+                F.lit(i + 1).alias("boundary"),
+                F.col("n").alias("n"),
+                ok.alias("approx_ok"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.boundary", "s.n", "s.approx_ok")
+        .orderBy("boundary")
+    )
 
 
 _ENTROPY_SQL = (
