@@ -974,3 +974,24 @@ def test_minhash_arrow_kernel_bitwise_equals_hof_chain(t):
     assert a == h
     assert sorted(map(tuple, sig_a.collect())) == sorted(map(tuple, sig_h.collect()))
     assert sorted(map(tuple, cand_a.collect())) == sorted(map(tuple, cand_h.collect()))
+
+
+def test_doc_srp_topk_recall_vs_bruteforce(t):
+    """Bucketed retrieval over hashed-TF vectors must recover the exact
+    top-10 neighbor set at high recall. Measured 1.0 at sf0.001 and
+    sf0.01: all-positive TF count vectors cluster in the positive
+    orthant, so band collision rates run high — great recall, modest
+    pruning (the documented trade; SRP_BAND_BITS is the dial). The
+    floor here is deliberately below 1.0 so a fixture refresh that
+    spreads the angular distribution doesn't turn the measured-recall
+    test into a flaky exactness test."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_doc_topk_hashed"](t).collect()
+    }
+    srp = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_doc_topk_hashed_srp"](t).collect()
+    }
+    assert srp, "SRP doc search returned nothing"
+    assert len(exact & srp) / len(exact) >= 0.5
