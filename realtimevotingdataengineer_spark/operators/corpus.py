@@ -641,19 +641,11 @@ def _export_sql() -> str:
     )
 
 
-@register("pipeline_export_corpus", _export_sql())
-def pipeline_export_corpus(t: Tables) -> DataFrame:
-    """The final mile of the pretraining pipeline as ONE plan: the full
-    corpus gate (pipeline_pretrain_corpus — quality ∘ decontamination ∘
-    dedup survivorship) composed with the export layout — 90/5/5 hash
-    split, hash shard, and a deterministic interleave position within
-    each (split, shard). The output is exactly what the shard writer
-    consumes; every stage reuses an already-oracled operator's logic, so
-    the composition is exact end to end. At 100 TB this plan IS the
-    export job: gate predicates push into the scan, centroidless stages
-    stay shuffle-free, and the only terminal exchange is the per-(split,
-    shard) sort the writer needs anyway."""
-    surv = pipeline_pretrain_corpus(t)
+def _export_layout(t: Tables, surv: DataFrame) -> DataFrame:
+    """Export layout applied to a gated survivor set (doc_id, n_tokens):
+    90/5/5 hash split, hash shard, deterministic interleave position
+    within each (split, shard) — shared by the full and incremental
+    export capstones so the layout cannot drift between them."""
     hsplit = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 6
@@ -684,6 +676,62 @@ def pipeline_export_corpus(t: Tables) -> DataFrame:
         .select("doc_id", "source", "n_tokens", "split", "shard", "pos")
         .orderBy("doc_id")
     )
+
+
+@register("pipeline_export_corpus", _export_sql())
+def pipeline_export_corpus(t: Tables) -> DataFrame:
+    """The final mile of the pretraining pipeline as ONE plan: the full
+    corpus gate (pipeline_pretrain_corpus — quality ∘ decontamination ∘
+    dedup survivorship) composed with the export layout — 90/5/5 hash
+    split, hash shard, and a deterministic interleave position within
+    each (split, shard). The output is exactly what the shard writer
+    consumes; every stage reuses an already-oracled operator's logic, so
+    the composition is exact end to end. At 100 TB this plan IS the
+    export job: gate predicates push into the scan, centroidless stages
+    stay shuffle-free, and the only terminal exchange is the per-(split,
+    shard) sort the writer needs anyway."""
+    return _export_layout(t, pipeline_pretrain_corpus(t))
+
+
+@register("pipeline_export_corpus_incremental", _export_sql())
+def pipeline_export_corpus_incremental(t: Tables) -> DataFrame:
+    """The export capstone a real 100 TB corpus-refresh pipeline runs
+    NIGHTLY: identical output contract to pipeline_export_corpus (same
+    oracle SQL — the full rebuild), but the near-dup survivorship comes
+    from dedup.incremental_cluster_labels, which contracts the
+    maintained base components to their labels and runs connected
+    components only over the delta-touched graph (O(delta), not
+    O(corpus)). The quality / repetition / decontamination stages are
+    stateless per-doc predicates, so "incremental" there is just
+    scanning the delta partition; dedup survivorship is the one stage
+    with cross-corpus state, and the contraction theorem (see
+    incremental_cluster_labels) makes its incremental answer provably
+    equal to the full rebuild — which is why this key can share the
+    rebuild's oracle verbatim, and why pytest asserts row equality with
+    pipeline_export_corpus."""
+    from .dedup import incremental_cluster_labels
+
+    labels = incremental_cluster_labels(t)
+    contaminated = text_decontaminate(t).select("doc_id")
+    tk = t.documents.select("doc_id", tokens("text").alias("tk"))
+    n = F.size("tk")
+    quality = tk.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (F.lit(1.0) - F.size(F.array_distinct("tk")).cast("double") / n).alias("rep"),
+    )
+    surv = (
+        quality.join(labels, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .filter(
+            (F.col("doc_id") >= _BENCH_MAX)
+            & (F.col("n_tokens") >= 20)
+            & (F.col("rep") < 0.6)
+            & (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .select("doc_id", "n_tokens")
+    )
+    return _export_layout(t, surv)
 
 
 #: Context-window length for sequence packing (tokens per training

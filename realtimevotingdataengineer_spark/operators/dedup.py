@@ -936,6 +936,76 @@ def dedup_clusters(t: Tables) -> DataFrame:
     )
 
 
+def incremental_cluster_labels(t: Tables, base_labels: DataFrame | None = None) -> DataFrame:
+    """Near-dup cluster labels computed the way a nightly corpus refresh
+    computes them — WITHOUT rerunning connected components over the full
+    pair graph. The last 20% of the id range plays the fresh crawl delta
+    (the dedup_incremental_minhash split); the base corpus's labels are
+    a maintained table (pass ``base_labels`` to use a materialized one —
+    omitted, they're built here from the base-only pairs to stand in
+    for it).
+
+    The algorithm is base-component CONTRACTION: every delta-touching
+    pair gets its base endpoints replaced by their base cluster label
+    (the min doc_id of the base component), then connected components
+    runs ONLY over this contracted delta graph — whose size is bounded
+    by the delta's pair volume, not the corpus's — and the result is
+    expanded back: a base doc's final label is its base label's merged
+    label; a delta doc's is its own merged label. Because a base label
+    is already the min id of its base component, the merged component's
+    min over {base labels, delta ids} IS the min over all member doc
+    ids, so the output is provably equal to dedup_clusters' full
+    rebuild on the combined corpus — asserted row-for-row by
+    tests/test_operators.py. At 100 TB this is the difference between
+    an O(corpus) nightly job and an O(delta) one."""
+    pairs = dedup_minhash_lsh(t).select("doc_a", "doc_b")
+    cut = t.documents.agg(
+        F.expr(f"(max(doc_id) + 1) * {INCR_NUM} div {INCR_DEN}").alias("c")
+    )
+    pairs = pairs.crossJoin(F.broadcast(cut)).localCheckpoint(eager=True)
+    # doc_a < doc_b always, so "both base" == doc_b < cut
+    base_pairs = pairs.filter(F.col("doc_b") < F.col("c")).select("doc_a", "doc_b")
+    delta_pairs = pairs.filter(F.col("doc_b") >= F.col("c"))
+    if base_labels is None:
+        base_cc, _ = connected_components(base_pairs)
+    else:
+        base_cc = base_labels.select("doc_id", F.col("cluster_id").alias("label"))
+    la = base_cc.select(F.col("doc_id").alias("doc_a"), F.col("label").alias("la"))
+    lb = base_cc.select(F.col("doc_id").alias("doc_b"), F.col("label").alias("lb"))
+    mapped = delta_pairs.join(la, "doc_a", "left").join(lb, "doc_b", "left")
+    a2 = F.when(
+        F.col("doc_a") < F.col("c"), F.coalesce(F.col("la"), F.col("doc_a"))
+    ).otherwise(F.col("doc_a"))
+    b2 = F.when(
+        F.col("doc_b") < F.col("c"), F.coalesce(F.col("lb"), F.col("doc_b"))
+    ).otherwise(F.col("doc_b"))
+    contracted = (
+        mapped.select(a2.alias("doc_a"), b2.alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    merged, _ = connected_components(contracted)
+    ml = merged.select(F.col("doc_id").alias("m_id"), F.col("label").alias("m_label"))
+    docs = t.documents.select("doc_id").crossJoin(F.broadcast(cut))
+    base_final = (
+        docs.filter(F.col("doc_id") < F.col("c"))
+        .join(base_cc.withColumnRenamed("label", "bl"), "doc_id", "left")
+        .withColumn("bl0", F.coalesce(F.col("bl"), F.col("doc_id")))
+        .join(ml, F.col("bl0") == F.col("m_id"), "left")
+        .select(
+            "doc_id", F.coalesce(F.col("m_label"), F.col("bl0")).alias("cluster_id")
+        )
+    )
+    delta_final = (
+        docs.filter(F.col("doc_id") >= F.col("c"))
+        .join(ml, F.col("doc_id") == F.col("m_id"), "left")
+        .select(
+            "doc_id", F.coalesce(F.col("m_label"), F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    return base_final.unionByName(delta_final)
+
+
 def build_cluster_labels(t: Tables, path: str) -> None:
     """Materialize the near-dup cluster labels as a parquet table — the
     at-scale posture for every downstream consumer (pipeline_clean_corpus,

@@ -995,3 +995,30 @@ def test_doc_srp_topk_recall_vs_bruteforce(t):
     }
     assert srp, "SRP doc search returned nothing"
     assert len(exact & srp) / len(exact) >= 0.5
+
+
+def test_incremental_labels_equal_full_rebuild(t):
+    """incremental_cluster_labels' contraction theorem, asserted: the
+    delta-vs-base incremental labeling (base components contracted to
+    their min-id labels, connected components over the delta-touched
+    graph only, expansion back) must equal dedup_clusters' full rebuild
+    row for row — merges of existing base components through a delta
+    doc included. This is what licenses
+    pipeline_export_corpus_incremental to share the full rebuild's
+    oracle."""
+    from realtimevotingdataengineer_spark.operators import dedup
+
+    full = sorted(map(tuple, dedup.dedup_clusters(t).collect()))
+    inc = sorted(map(tuple, dedup.incremental_cluster_labels(t).collect()))
+    assert full == inc
+
+
+def test_incremental_export_equals_full_export(t):
+    """The nightly capstone and the full rebuild must ship the same
+    corpus: identical (doc_id, source, n_tokens, split, shard, pos)
+    rows."""
+    full = sorted(map(tuple, QUERIES["pipeline_export_corpus"](t).collect()))
+    inc = sorted(
+        map(tuple, QUERIES["pipeline_export_corpus_incremental"](t).collect())
+    )
+    assert full == inc
