@@ -67,6 +67,11 @@ HEADLINE = [
     "events_rolling_wau_bitmap",
     "dedup_incremental_minhash",
     "sim_doc_topk_hashed",
+    # round-6 additions: the O(delta) nightly export capstone next to
+    # the full rebuild it must match, and bucketed text retrieval next
+    # to its brute-force baseline
+    "pipeline_export_corpus_incremental",
+    "sim_doc_topk_hashed_srp",
 ]
 
 
