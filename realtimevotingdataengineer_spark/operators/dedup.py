@@ -1293,37 +1293,18 @@ def dedup_embedding_srp(t: Tables) -> DataFrame:
     signature length and band width (wider bands = fewer, sharper
     candidates), plus re-banding only the corpus delta on refresh —
     signatures are pure narrow map work, one shuffle on (band, bv)."""
-    from .similarity import EMB_DIM, _rp_chain
+    from .similarity import srp_band_signatures
 
-    # Band values computed DIRECTLY as SRP_BANDS separate column
-    # expressions (bits 4k..4k+3 of the signature), NOT one 32-bit sig
-    # expression: the single-expression form is 2048 chain terms in ONE
-    # generated method, past Janino's 64KB limit → silent interpreted
-    # fallback (seen in the sf0.1 verification log). Per-band columns
-    # are ~256 terms each; the whole-stage attempt over all 8 still
-    # trips the limit once, but the non-WSCG fallback compiles each
-    # output expression into its own method, so the EXECUTED path is
-    # generated code. The eager checkpoint (a) keeps CollapseProject
-    # from re-merging the 8 columns into the explode's array expression
-    # and (b) materializes the signature once for both band-join sides
-    # (the dedup_simhash pattern).
-    def band_col(k: int):
-        terms = []
-        for b in range(SRP_BAND_BITS):
-            chain = _rp_chain(
-                SRP_BAND_BITS * k + b, "CAST(element_at(embedding, {i}) AS DOUBLE)"
-            )
-            terms.append(
-                f"(CASE WHEN ({chain}) >= 0 THEN CAST({1 << b} AS BIGINT) "
-                "ELSE CAST(0 AS BIGINT) END)"
-            )
-        return F.expr(" + ".join(terms)).alias(f"bv{k}")
-
-    sigs = (
-        spread(t.embeddings, "vec_id")
-        .select("vec_id", *[band_col(k) for k in range(SRP_BANDS)])
-        .localCheckpoint(eager=True)
-    )
+    # Round 6: band values come from the srp_band_signatures Arrow
+    # kernel — one pass computes all 32 pinned left-assoc projections,
+    # bitwise-equal to the retired per-band expression chains (whose
+    # ~256-term methods tripped Janino's 64KB whole-stage limit and
+    # cost seconds of driver-side parsing). The eager checkpoint
+    # materializes the signature once for both band-join sides (the
+    # dedup_simhash pattern).
+    sigs = srp_band_signatures(
+        spread(t.embeddings, "vec_id"), "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+    ).localCheckpoint(eager=True)
     bands = sigs.select(
         "vec_id",
         F.explode(
@@ -1603,25 +1584,13 @@ def sim_srp_topk(t: Tables) -> DataFrame:
     measures recall against brute force. Same scale shape as
     dedup_embedding_srp: narrow signature map, one (band, bv) shuffle,
     verify on candidates only."""
-    from .similarity import EMB_DIM, N_QUERIES, TOP_K, _rp_chain
+    from .similarity import EMB_DIM, N_QUERIES, TOP_K, srp_band_signatures
 
-    def band_col(k: int):
-        terms = []
-        for b in range(SRP_BAND_BITS):
-            chain = _rp_chain(
-                SRP_BAND_BITS * k + b, "CAST(element_at(embedding, {i}) AS DOUBLE)"
-            )
-            terms.append(
-                f"(CASE WHEN ({chain}) >= 0 THEN CAST({1 << b} AS BIGINT) "
-                "ELSE CAST(0 AS BIGINT) END)"
-            )
-        return F.expr(" + ".join(terms)).alias(f"bv{k}")
-
-    sigs = (
-        spread(t.embeddings, "vec_id")
-        .select("vec_id", *[band_col(k) for k in range(SRP_BANDS)])
-        .localCheckpoint(eager=True)
-    )
+    # Arrow-kernel signatures (see dedup_embedding_srp — bitwise-equal
+    # to the retired expression chains, one pass, no Janino fallback)
+    sigs = srp_band_signatures(
+        spread(t.embeddings, "vec_id"), "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+    ).localCheckpoint(eager=True)
     bands = sigs.select(
         "vec_id",
         F.explode(

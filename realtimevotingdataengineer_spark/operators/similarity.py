@@ -972,6 +972,64 @@ def _rp_chain(j: int, elem_fmt: str) -> str:
     return " ".join(parts)
 
 
+def srp_band_signatures(
+    df: DataFrame, id_col: str, vec_col: str, band_bits: int, n_bands: int
+) -> DataFrame:
+    """(id, bv0..bv{n_bands-1}) SRP band signatures as ONE Arrow kernel
+    pass — the round-6 replacement for the per-band F.expr chains whose
+    ~256-term generated methods tripped Janino's 64KB whole-stage limit
+    (benign but logged on every run) and cost seconds of driver-side
+    expression parsing per construct.
+
+    Bitwise contract with the retired expression form (and with the
+    DuckDB oracles, which still evaluate the textual chains): hyperplane
+    j's projection is the SAME left-associated signed sum — the kernel
+    starts from ±v[0] and folds ±v[i] in index order with a plain
+    IEEE add/subtract per step, exactly what the parsed `t1 - t2 + t3`
+    chain evaluates; float→double widening is exact, multiplication by
+    ±1 is exact, so every signature bit (acc >= 0) agrees bit for bit.
+    tests/test_operators.py asserts kernel ≡ expression-chain equality.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    n_bits = band_bits * n_bands
+    signs = [
+        [_rp_sign(j, i) for i in range(1, EMB_DIM + 1)] for j in range(n_bits)
+    ]
+    out_schema = StructType(
+        [StructField(id_col, LongType())]
+        + [StructField(f"bv{k}", LongType()) for k in range(n_bands)]
+    )
+
+    def kern(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bits = np.empty((n_bits, n), dtype=bool)
+            for j in range(n_bits):
+                sj = signs[j]
+                acc = V[:, 0].copy() if sj[0] > 0 else -V[:, 0]
+                for i in range(1, EMB_DIM):
+                    if sj[i] > 0:
+                        acc = acc + V[:, i]
+                    else:
+                        acc = acc - V[:, i]
+                bits[j] = acc >= 0
+            data = {id_col: pdf[id_col].to_numpy()}
+            for k in range(n_bands):
+                bv = np.zeros(n, dtype=np.int64)
+                for b in range(band_bits):
+                    bv |= bits[band_bits * k + b].astype(np.int64) << b
+                data[f"bv{k}"] = bv
+            yield pd.DataFrame(data)
+
+    return df.select(id_col, vec_col).mapInPandas(kern, out_schema)
+
+
 _RP_SPARK = [_rp_chain(j, "CAST(element_at(embedding, {i}) AS DOUBLE)") for j in range(RP_DIM)]
 _RP_DUCK = [_rp_chain(j, "CAST(embedding[{i}] AS DOUBLE)") for j in range(RP_DIM)]
 

@@ -954,7 +954,7 @@ def sim_doc_topk_hashed_srp(t: Tables) -> DataFrame:
     (recall up, pruning down); the dial is SRP_BAND_BITS, same as the
     embedding family."""
     from .dedup import SRP_BAND_BITS, SRP_BANDS
-    from .similarity import _rp_chain
+    from .similarity import srp_band_signatures
 
     from ..functions import dot_expr, norm_expr
 
@@ -962,23 +962,11 @@ def sim_doc_topk_hashed_srp(t: Tables) -> DataFrame:
         "doc_id", F.col("vec").cast("array<double>").alias("v")
     )
 
-    def band_col(k: int):
-        terms = []
-        for b in range(SRP_BAND_BITS):
-            chain = _rp_chain(
-                SRP_BAND_BITS * k + b, "CAST(element_at(v, {i}) AS DOUBLE)"
-            )
-            terms.append(
-                f"(CASE WHEN ({chain}) >= 0 THEN CAST({1 << b} AS BIGINT) "
-                "ELSE CAST(0 AS BIGINT) END)"
-            )
-        return F.expr(" + ".join(terms)).alias(f"bv{k}")
-
-    sigs = (
-        spread(v, "doc_id")
-        .select("doc_id", *[band_col(k) for k in range(SRP_BANDS)])
-        .localCheckpoint(eager=True)
-    )
+    # Arrow-kernel signatures (see dedup_embedding_srp — bitwise-equal
+    # to the retired expression chains, one pass, no Janino fallback)
+    sigs = srp_band_signatures(
+        spread(v, "doc_id"), "doc_id", "v", SRP_BAND_BITS, SRP_BANDS
+    ).localCheckpoint(eager=True)
     bands = sigs.select(
         "doc_id",
         F.explode(

@@ -1022,3 +1022,51 @@ def test_incremental_export_equals_full_export(t):
         map(tuple, QUERIES["pipeline_export_corpus_incremental"](t).collect())
     )
     assert full == inc
+
+
+def test_srp_kernel_bitwise_equals_expression_chains(t):
+    """srp_band_signatures' Arrow kernel must reproduce the pinned
+    left-assoc projection chains EXACTLY — every band value of every
+    vector — since the DuckDB oracles still evaluate the textual
+    chains. This is the license for swapping the kernel into all three
+    SRP keys without touching their oracles."""
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.operators.dedup import (
+        SRP_BAND_BITS,
+        SRP_BANDS,
+    )
+    from realtimevotingdataengineer_spark.operators.similarity import (
+        _rp_chain,
+        srp_band_signatures,
+    )
+
+    def band_col(k):
+        terms = []
+        for b in range(SRP_BAND_BITS):
+            chain = _rp_chain(
+                SRP_BAND_BITS * k + b, "CAST(element_at(embedding, {i}) AS DOUBLE)"
+            )
+            terms.append(
+                f"(CASE WHEN ({chain}) >= 0 THEN CAST({1 << b} AS BIGINT) "
+                "ELSE CAST(0 AS BIGINT) END)"
+            )
+        return F.expr(" + ".join(terms)).alias(f"bv{k}")
+
+    expr_sigs = sorted(
+        map(
+            tuple,
+            t.embeddings.select(
+                "vec_id", *[band_col(k) for k in range(SRP_BANDS)]
+            ).collect(),
+        )
+    )
+    kern_sigs = sorted(
+        map(
+            tuple,
+            srp_band_signatures(
+                t.embeddings, "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+            ).collect(),
+        )
+    )
+    assert expr_sigs == kern_sigs
