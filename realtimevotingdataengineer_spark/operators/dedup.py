@@ -562,17 +562,116 @@ _SIMHASH_CTES = (
 _SIMHASH_SQL = _SIMHASH_CTES + " SELECT doc_id, simhash FROM sh32"
 
 
+#: Per-worker token→md5-nibble memo for the simhash kernel (same cap
+#: rationale as _MINHASH_MEMO: Zipf-hot tokens dominate, overflow just
+#: degrades to uncached hashing).
+_SIMHASH_MEMO: dict = {}
+
+
+def _simhash_doc_kernel(batches):
+    """Arrow kernel for BOTH simhash widths: one Python pass per doc
+    tokenizes (the exact functions.tokens semantics — see
+    _minhash_doc_kernel for the parity argument), takes the DISTINCT
+    token set in-process (deleting the (doc, token) distinct shuffle
+    the expression form needed), md5s each token once through a
+    per-worker memo, and emits (doc_id, simhash, lo, hi):
+
+    - simhash (32-bit): bit i = sign of the balance of md5 nibble i's
+      MSB (hex char >= '8') over distinct tokens;
+    - lo/hi (64-bit as two 32-bit words): bit k = sign of the balance
+      of bit (k % 4) of nibble (k // 4).
+
+    Balances are INTEGER sums of ±1 — associative and order-free — so
+    the kernel is bitwise-equal to the retired one-shuffle aggregate
+    form (kept as _simhash32_hof / _simhash64_hof; equality
+    pytest-asserted) and the registered oracles are untouched."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    memo = _SIMHASH_MEMO
+    ws = _re.compile("[ \t\n\x0b\x0c\r]+")
+    shifts = np.arange(4, dtype=np.uint8)
+    for pdf in batches:
+        ids, s32, los, his = [], [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = set(ws.sub(" ", text.lower()).strip(" ").split(" "))
+            rows = []
+            for tok in toks:
+                got = memo.get(tok)
+                if got is None:
+                    h = hashlib.md5(tok.encode()).hexdigest()
+                    got = np.frombuffer(
+                        bytes.fromhex(h), dtype=np.uint8
+                    )  # 16 bytes; nibble 2j = byte j >> 4, nibble 2j+1 = byte j & 15
+                    nib = np.empty(32, dtype=np.uint8)
+                    nib[0::2] = got >> 4
+                    nib[1::2] = got & 15
+                    got = nib
+                    if len(memo) < _MINHASH_MEMO_CAP:
+                        memo[tok] = got
+                rows.append(got)
+            m = np.stack(rows)  # (n_tok, 32) nibble values
+            n = len(rows)
+            # 32-bit: balance of nibble-MSB per hex position
+            b32 = 2 * (m >= 8).sum(axis=0, dtype=np.int64) - n
+            sim = int(
+                ((b32 > 0).astype(np.int64) << np.arange(32, dtype=np.int64)).sum()
+            )
+            # 64-bit: balance of bit (k%4) of nibble (k//4), k in 0..63
+            bits = ((m[:, :16, None] >> shifts) & 1).reshape(n, 64)
+            b64 = 2 * bits.sum(axis=0, dtype=np.int64) - n
+            words = (b64 > 0).astype(np.int64)
+            lo = int((words[:32] << np.arange(32, dtype=np.int64)).sum())
+            hi = int((words[32:] << np.arange(32, dtype=np.int64)).sum())
+            ids.append(doc_id)
+            s32.append(sim)
+            los.append(lo)
+            his.append(hi)
+        yield pd.DataFrame({"doc_id": ids, "simhash": s32, "lo": los, "hi": his})
+
+
+def _simhash_doc_table(t: Tables) -> DataFrame:
+    """(doc_id, simhash, lo, hi) via the Arrow kernel — shared by both
+    registered signature widths."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("simhash", LongType()),
+            StructField("lo", LongType()),
+            StructField("hi", LongType()),
+        ]
+    )
+    return spread(t.documents.select("doc_id", "text"), "doc_id").mapInPandas(
+        _simhash_doc_kernel, out_schema
+    )
+
+
 @register("dedup_simhash", _SIMHASH_SQL)
 def dedup_simhash(t: Tables) -> DataFrame:
     """32-bit SimHash per document: bit i follows the sign of the balance
     of md5-nibble-MSBs over the distinct token set. Near-dup = small
     hamming distance (dedup_simhash_hamming is the banded pair finder).
 
-    Plan shape: ONE shuffle of |distinct (doc, token)| rows with all 32
-    bit balances as parallel map-side-combinable aggregates — not a
-    32×-exploded (doc, token, bit) relation (the obvious formulation,
-    and the oracle SQL's, which shuffles 32× the volume; integer sums
-    make the two formulations bitwise-identical)."""
+    Round 6: the signature comes from the _simhash_doc_kernel Arrow
+    pass — per-doc distinct tokens and all bit balances in-process, so
+    the (doc, token) distinct shuffle disappears entirely (the
+    expression form's one shuffle; the oracle SQL still states the
+    exploded relation). Integer ±1 balances are order-free, so the
+    kernel is bitwise-equal to the retired aggregate chain (kept below
+    as _simhash32_hof; equality pytest-asserted), and this registered
+    oracle is untouched."""
+    return _simhash_doc_table(t).select("doc_id", "simhash")
+
+
+def _simhash32_hof(t: Tables) -> DataFrame:
+    """The retired one-shuffle expression form (32 parallel map-side-
+    combinable bit balances over the distinct (doc, token) relation) —
+    the verification twin for the Arrow kernel."""
     tk = spread(t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id")
     toks = tk.select("doc_id", F.explode("tk").alias("tok")).distinct()
     hexed = toks.select("doc_id", F.md5("tok").alias("h"))
@@ -731,9 +830,16 @@ _SIMHAM64_SQL = (
 
 def simhash64_signatures(t: Tables) -> DataFrame:
     """(doc_id, lo, hi): 64-bit SimHash as two 32-bit words (sign-bit-
-    portable across engines). Same one-shuffle shape as dedup_simhash —
-    64 parallel map-side-combinable bit balances over the distinct
-    (doc, token) relation, then one projection packs the words."""
+    portable across engines). Round 6: served by the shared
+    _simhash_doc_kernel Arrow pass (see dedup_simhash) — zero shuffle;
+    bitwise equality with the retired aggregate form
+    (_simhash64_hof) is pytest-asserted."""
+    return _simhash_doc_table(t).select("doc_id", "lo", "hi")
+
+
+def _simhash64_hof(t: Tables) -> DataFrame:
+    """The retired one-shuffle 64-balance expression form — the
+    verification twin for the Arrow kernel."""
     tk = spread(t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id")
     toks = tk.select("doc_id", F.explode("tk").alias("tok")).distinct()
     hexed = toks.select("doc_id", F.md5("tok").alias("h"))

@@ -1070,3 +1070,19 @@ def test_srp_kernel_bitwise_equals_expression_chains(t):
         )
     )
     assert expr_sigs == kern_sigs
+
+
+def test_simhash_kernel_bitwise_equals_hof_chains(t):
+    """The shared simhash Arrow kernel must reproduce both retired
+    expression forms exactly — every 32-bit signature and both 64-bit
+    words — since the registered oracles still state the exploded
+    (doc, token, bit) relation. Integer ±1 balances are order-free,
+    which is what makes the equality exact rather than approximate."""
+    from realtimevotingdataengineer_spark.operators import dedup
+
+    a = sorted(map(tuple, dedup.dedup_simhash(t).collect()))
+    b = sorted(map(tuple, dedup._simhash32_hof(t).collect()))
+    assert a == b
+    c = sorted(map(tuple, dedup.simhash64_signatures(t).collect()))
+    d = sorted(map(tuple, dedup._simhash64_hof(t).collect()))
+    assert c == d
