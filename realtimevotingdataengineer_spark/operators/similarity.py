@@ -1058,3 +1058,204 @@ def emb_random_projection(t: Tables) -> DataFrame:
         "label",
         *[F.expr(sql).alias(f"p{j}") for j, sql in enumerate(_RP_SPARK)],
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the fourth member of the ANN family:
+# IVF partitions space, int8 SQ compresses uniformly, SRP buckets by
+# angle; PQ compresses each vector to PQ_M subspace centroid codes
+# (8 bytes/vector here) and scores with asymmetric distance computation
+# (ADC): the query stays full-precision, every corpus vector costs
+# PQ_M table lookups. The at-scale memory story: a 64-dim float vector
+# (256B) becomes 8 code bytes + a shared 16x8-float codebook per
+# subspace.
+# ---------------------------------------------------------------------------
+
+#: Subspace count × dims (PQ_M * PQ_SUB == EMB_DIM) and per-subspace
+#: codebook size. One Lloyd round from a deterministic init (the first
+#: PQ_K vectors' subvectors) keeps the fit — like sim_ivf_kmeans_topk's
+#: — bitwise-reproducible via ordered folds, which is what lets a
+#: QUANTIZATION operator carry an exact oracle.
+PQ_M = 8
+PQ_SUB = 8
+PQ_K = 16
+
+
+def _fold_d2_sql(a: str, b: str, n: int) -> str:
+    """DuckDB twin of the Spark squared-L2 fold
+    ``F.aggregate(F.zip_with(a, b, (x,y)->(x-y)*(x-y)), 0.0, +)`` over
+    ``n`` components — same IEEE sequence, left-folded from 0.0."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {n + 1}), j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j]))), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _pq_sql() -> str:
+    d2_ac = _fold_d2_sql("a.sv", "c.cv", PQ_SUB)
+    d2_qc = _fold_d2_sql("q.sv", "c.cv", PQ_SUB)
+    sub_lo = "CAST(r.range AS INT) * 8 + 1"
+    sub_hi = "CAST(r.range AS INT) * 8 + 8"
+    return (
+        "WITH v AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+        f"sv AS (SELECT vec_id, CAST(r.range AS INT) AS sub, "
+        f"v[({sub_lo}):({sub_hi})] AS sv FROM v CROSS JOIN range({PQ_M}) r), "
+        f"c0 AS (SELECT sub, vec_id AS cent_id, sv AS cv FROM sv WHERE vec_id < {PQ_K}), "
+        f"s1 AS (SELECT a.vec_id, a.sub, a.sv, c.cent_id, {d2_ac} AS d2 "
+        "FROM sv a JOIN c0 c ON a.sub = c.sub), "
+        "a1 AS (SELECT vec_id, sub, sv, cent_id FROM ("
+        "SELECT vec_id, sub, sv, cent_id, row_number() OVER ("
+        "PARTITION BY vec_id, sub ORDER BY d2, cent_id) AS rn FROM s1) WHERE rn = 1), "
+        f"d1 AS (SELECT vec_id, sub, cent_id, CAST(r.range AS INT) AS pos, "
+        f"sv[CAST(r.range AS INT) + 1] AS val FROM a1 CROSS JOIN range({PQ_SUB}) r), "
+        "m1 AS (SELECT sub, cent_id, pos, "
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(val ORDER BY vec_id)), "
+        "(acc, x) -> acc + x) / count(*) AS m FROM d1 GROUP BY sub, cent_id, pos), "
+        "c1 AS (SELECT sub, cent_id, list(m ORDER BY pos) AS cv FROM m1 "
+        "GROUP BY sub, cent_id), "
+        f"e1s AS (SELECT a.vec_id, a.sub, c.cent_id, {d2_ac} AS d2 "
+        "FROM sv a JOIN c1 c ON a.sub = c.sub), "
+        "e1 AS (SELECT vec_id, sub, cent_id FROM ("
+        "SELECT vec_id, sub, cent_id, row_number() OVER ("
+        "PARTITION BY vec_id, sub ORDER BY d2, cent_id) AS rn FROM e1s) WHERE rn = 1), "
+        f"qt AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, q.sub, "
+        f"{d2_qc} AS d FROM sv q "
+        "JOIN e1 e ON e.sub = q.sub "
+        "JOIN c1 c ON c.sub = e.sub AND c.cent_id = e.cent_id "
+        f"WHERE q.vec_id < {N_QUERIES} AND e.vec_id <> q.vec_id), "
+        "adc AS (SELECT query_id, neighbor_id, "
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d ORDER BY sub)), "
+        "(acc, x) -> acc + x) AS adc_dist FROM qt GROUP BY query_id, neighbor_id) "
+        "SELECT query_id, neighbor_id, adc_dist FROM ("
+        "SELECT query_id, neighbor_id, adc_dist, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn FROM adc) "
+        f"WHERE rn <= {TOP_K}"
+    )
+
+
+def _d2_fold(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_fit_encode(corpus: DataFrame):
+    """(codebook, codes): one deterministic Lloyd round per subspace —
+    init = first PQ_K vectors' subvectors, assignment by pinned
+    squared-L2 fold (tie-break cent_id), per-dimension ORDERED-fold
+    means — then every corpus vector encoded as its nearest centroid id
+    per subspace. codebook: (sub, cent_id, cv); codes: (vec_id, sub,
+    cent_id). The codebook is PQ_M×PQ_K rows (tiny, broadcast
+    everywhere); codes are the 8-bytes-per-vector compressed corpus."""
+    subv = corpus.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("v", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
+        ).alias("sub", "sv"),
+    )
+    cent0 = subv.filter(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").alias("cent_id"), F.col("sv").alias("cv")
+    )
+
+    def assign(sv_df, cent):
+        scored = sv_df.join(F.broadcast(cent), "sub").select(
+            "vec_id", "sub", "sv", "cent_id", _d2_fold(F.col("sv"), F.col("cv")).alias("d2")
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("cent_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "sub", "sv", "cent_id")
+        )
+
+    a1 = assign(subv, cent0)
+    dims = a1.select("vec_id", "sub", "cent_id", F.posexplode("sv").alias("pos", "val"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+        lambda s: s.getField("val"),
+    )
+    cent1 = (
+        dims.groupBy("sub", "cent_id", "pos")
+        .agg(
+            (
+                F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x)
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy("sub", "cent_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "sub", "cent_id", F.transform(F.col("pm"), lambda s: s.getField("m")).alias("cv")
+        )
+        .localCheckpoint(eager=True)
+    )
+    codes = assign(subv, cent1).select("vec_id", "sub", "cent_id")
+    return cent1, codes
+
+
+@register("sim_pq_adc_topk", _pq_sql())
+def sim_pq_adc_topk(t: Tables) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation —
+    the fourth ANN strategy next to IVF probing (sim_ivf_kmeans_topk),
+    int8 scalar quantization (sim_quantized_topk) and SRP bucketing
+    (sim_srp_topk): the corpus lives as PQ_M centroid codes per vector
+    (8 bytes here vs 256B raw — the at-scale memory story), the query
+    stays full-precision, and each query×vector score is the sum over
+    subspaces of d²(query subvector, coded centroid) — table lookups at
+    serving time. Top-k by (adc_dist ASC, neighbor_id).
+
+    Exact oracle despite a FITTED quantizer: the one-round Lloyd fit
+    per subspace uses the sim_ivf_kmeans_topk discipline (deterministic
+    init, pinned squared-L2 folds, ordered-fold means), so codebook,
+    codes and every ADC distance are bitwise-reproducible in DuckDB.
+    pytest measures recall@10 against exact full-precision L2.
+
+    Scale shape: the codebook is PQ_M×PQ_K rows — broadcast; encoding
+    is a narrow map over subvectors; the ADC join touches codes (8
+    small ints/vector), never raw vectors, and the per-(query, vector)
+    partial distances collapse in one bounded groupBy. At 100 TB the
+    dials are PQ_K (256 ⇒ byte codes), PQ_M, and an IVF coarse stage
+    in front (IVF-PQ) — this operator is the PQ half of that
+    composition."""
+    corpus = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent1, codes = pq_fit_encode(spread(corpus, "vec_id"))
+    qsub = (
+        corpus.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(
+                F.array(*[F.slice("v", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
+            ).alias("sub", "qv"),
+        )
+    )
+    terms = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(cent1), ["sub", "cent_id"])
+        .join(F.broadcast(qsub), "sub")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sub",
+            _d2_fold(F.col("qv"), F.col("cv")).alias("d"),
+        )
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("sub", "d"))),
+        lambda s: s.getField("d"),
+    )
+    adc = terms.groupBy("query_id", "neighbor_id").agg(
+        F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x).alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )

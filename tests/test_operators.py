@@ -1086,3 +1086,50 @@ def test_simhash_kernel_bitwise_equals_hof_chains(t):
     c = sorted(map(tuple, dedup.simhash64_signatures(t).collect()))
     d = sorted(map(tuple, dedup._simhash64_hof(t).collect()))
     assert c == d
+
+
+def test_pq_adc_recall_vs_exact_l2(t):
+    """PQ+ADC must recover a solid fraction of the exact full-precision
+    squared-L2 top-10 (measured 0.38 at sf0.001 / 0.36 at sf0.01 — the
+    near-orthogonal random fixture is quantization's hard case: with 16
+    centroids per 8-dim subspace, subspace cells are coarse relative to
+    the angular spread). The floor is set well under the measurement so
+    it guards against implementation breakage, not fixture drift; the
+    accuracy dials are PQ_K/PQ_M, documented in the operator."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+    )
+
+    v = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    sc = (
+        q.crossJoin(v)
+        .filter(F.col("vec_id") != F.col("q"))
+        .select("q", "vec_id", d2.alias("d"))
+    )
+    w = Window.partitionBy("q").orderBy(F.asc("d"), F.asc("vec_id"))
+    exact = {
+        (r.q, r.vec_id)
+        for r in sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_pq_adc_topk"](t).collect()
+    }
+    assert pq, "PQ search returned nothing"
+    assert len(exact & pq) / len(exact) >= 0.15
