@@ -1092,13 +1092,16 @@ def _fold_d2_sql(a: str, b: str, n: int) -> str:
     )
 
 
-def _pq_sql() -> str:
+def _pq_ctes() -> str:
+    """CTE chain (no WITH) ending in the fitted codebook ``c1(sub,
+    cent_id, cv)`` and the encoded corpus ``e1(vec_id, sub, cent_id)``
+    — shared by sim_pq_adc_topk (full scan) and sim_ivfpq_topk (coarse
+    IVF candidates, then ADC)."""
     d2_ac = _fold_d2_sql("a.sv", "c.cv", PQ_SUB)
-    d2_qc = _fold_d2_sql("q.sv", "c.cv", PQ_SUB)
     sub_lo = "CAST(r.range AS INT) * 8 + 1"
     sub_hi = "CAST(r.range AS INT) * 8 + 8"
     return (
-        "WITH v AS (SELECT vec_id, "
+        "v AS (SELECT vec_id, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
         f"sv AS (SELECT vec_id, CAST(r.range AS INT) AS sub, "
         f"v[({sub_lo}):({sub_hi})] AS sv FROM v CROSS JOIN range({PQ_M}) r), "
@@ -1119,12 +1122,15 @@ def _pq_sql() -> str:
         "FROM sv a JOIN c1 c ON a.sub = c.sub), "
         "e1 AS (SELECT vec_id, sub, cent_id FROM ("
         "SELECT vec_id, sub, cent_id, row_number() OVER ("
-        "PARTITION BY vec_id, sub ORDER BY d2, cent_id) AS rn FROM e1s) WHERE rn = 1), "
-        f"qt AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, q.sub, "
-        f"{d2_qc} AS d FROM sv q "
-        "JOIN e1 e ON e.sub = q.sub "
-        "JOIN c1 c ON c.sub = e.sub AND c.cent_id = e.cent_id "
-        f"WHERE q.vec_id < {N_QUERIES} AND e.vec_id <> q.vec_id), "
+        "PARTITION BY vec_id, sub ORDER BY d2, cent_id) AS rn FROM e1s) WHERE rn = 1)"
+    )
+
+
+def _pq_adc_tail_sql(qt: str) -> str:
+    """adc-sum + per-query top-k over a ``qt(query_id, neighbor_id,
+    sub, d)`` CTE body."""
+    return (
+        f"qt AS ({qt}), "
         "adc AS (SELECT query_id, neighbor_id, "
         "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d ORDER BY sub)), "
         "(acc, x) -> acc + x) AS adc_dist FROM qt GROUP BY query_id, neighbor_id) "
@@ -1133,6 +1139,18 @@ def _pq_sql() -> str:
         "PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn FROM adc) "
         f"WHERE rn <= {TOP_K}"
     )
+
+
+def _pq_sql() -> str:
+    d2_qc = _fold_d2_sql("q.sv", "c.cv", PQ_SUB)
+    qt = (
+        f"SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, q.sub, "
+        f"{d2_qc} AS d FROM sv q "
+        "JOIN e1 e ON e.sub = q.sub "
+        "JOIN c1 c ON c.sub = e.sub AND c.cent_id = e.cent_id "
+        f"WHERE q.vec_id < {N_QUERIES} AND e.vec_id <> q.vec_id"
+    )
+    return "WITH " + _pq_ctes() + ", " + _pq_adc_tail_sql(qt)
 
 
 def _d2_fold(a, b):
@@ -1239,6 +1257,92 @@ def sim_pq_adc_topk(t: Tables) -> DataFrame:
         .join(F.broadcast(cent1), ["sub", "cent_id"])
         .join(F.broadcast(qsub), "sub")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sub",
+            _d2_fold(F.col("qv"), F.col("cv")).alias("d"),
+        )
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("sub", "d"))),
+        lambda s: s.getField("d"),
+    )
+    adc = terms.groupBy("query_id", "neighbor_id").agg(
+        F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x).alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )
+
+
+def _ivfpq_sql() -> str:
+    d2_qc = _fold_d2_sql("q.sv", "c.cv", PQ_SUB)
+    qt = (
+        "SELECT c2.query_id, c2.neighbor_id, q.sub, "
+        f"{d2_qc} AS d FROM cand c2 "
+        "JOIN sv q ON q.vec_id = c2.query_id "
+        "JOIN e1 e ON e.vec_id = c2.neighbor_id AND e.sub = q.sub "
+        "JOIN c1 c ON c.sub = e.sub AND c.cent_id = e.cent_id"
+    )
+    return (
+        assign_sql(1)
+        + ", "
+        + _pq_ctes()
+        + ", cand AS (SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id "
+        "FROM assign qa JOIN assign ca ON qa.cent_id = ca.cent_id "
+        f"AND qa.vec_id < {N_QUERIES} AND ca.vec_id <> qa.vec_id), "
+        + _pq_adc_tail_sql(qt)
+    )
+
+
+@register("sim_ivfpq_topk", _ivfpq_sql())
+def sim_ivfpq_topk(t: Tables) -> DataFrame:
+    """IVF-PQ — the production ANN composition the PQ operator's
+    docstring promises: the coarse IVF stage (fixed first-N_CENTROIDS
+    codebook, the sim_ivf_topk machinery) restricts each query to its
+    own coarse bucket, and ONLY those candidates are scored — via ADC
+    over the PQ codes, never the raw vectors. Memory story at 100 TB:
+    the search touches the inverted list (ids) + 8 code bytes per
+    candidate + two tiny broadcast codebooks; raw vectors appear
+    nowhere in the serving path. (Simplification vs textbook IVF-PQ:
+    codes quantize raw vectors, not per-cell residuals — residual
+    encoding would fold the coarse assignment into pq_fit_encode's
+    input and is the documented next dial.)
+
+    Both stages are individually exact-oracled (assign_sql /
+    _pq_ctes), so the composition inherits an exact oracle: same
+    coarse buckets, same codes, same pinned ADC sums in both engines.
+    pytest measures recall@10 against exact L2 and against the
+    full-scan PQ key (the IVF stage can only shrink the candidate
+    set)."""
+    corpus = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assign = ivf_assign_fixed(t.embeddings, 1, N_CENTROIDS)
+    cent1, codes = pq_fit_encode(spread(corpus, "vec_id"))
+    qa = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "cent_id"
+    )
+    ca = assign.select(F.col("vec_id").alias("neighbor_id"), "cent_id")
+    cand = (
+        qa.join(ca, "cent_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    qsub = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(
+            F.array(*[F.slice("v", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
+        ).alias("sub", "qv"),
+    )
+    terms = (
+        cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(cent1), ["sub", "cent_id"])
+        .join(F.broadcast(qsub), ["query_id", "sub"])
         .select(
             "query_id",
             "neighbor_id",

@@ -1133,3 +1133,28 @@ def test_pq_adc_recall_vs_exact_l2(t):
     }
     assert pq, "PQ search returned nothing"
     assert len(exact & pq) / len(exact) >= 0.15
+
+
+def test_ivfpq_candidates_respect_coarse_buckets(t):
+    """Every IVF-PQ neighbor must share its query's coarse bucket (the
+    whole point of the IVF stage), and the search must return
+    something for every query that has bucket-mates."""
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.operators.similarity import (
+        N_CENTROIDS,
+        N_QUERIES,
+        ivf_assign_fixed,
+    )
+
+    assign = {
+        r.vec_id: r.cent_id
+        for r in ivf_assign_fixed(t.embeddings, 1, N_CENTROIDS).collect()
+    }
+    rows = QUERIES["sim_ivfpq_topk"](t).collect()
+    assert rows, "IVF-PQ returned nothing"
+    assert {r.query_id for r in rows} == set(range(N_QUERIES))
+    for r in rows:
+        assert assign[r.neighbor_id] == assign[r.query_id], (
+            f"neighbor {r.neighbor_id} outside query {r.query_id}'s bucket"
+        )
