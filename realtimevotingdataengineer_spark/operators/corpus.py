@@ -763,9 +763,10 @@ def corpus_pack_sequences(t: Tables) -> DataFrame:
 
     Scale shape: one running-sum window over the doc ordering. A single
     global ordering is a sequential scan at 100 TB — production packs
-    PER SHARD (corpus_interleave_shards provides the sharded ordering,
-    making this same window a per-shard partitioned one); the global
-    form here keeps the oracle one-to-one with the semantics."""
+    PER SHARD, REGISTERED as corpus_pack_sequences_sharded (round 6:
+    the same window partitioned by hash shard over the interleave
+    ordering — N_SHARDS independent prefix sums); the global form here
+    keeps the oracle one-to-one with the textbook semantics."""
     tk = t.documents.select("doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens"))
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     c = tk.select(
@@ -775,6 +776,69 @@ def corpus_pack_sequences(t: Tables) -> DataFrame:
     )
     return c.select(
         "doc_id",
+        "n_tokens",
+        "start_tok",
+        F.floor(F.col("start_tok") / PACK_CTX).cast("bigint").alias("seq_id"),
+        (F.col("start_tok") % PACK_CTX).alias("offset_in_seq"),
+        F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / PACK_CTX)
+        .cast("bigint")
+        .alias("end_seq_id"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "corpus_pack_sequences_sharded",
+    f"WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx, "
+    f"CAST(len({TOKENS_SQL}) AS BIGINT) AS n_tokens FROM documents), "
+    "s AS (SELECT doc_id, n_tokens, hx, "
+    f"CAST(CAST('0x' || substr(hx, 1, 6) AS BIGINT) % {N_SHARDS} AS INT) AS shard "
+    "FROM h), "
+    "c AS (SELECT doc_id, shard, n_tokens, "
+    "CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY hx, doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) "
+    "AS start_tok FROM s) "
+    "SELECT doc_id, shard, n_tokens, start_tok, "
+    f"CAST(start_tok // {PACK_CTX} AS BIGINT) AS seq_id, "
+    f"CAST(start_tok % {PACK_CTX} AS BIGINT) AS offset_in_seq, "
+    f"CAST((start_tok + n_tokens - 1) // {PACK_CTX} AS BIGINT) AS end_seq_id "
+    "FROM c ORDER BY doc_id",
+)
+def corpus_pack_sequences_sharded(t: Tables) -> DataFrame:
+    """The PRODUCTION form corpus_pack_sequences' docstring promises,
+    registered (the documented-dial-should-be-a-key rule): packing runs
+    PER SHARD over the corpus_interleave_shards ordering (hash shard,
+    within-shard seeded-shuffle order by md5), so the running-sum
+    window is PARTITIONED — N_SHARDS independent prefix sums instead
+    of one global total order. At 100 TB that is the difference
+    between a sequential single-reducer scan and an embarrassingly
+    parallel per-shard pass; seq_id/offset arithmetic is unchanged and
+    all-integer, so the key is exactly oracled. Sequence ids are
+    shard-local (each shard's dataloader reads its own id space), with
+    the shard column carried so the (shard, seq_id) pair is globally
+    unique."""
+    tk = t.documents.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("hx"),
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    shard = (
+        F.conv(F.substring("hx", 1, 6), 16, 10).cast("bigint") % N_SHARDS
+    ).cast("int")
+    sh = tk.withColumn("shard", shard)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("hx", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = sh.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok"),
+    )
+    return c.select(
+        "doc_id",
+        "shard",
         "n_tokens",
         "start_tok",
         F.floor(F.col("start_tok") / PACK_CTX).cast("bigint").alias("seq_id"),

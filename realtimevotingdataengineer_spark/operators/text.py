@@ -1197,3 +1197,66 @@ def udf_pandas_scalar_stats(t: Tables) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Fixed, interpretable logistic-regression weights for the quality
+#: scorer — the shape of a fastText/linear quality classifier with the
+#: coefficients PINNED (no training dependency): reward stopword
+#: density (real prose has it), punish punctuation soup, mild length
+#: prior. Two-decimal literals render identically in both dialects.
+QLR_BIAS = -1.50
+QLR_W_STOP = 8.00
+QLR_W_PUNCT = -6.00
+QLR_W_LOGLEN = 0.25
+
+_QLR_Z = (
+    f"{QLR_BIAS:.2f} + {QLR_W_STOP:.2f} * stopword_ratio "
+    f"+ {QLR_W_PUNCT:.2f} * punct_ratio "
+    f"+ {QLR_W_LOGLEN:.2f} * "
+    "CAST(CAST(ln(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)"
+)
+
+_QLR_SQL = (
+    f"WITH q AS ({_QUALITY_SQL}), "
+    f"z AS (SELECT doc_id, {_QLR_Z} AS z FROM q) "
+    "SELECT doc_id, z, "
+    "1.0 / (1.0 + CAST(CAST(exp(-z) AS DECIMAL(18,9)) AS DOUBLE)) AS p_quality, "
+    "(1.0 / (1.0 + CAST(CAST(exp(-z) AS DECIMAL(18,9)) AS DOUBLE)) >= 0.5) "
+    "AS keep FROM z ORDER BY doc_id"
+)
+
+
+@register("text_quality_logreg", _QLR_SQL)
+def text_quality_logreg(t: Tables) -> DataFrame:
+    """BATCH MODEL INFERENCE over the corpus — the missing surface
+    between rule filters (text_quality_gopher) and the dedup/ANN
+    machinery: a linear quality classifier scored per document, the
+    shape of every fastText-style quality model a pretraining pipeline
+    runs (DCLM/FineWeb-class pipelines keep by classifier score, not
+    rules alone). Weights are fixed interpretable constants, so the
+    operator exercises the full inference pattern — feature extraction
+    → linear score → sigmoid → threshold — with zero training
+    dependency and an EXACT oracle: the logit chain is the identical
+    left-assoc text in both engines, and the two transcendentals
+    (ln(len), exp(-z)) ride the DECIMAL(18,9) pin that makes
+    perplexity/BM25 bitwise.
+
+    Scale shape: pure per-row column math on top of text_quality_score's
+    narrow features — no shuffle at all; a real trained model swaps the
+    literal weights for a broadcast coefficient row (or a Pandas-UDF
+    forward pass for nonlinear models) with the same plan."""
+    q = text_quality_score(t)
+    z = (
+        F.lit(QLR_BIAS)
+        + F.lit(QLR_W_STOP) * F.col("stopword_ratio")
+        + F.lit(QLR_W_PUNCT) * F.col("punct_ratio")
+        + F.lit(QLR_W_LOGLEN)
+        * F.log(F.col("n_tokens").cast("double")).cast("decimal(18,9)").cast("double")
+    )
+    zc = q.select("doc_id", z.alias("z"))
+    p = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-F.col("z")).cast("decimal(18,9)").cast("double")
+    )
+    return zc.select(
+        "doc_id", "z", p.alias("p_quality"), (p >= 0.5).alias("keep")
+    ).orderBy("doc_id")
