@@ -155,8 +155,12 @@ def dedup_ngram_jaccard(t: Tables, df_cap: int | None = NGRAM_DF_CAP) -> DataFra
             .filter(F.col("df") > df_cap)
             .select("g")
         )
-        # |hot| is tiny by construction (heavy hitters) → broadcast anti
-        joinable = grams.join(F.broadcast(hot), "g", "left_anti")
+        # |hot| is Zipf-small in practice (heavy hitters) but only
+        # bounded by total_grams/df_cap in theory — so NO forced
+        # broadcast hint (round-6 rule): the threshold broadcasts the
+        # anti side while it is actually small and degrades to a
+        # shuffle anti-join if a pathological corpus ever inflates it.
+        joinable = grams.join(hot, "g", "left_anti")
     a = joinable.alias("a")
     b = joinable.alias("b")
     common = (
@@ -222,7 +226,8 @@ def dedup_ngram_containment(
             .filter(F.col("df") > df_cap)
             .select("g")
         )
-        joinable = grams.join(F.broadcast(hot), "g", "left_anti")
+        # no forced hint on hot (see the df-cap comment above)
+        joinable = grams.join(hot, "g", "left_anti")
     a = joinable.alias("a")
     b = joinable.alias("b")
     common = (

@@ -395,8 +395,11 @@ def graph_link_prediction(t: Tables) -> DataFrame:
         F.col("deg_x") + F.col("deg_y") - F.col("n_common")
     )
     return (
-        cand.join(F.broadcast(dx), "x")
-        .join(F.broadcast(dy), "y")
+        # deg is |nodes|-proportional — no forced broadcast hint (the
+        # round-6 scale-safety rule): the threshold auto-broadcasts it
+        # at test SF and the join degrades to a node-id shuffle at scale.
+        cand.join(dx, "x")
+        .join(dy, "y")
         .select(
             F.col("x").alias("vec_a"),
             F.col("y").alias("vec_b"),
