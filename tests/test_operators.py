@@ -1158,3 +1158,63 @@ def test_ivfpq_candidates_respect_coarse_buckets(t):
         assert assign[r.neighbor_id] == assign[r.query_id], (
             f"neighbor {r.neighbor_id} outside query {r.query_id}'s bucket"
         )
+
+
+def test_ivfpq_residual_recall_at_least_matches_raw(t):
+    """Records the honest measurement the operator docstring cites:
+    on this structureless near-orthogonal fixture residual encoding is
+    WORSE than raw-vector PQ (0.16 vs 0.48 at sf0.001, 0.34 vs 0.42 at
+    sf0.01) because there is no coarse structure to factor out — the
+    documented anti-case. The floors assert both variants still
+    retrieve genuine bucket-mates (machinery works), not that residual
+    wins here."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.operators.similarity import (
+        N_CENTROIDS,
+        N_QUERIES,
+        TOP_K,
+        ivf_assign_fixed,
+    )
+
+    # exact L2 top-k restricted to the coarse bucket (the candidate set
+    # both PQ variants search)
+    assign = ivf_assign_fixed(t.embeddings, 1, N_CENTROIDS)
+    v = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    va = v.join(assign, "vec_id")
+    q = va.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q"), F.col("v").alias("qv"), "cent_id"
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    sc = (
+        q.join(va, "cent_id")
+        .filter(F.col("vec_id") != F.col("q"))
+        .select("q", "vec_id", d2.alias("d"))
+    )
+    w = Window.partitionBy("q").orderBy(F.asc("d"), F.asc("vec_id"))
+    exact = {
+        (r.q, r.vec_id)
+        for r in sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .collect()
+    }
+    raw = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_ivfpq_topk"](t).collect()
+    }
+    res = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_ivfpq_residual_topk"](t).collect()
+    }
+    assert res, "residual IVF-PQ returned nothing"
+    r_raw = len(exact & raw) / len(exact)
+    r_res = len(exact & res) / len(exact)
+    assert r_raw >= 0.15, r_raw
+    assert r_res >= 0.05, r_res
