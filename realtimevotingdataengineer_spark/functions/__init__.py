@@ -50,8 +50,12 @@ def spread(df, *cols):
         # summed count could exceed the threshold and silently skip a
         # repartition the one hot scan still needs. One leaf ⇒ the file
         # count IS that scan's split count and the proxy is sound.
-        plan = df._jdf.queryExecution().analyzed().toString()
-        n_leaves = plan.count("Relation") + plan.count("LogicalRDD")
+        # Round 7: count leaves STRUCTURALLY (collectLeaves on the
+        # analyzed plan) instead of substring-matching "Relation" in
+        # the pretty-printed tree — node names/aliases containing the
+        # substring skewed the count, and a future leaf type could be
+        # missed entirely.
+        n_leaves = df._jdf.queryExecution().analyzed().collectLeaves().size()
         if n_leaves == 1 and len(df.inputFiles()) >= n:
             return df
     except Exception:

@@ -240,6 +240,37 @@ def _pretrain_sql() -> str:
     return ctes + final + " ORDER BY q.doc_id"
 
 
+def _survivorship_gate(t: Tables, labels: DataFrame) -> DataFrame:
+    """The pretraining-corpus gate — length floor ∘ repetition cap ∘
+    benchmark decontamination ∘ near-dup cluster survivorship (canonical
+    doc only), excluding the benchmark split — applied against a label
+    table. The labels DataFrame is the ONLY varying input across the
+    three capstones (live dedup_clusters, a materialized parquet table,
+    incremental contraction labels), so the predicates live here once
+    and cannot drift between them (round-6 advice: three hand-copies of
+    the same gate). Returns the ungated-order (doc_id, n_tokens)
+    survivor set; callers add their own terminal sort/layout."""
+    contaminated = text_decontaminate(t).select("doc_id")
+    tk = t.documents.select("doc_id", tokens("text").alias("tk"))
+    n = F.size("tk")
+    quality = tk.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (F.lit(1.0) - F.size(F.array_distinct("tk")).cast("double") / n).alias("rep"),
+    )
+    return (
+        quality.join(labels, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .filter(
+            (F.col("doc_id") >= _BENCH_MAX)
+            & (F.col("n_tokens") >= 20)
+            & (F.col("rep") < 0.6)
+            & (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .select("doc_id", "n_tokens")
+    )
+
+
 @register("pipeline_pretrain_corpus", _pretrain_sql())
 def pipeline_pretrain_corpus(t: Tables) -> DataFrame:
     """The end-to-end pretraining-corpus gate as ONE declarative plan:
@@ -251,27 +282,7 @@ def pipeline_pretrain_corpus(t: Tables) -> DataFrame:
     100 TB shape is the same plan over partitioned parquet."""
     from .dedup import dedup_clusters
 
-    labels = dedup_clusters(t)
-    contaminated = text_decontaminate(t).select("doc_id")
-    tk = t.documents.select("doc_id", tokens("text").alias("tk"))
-    n = F.size("tk")
-    quality = tk.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        (F.lit(1.0) - F.size(F.array_distinct("tk")).cast("double") / n).alias("rep"),
-    )
-    return (
-        quality.join(labels, "doc_id")
-        .join(contaminated, "doc_id", "left_anti")
-        .filter(
-            (F.col("doc_id") >= _BENCH_MAX)
-            & (F.col("n_tokens") >= 20)
-            & (F.col("rep") < 0.6)
-            & (F.col("cluster_id") == F.col("doc_id"))
-        )
-        .select("doc_id", "n_tokens")
-        .orderBy("doc_id")
-    )
+    return _survivorship_gate(t, dedup_clusters(t)).orderBy("doc_id")
 
 
 def pretrain_corpus_from_labels(t: Tables, labels_path: str) -> DataFrame:
@@ -281,26 +292,7 @@ def pretrain_corpus_from_labels(t: Tables, labels_path: str) -> DataFrame:
     iterative label propagation is a build-time cost, not a per-query
     one. Result equality with the live pipeline is test-asserted."""
     labels = t.spark.read.parquet(labels_path)
-    contaminated = text_decontaminate(t).select("doc_id")
-    tk = t.documents.select("doc_id", tokens("text").alias("tk"))
-    n = F.size("tk")
-    quality = tk.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        (F.lit(1.0) - F.size(F.array_distinct("tk")).cast("double") / n).alias("rep"),
-    )
-    return (
-        quality.join(labels, "doc_id")
-        .join(contaminated, "doc_id", "left_anti")
-        .filter(
-            (F.col("doc_id") >= _BENCH_MAX)
-            & (F.col("n_tokens") >= 20)
-            & (F.col("rep") < 0.6)
-            & (F.col("cluster_id") == F.col("doc_id"))
-        )
-        .select("doc_id", "n_tokens")
-        .orderBy("doc_id")
-    )
+    return _survivorship_gate(t, labels).orderBy("doc_id")
 
 
 @register(
@@ -711,27 +703,7 @@ def pipeline_export_corpus_incremental(t: Tables) -> DataFrame:
     pipeline_export_corpus."""
     from .dedup import incremental_cluster_labels
 
-    labels = incremental_cluster_labels(t)
-    contaminated = text_decontaminate(t).select("doc_id")
-    tk = t.documents.select("doc_id", tokens("text").alias("tk"))
-    n = F.size("tk")
-    quality = tk.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        (F.lit(1.0) - F.size(F.array_distinct("tk")).cast("double") / n).alias("rep"),
-    )
-    surv = (
-        quality.join(labels, "doc_id")
-        .join(contaminated, "doc_id", "left_anti")
-        .filter(
-            (F.col("doc_id") >= _BENCH_MAX)
-            & (F.col("n_tokens") >= 20)
-            & (F.col("rep") < 0.6)
-            & (F.col("cluster_id") == F.col("doc_id"))
-        )
-        .select("doc_id", "n_tokens")
-    )
-    return _export_layout(t, surv)
+    return _export_layout(t, _survivorship_gate(t, incremental_cluster_labels(t)))
 
 
 #: Context-window length for sequence packing (tokens per training

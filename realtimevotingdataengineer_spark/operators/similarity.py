@@ -973,7 +973,12 @@ def _rp_chain(j: int, elem_fmt: str) -> str:
 
 
 def srp_band_signatures(
-    df: DataFrame, id_col: str, vec_col: str, band_bits: int, n_bands: int
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    band_bits: int,
+    n_bands: int,
+    dim: int = EMB_DIM,
 ) -> DataFrame:
     """(id, bv0..bv{n_bands-1}) SRP band signatures as ONE Arrow kernel
     pass — the round-6 replacement for the per-band F.expr chains whose
@@ -995,9 +1000,11 @@ def srp_band_signatures(
     from pyspark.sql.types import LongType, StructField, StructType
 
     n_bits = band_bits * n_bands
-    signs = [
-        [_rp_sign(j, i) for i in range(1, EMB_DIM + 1)] for j in range(n_bits)
-    ]
+    # Round 7: the projection width is a PARAMETER — this kernel is
+    # also called on hashed-TF vectors (HTF_DIM) and the parity with
+    # the _rp_chain oracles only held because both widths were 64; a
+    # drifting constant must fail loudly, not silently truncate.
+    signs = [[_rp_sign(j, i) for i in range(1, dim + 1)] for j in range(n_bits)]
     out_schema = StructType(
         [StructField(id_col, LongType())]
         + [StructField(f"bv{k}", LongType()) for k in range(n_bands)]
@@ -1009,11 +1016,16 @@ def srp_band_signatures(
             if n == 0:
                 continue
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if V.shape[1] != dim:
+                raise ValueError(
+                    f"srp_band_signatures: vector width {V.shape[1]} != "
+                    f"declared dim {dim} — pass the caller's dimension"
+                )
             bits = np.empty((n_bits, n), dtype=bool)
             for j in range(n_bits):
                 sj = signs[j]
                 acc = V[:, 0].copy() if sj[0] > 0 else -V[:, 0]
-                for i in range(1, EMB_DIM):
+                for i in range(1, dim):
                     if sj[i] > 0:
                         acc = acc + V[:, i]
                     else:
