@@ -1864,3 +1864,79 @@ def dedup_prefix_exact(t: Tables) -> DataFrame:
         .select(F.md5("prefix").alias("prefix_md5"), "n_docs", "canonical_doc_id")
         .orderBy("prefix_md5")
     )
+
+
+#: Token-window width for substring-level dedup (the ExactSubstr unit:
+#: a span this long shared verbatim across documents is treated as
+#: duplicated text, not coincidence — Lee et al., "Deduplicating
+#: Training Data Makes Language Models Better", use 50 BPE tokens; 8
+#: word tokens is the same idea at the test corpus's document lengths).
+SUBSTR_W = 8
+
+_SUBSTR_SQL = (
+    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+    f"wl AS (SELECT doc_id, list_transform(range(1, len(tk) - {SUBSTR_W} + 2), "
+    f"i -> md5(array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + {SUBSTR_W - 1}], ' '))) AS whs "
+    f"FROM tk WHERE len(tk) >= {SUBSTR_W}), "
+    "wpos AS (SELECT doc_id, u.wh FROM wl, LATERAL unnest(whs) AS u(wh)), "
+    "nd AS (SELECT wh, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs "
+    "FROM wpos GROUP BY wh) "
+    "SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows, "
+    "CAST(sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared, "
+    "CAST(sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) "
+    "AS shared_ratio "
+    "FROM wpos w JOIN nd ON w.wh = nd.wh GROUP BY w.doc_id ORDER BY w.doc_id"
+)
+
+
+@register("dedup_substring_window", _SUBSTR_SQL)
+def dedup_substring_window(t: Tables) -> DataFrame:
+    """Substring-level duplication profile — the ExactSubstr posture
+    (Lee et al. 2022): slide a SUBSTR_W-token window (stride 1) over
+    every document, hash each window, and report per document how many
+    of its windows also occur verbatim in ANOTHER document. Document-
+    level near-dup (MinHash/SimHash) misses this entirely: two long
+    documents sharing one quoted paragraph score low overall similarity
+    but still teach the model the paragraph twice. shared_ratio is the
+    actionable statistic (≈1 ⇒ the doc is assembled from text that
+    exists elsewhere; a span-removal pass would use the same posting
+    stream with positions kept).
+
+    Plan: one narrow pass emits the (doc_id, window_hash) posting
+    stream (HOF transform — linear per doc, same interpreted-lambda
+    posture as shingling, with the minhash Arrow-kernel pattern as the
+    documented scale fix); one shuffle builds the per-hash distinct-doc
+    count (map-side combinable after the in-partition distinct); the
+    join back is co-partitioned on the hash, and the per-doc rollup
+    shuffles on doc_id. No self-join anywhere — the pair explosion that
+    makes naive substring dedup quadratic is avoided because the per-
+    hash aggregate, not the pairs, carries the signal. At 100 TB a
+    boilerplate window shared by millions of docs is ONE row in nd (the
+    posting stream itself never amplifies), and AQE's skew split covers
+    the hot-hash reduce; window hashes are md5 → uniform shuffle keys.
+    """
+    c = tokens("text")
+    tk = t.documents.select("doc_id", c.alias("tk")).filter(
+        F.size("tk") >= SUBSTR_W
+    )
+    wpos = spread(tk, "doc_id").select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - F.lit(SUBSTR_W - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("tk"), i, SUBSTR_W))),
+            )
+        ).alias("wh"),
+    )
+    nd = wpos.groupBy("wh").agg(F.count_distinct("doc_id").alias("ndocs"))
+    shared = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+    return (
+        wpos.join(nd, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            shared.cast("bigint").alias("n_shared"),
+            (shared.cast("double") / F.count(F.lit(1))).alias("shared_ratio"),
+        )
+        .orderBy("doc_id")
+    )

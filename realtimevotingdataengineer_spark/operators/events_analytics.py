@@ -1595,3 +1595,125 @@ def events_peak_mad_flags(t: Tables) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+#: Count-min sketch geometry: d hash rows × w counters. w ≪ #keys on
+#: purpose — the sketch regime is heavy-hitter estimation where exact
+#: per-key state would grow with cardinality; (event_type, day) keys
+#: (~hundreds) against w=64 produce real collisions, so the
+#: overestimate column shows the sketch's actual error behavior.
+CMS_D = 4
+CMS_W = 64
+
+
+def _cms_pos_sql(j: int, key: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('cm{j}:' || {key}), 1, 6) AS BIGINT) % {CMS_W}"
+    )
+
+
+_CMS_KEY_SQL = "event_type || '|' || strftime(ts, '%Y-%m-%d')"
+
+_CMS_SQL = (
+    "WITH base AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+    f"{_CMS_KEY_SQL} AS ck FROM events), "
+    "cnt AS (SELECT ck, any_value(event_type) AS event_type, "
+    "any_value(day) AS day, CAST(count(*) AS BIGINT) AS exact_cnt "
+    "FROM base GROUP BY ck), "
+    "counters AS (SELECT u.s.j AS j, u.s.pos AS pos, CAST(count(*) AS BIGINT) AS c FROM "
+    "(SELECT ["
+    + ", ".join(
+        f"struct_pack(j := {j}, pos := {_cms_pos_sql(j, 'ck')})" for j in range(CMS_D)
+    )
+    + "] AS ps FROM base), LATERAL unnest(ps) AS u(s) GROUP BY u.s.j, u.s.pos), "
+    "probe AS (SELECT ck, u.s.j AS j, u.s.pos AS pos FROM (SELECT ck, ["
+    + ", ".join(
+        f"struct_pack(j := {j}, pos := {_cms_pos_sql(j, 'ck')})" for j in range(CMS_D)
+    )
+    + "] AS ps FROM cnt), LATERAL unnest(ps) AS u(s)), "
+    "est AS (SELECT ck, CAST(min(c) AS BIGINT) AS cms_est FROM probe "
+    "JOIN counters ON probe.j = counters.j AND probe.pos = counters.pos "
+    "GROUP BY ck) "
+    "SELECT c.event_type, c.day, c.exact_cnt, e.cms_est, "
+    "e.cms_est - c.exact_cnt AS overestimate "
+    "FROM cnt c JOIN est e ON c.ck = e.ck ORDER BY c.event_type, c.day"
+)
+
+
+@register("events_count_min_sketch", _CMS_SQL)
+def events_count_min_sketch(t: Tables) -> DataFrame:
+    """Count-min sketch over (event_type, day) traffic, built as a
+    relational plan and calibrated against the exact counts in the same
+    result: d×w hash-bucket counters (one groupBy over the fact stream
+    — map-side combinable, output bounded by the sketch GEOMETRY at
+    d·w rows regardless of data scale), then each key's estimate is the
+    min of its d counters. overestimate = est − exact is ≥ 0 by the CMS
+    theorem — and genuinely > 0 here for colliding keys, because w is
+    deliberately sized below the key cardinality (that is the regime
+    sketches exist for). Every value is a deterministic integer (md5
+    positions, exact counts, min) ⇒ full bitwise oracle — the same
+    calibration pattern as agg_approx_distinct/HLL, but with the sketch
+    internals themselves oracle-checked since nothing is randomized.
+
+    Scale posture: the counter table is FIXED-SHAPE mergeable state —
+    the d×w grid ORs across partitions, days, or streaming batches by
+    addition, which is why production pipelines keep CMS per time
+    bucket and merge on read (the events_rolling_wau_hll pattern, with
+    addition instead of sketch-union); exact per-key counts, by
+    contrast, are unbounded state. The probe side joins the broadcast
+    counter grid (d·w ≤ 256 rows at ANY scale factor — geometry-capped,
+    legitimate under the no-forced-broadcast rule)."""
+    base = t.events.select(
+        F.concat(
+            F.col("event_type"), F.lit("|"), F.date_format("ts", "yyyy-MM-dd")
+        ).alias("ck"),
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+
+    def pos(j, key):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cm{j}:"), key)), 1, 6), 16, 10
+            ).cast("bigint")
+            % CMS_W
+        )
+
+    def pos_structs(key):
+        return F.array(
+            *[
+                F.struct(F.lit(j).alias("j"), pos(j, key).alias("pos"))
+                for j in range(CMS_D)
+            ]
+        )
+
+    counters = (
+        base.select(F.explode(pos_structs(F.col("ck"))).alias("u"))
+        .select("u.j", "u.pos")
+        .groupBy("j", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cnt = base.groupBy("ck").agg(
+        F.any_value("event_type").alias("event_type"),
+        F.any_value("day").alias("day"),
+        F.count(F.lit(1)).alias("exact_cnt"),
+    )
+    probe = cnt.select("ck", F.explode(pos_structs(F.col("ck"))).alias("u")).select(
+        "ck", "u.j", "u.pos"
+    )
+    est = (
+        probe.join(F.broadcast(counters), ["j", "pos"])
+        .groupBy("ck")
+        .agg(F.min("c").cast("bigint").alias("cms_est"))
+    )
+    return (
+        cnt.join(est, "ck")
+        .select(
+            "event_type",
+            "day",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1826,3 +1826,122 @@ def events_chisq_type_weekday(t: Tables) -> DataFrame:
             "chi_square",
         )
     )
+
+
+#: Bloom-filter geometry for dq_bloom_fk_probe: m bits, k hash
+#: functions. m is the SCALE DIAL — the set-bit relation is bounded by
+#: m regardless of corpus size (a saturated filter degrades to fp→1,
+#: it never grows), which is what makes the filter side legitimately
+#: broadcastable at any SF.
+BLOOM_M = 65536
+BLOOM_K = 4
+
+
+def _bloom_pos_sql(j: int, key: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('bf{j}:' || CAST({key} AS VARCHAR)), 1, 6) "
+        f"AS BIGINT) % {BLOOM_M}"
+    )
+
+
+def _bloom_pos_col(j: int, key) -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"bf{j}:"), key.cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("bigint")
+        % BLOOM_M
+    )
+
+
+_BLOOM_SQL = (
+    "WITH members AS (SELECT DISTINCT o_orderkey AS k FROM orders "
+    "WHERE o_orderstatus = 'F'), "
+    "bits AS (SELECT DISTINCT u.pos FROM (SELECT k, ["
+    + ", ".join(_bloom_pos_sql(j, "k") for j in range(BLOOM_K))
+    + "] AS ps FROM members), LATERAL unnest(ps) AS u(pos)), "
+    "probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem), "
+    "pp AS (SELECT k, u.pos FROM (SELECT k, ["
+    + ", ".join(_bloom_pos_sql(j, "k") for j in range(BLOOM_K))
+    + "] AS ps FROM probe), LATERAL unnest(ps) AS u(pos)), "
+    "hit AS (SELECT k, CAST(count(*) AS BIGINT) AS nhit FROM pp "
+    "JOIN bits ON pp.pos = bits.pos GROUP BY k), "
+    "verdict AS (SELECT p.k, coalesce(h.nhit, 0) = "
+    f"{BLOOM_K} AS bloom_pass, m.k IS NOT NULL AS is_member "
+    "FROM probe p LEFT JOIN hit h ON p.k = h.k "
+    "LEFT JOIN members m ON p.k = m.k) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_probed, "
+    "CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass, "
+    "CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members, "
+    "CAST(sum(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_false_pos, "
+    "CAST(sum(CASE WHEN NOT bloom_pass AND is_member THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_false_neg, "
+    "CAST(sum(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END) AS DOUBLE) "
+    "/ nullif(count(*) - sum(CASE WHEN is_member THEN 1 ELSE 0 END), 0) AS fp_rate "
+    "FROM verdict"
+)
+
+
+@register("dq_bloom_fk_probe", _BLOOM_SQL)
+def dq_bloom_fk_probe(t: Tables) -> DataFrame:
+    """Bloom-filter membership prefilter, built and measured end to end:
+    build an m-bit / k-hash Bloom filter over the 'F'-status order keys,
+    probe every distinct lineitem order key through it, and report the
+    confusion counts plus the measured false-positive rate (n_false_neg
+    is the structural zero a Bloom filter guarantees — asserted by the
+    oracle since both engines compute the same deterministic md5
+    positions). This is the runtime-filter pattern Spark's own AQE
+    bloom-join uses, made explicit and measurable: at 100 TB the fact
+    side is prefiltered by broadcasting a ≤ m-row set-bit relation —
+    bounded by the filter GEOMETRY, not by data scale — instead of
+    shuffling 100 TB against a billion-row dim for a semi-join; rows
+    failing the probe never reach the shuffle, and the only exact work
+    left downstream is the survivors. The set-bit build itself is a
+    distinct over members×k positions: map-side combinable, m-bounded
+    output. The broadcast hint here is deliberately allowed under the
+    no-forced-broadcast rule because the relation's cardinality is
+    capped at BLOOM_M by construction at ANY scale factor."""
+    members = (
+        t.orders.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    k = F.col("k")
+    pos_arr = F.array(*[_bloom_pos_col(j, k) for j in range(BLOOM_K)])
+    bits = (
+        members.select(F.explode(pos_arr).alias("pos")).distinct()
+    )
+    probe = t.lineitem.select(F.col("l_orderkey").alias("k")).distinct()
+    pp = probe.select("k", F.explode(pos_arr).alias("pos"))
+    hit = (
+        pp.join(F.broadcast(bits), "pos")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+    )
+    verdict = (
+        probe.join(hit, "k", "left")
+        .join(members.withColumn("is_m", F.lit(True)), "k", "left")
+        .select(
+            (F.coalesce(F.col("nhit"), F.lit(0)) == BLOOM_K).alias("bloom_pass"),
+            F.coalesce(F.col("is_m"), F.lit(False)).alias("is_member"),
+        )
+    )
+    fp = F.sum(F.when(F.col("bloom_pass") & ~F.col("is_member"), 1).otherwise(0))
+    nm = F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+    return verdict.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_pass"),
+        nm.cast("bigint").alias("n_members"),
+        fp.cast("bigint").alias("n_false_pos"),
+        F.sum(F.when(~F.col("bloom_pass") & F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_neg"),
+        (
+            fp.cast("double")
+            / F.nullif((F.count(F.lit(1)) - nm).cast("double"), F.lit(0.0))
+        ).alias("fp_rate"),
+    )

@@ -965,7 +965,7 @@ def sim_doc_topk_hashed_srp(t: Tables) -> DataFrame:
     # Arrow-kernel signatures (see dedup_embedding_srp — bitwise-equal
     # to the retired expression chains, one pass, no Janino fallback)
     sigs = srp_band_signatures(
-        spread(v, "doc_id"), "doc_id", "v", SRP_BAND_BITS, SRP_BANDS
+        spread(v, "doc_id"), "doc_id", "v", SRP_BAND_BITS, SRP_BANDS, dim=HTF_DIM
     ).localCheckpoint(eager=True)
     bands = sigs.select(
         "doc_id",
@@ -992,10 +992,19 @@ def sim_doc_topk_hashed_srp(t: Tables) -> DataFrame:
         )
         .distinct()
     )
-    vq = v.withColumn("nrm", norm_expr("v", HTF_DIM)).select(
-        F.col("doc_id").alias("query_id"),
-        F.col("v").alias("v_q"),
-        F.col("nrm").alias("nrm_q"),
+    # The join on query_id only ever matches doc_id < HTF_N_QUERIES rows
+    # (cand's query side is filtered above), so restrict BEFORE the
+    # broadcast hint: a bounded query set is a legitimate forced
+    # broadcast; the unfiltered relation is corpus-proportional and
+    # would be an executor-killing broadcast at the 100 TB design point.
+    vq = (
+        v.filter(F.col("doc_id") < HTF_N_QUERIES)
+        .withColumn("nrm", norm_expr("v", HTF_DIM))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("v").alias("v_q"),
+            F.col("nrm").alias("nrm_q"),
+        )
     )
     vc = v.withColumn("nrm", norm_expr("v", HTF_DIM)).select(
         F.col("doc_id").alias("neighbor_id"),
@@ -1260,3 +1269,76 @@ def text_quality_logreg(t: Tables) -> DataFrame:
     return zc.select(
         "doc_id", "z", p.alias("p_quality"), (p >= 0.5).alias("keep")
     ).orderBy("doc_id")
+
+
+#: How many top byte-pair merges the BPE learning key reports.
+BPE_TOP_MERGES = 20
+
+_BPE_SQL = (
+    f"WITH tk AS (SELECT {_TOKENS_SQL} AS tk FROM documents), "
+    "w AS (SELECT u.word, CAST(count(*) AS BIGINT) AS wc FROM tk, "
+    "LATERAL unnest(tk) AS u(word) WHERE u.word <> '' GROUP BY u.word), "
+    "p AS (SELECT u.pair, wc FROM (SELECT word, wc, "
+    "list_transform(range(1, length(word)), "
+    "i -> substring(word, CAST(i AS INT), 2)) AS prs "
+    "FROM w WHERE length(word) >= 2), LATERAL unnest(prs) AS u(pair)), "
+    "f AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS freq FROM p GROUP BY pair) "
+    "SELECT pair, freq, CAST(row_number() OVER "
+    "(ORDER BY freq DESC, pair) AS BIGINT) AS merge_rank FROM f "
+    f"ORDER BY freq DESC, pair LIMIT {BPE_TOP_MERGES}"
+)
+
+
+@register("text_bpe_first_merges", _BPE_SQL)
+def text_bpe_first_merges(t: Tables) -> DataFrame:
+    """BPE tokenizer learning, round 1: the top BPE_TOP_MERGES adjacent
+    character pairs by corpus frequency — exactly the statistic the
+    first merge of byte-pair encoding (Sennrich et al. 2016) selects.
+    Computed the way real BPE trainers do it: collapse the corpus to
+    the word-frequency table FIRST (vocabulary-sized, Zipf-bounded —
+    at 100 TB this is the only aggregation that touches corpus volume,
+    and it is a plain map-side-combinable count), then enumerate each
+    distinct word's adjacent pairs once, weighted by the word count.
+    Pair counts collapse to ≤ |alphabet|² rows; the top-k is a
+    TakeOrderedAndProject, not a global sort. All-integer arithmetic
+    with a deterministic (freq DESC, pair) tie-break ⇒ bitwise oracle.
+
+    Full BPE iterates: apply merge #1 to the symbol sequences and
+    recount. Each round is THIS plan over the re-segmented vocabulary
+    (the corpus scan never reruns — only the vocab-sized table is
+    touched), which is how distributed BPE trainers structure the loop;
+    the registered key is the round-1 statistic, the one that costs
+    corpus I/O."""
+    words = (
+        spread(t.documents.select(tokens("text").alias("tk")), )
+        .select(F.explode("tk").alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "wc",
+        )
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("freq"))
+    )
+    return (
+        pairs.select(
+            "pair",
+            "freq",
+            F.row_number()
+            .over(Window.orderBy(F.desc("freq"), F.asc("pair")))
+            .cast("bigint")
+            .alias("merge_rank"),
+        )
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(BPE_TOP_MERGES)
+    )

@@ -362,6 +362,8 @@ def test_no_forced_broadcast_of_sf_proportional_relations(spark, t):
         "q21_waiting_supplier",
         "join_votes_candidates",
         "lineitem_market_basket",
+        "sim_doc_topk_hashed",
+        "sim_doc_topk_hashed_srp",
     ]
     # relations that legitimately keep a hint (SF-invariant):
     # nation/region dims and 1-row scalar aggregates. Count broadcasts
@@ -382,6 +384,11 @@ def test_no_forced_broadcast_of_sf_proportional_relations(spark, t):
         "q21_waiting_supplier": 0,
         "join_votes_candidates": 0,
         "lineitem_market_basket": 1,  # 1-row n_orders scalar
+        # bounded query-side hints only (doc_id < HTF_N_QUERIES filtered
+        # BEFORE the hint — round-7 fix: the srp key used to hint the
+        # unfiltered corpus-proportional vector relation)
+        "sim_doc_topk_hashed": 1,
+        "sim_doc_topk_hashed_srp": 1,
     }
     import re
 
