@@ -1218,3 +1218,72 @@ def test_ivfpq_residual_recall_at_least_matches_raw(t):
     r_res = len(exact & res) / len(exact)
     assert r_raw >= 0.15, r_raw
     assert r_res >= 0.05, r_res
+
+
+def test_substring_window_profile_properties(t):
+    """Structural contract of the ExactSubstr profile: counts are
+    consistent (0 <= n_shared <= n_windows, ratio = n_shared/n_windows),
+    short docs (< SUBSTR_W tokens) are absent, and sharing is symmetric
+    in aggregate — a window counted shared for one doc implies at least
+    one OTHER doc also reporting a shared window (n_shared > 0 docs
+    can't number exactly one)."""
+    from realtimevotingdataengineer_spark.operators.dedup import SUBSTR_W
+
+    rows = QUERIES["dedup_substring_window"](t).collect()
+    assert rows, "profile empty"
+    n_with_shared = 0
+    for r in rows:
+        assert 0 <= r.n_shared <= r.n_windows
+        assert abs(r.shared_ratio - r.n_shared / r.n_windows) < 1e-12
+        if r.n_shared:
+            n_with_shared += 1
+    assert n_with_shared != 1  # sharing needs a counterpart
+    short_docs = {
+        r.doc_id
+        for r in t.documents.select(
+            "doc_id", F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n")
+        ).collect()
+        if r.n < SUBSTR_W
+    }
+    assert short_docs.isdisjoint({r.doc_id for r in rows})
+
+
+def test_bpe_first_merges_is_true_argmax(t):
+    """The registered round-1 BPE statistic must agree with an
+    independent recount: merge_rank ordering is (freq DESC, pair ASC)
+    and rank 1 is the corpus-wide most frequent adjacent pair."""
+    from collections import Counter
+
+    rows = QUERIES["text_bpe_first_merges"](t).collect()
+    assert [r.merge_rank for r in rows] == list(range(1, len(rows) + 1))
+    freqs = [(-r.freq, r.pair) for r in rows]
+    assert freqs == sorted(freqs)
+    cnt: Counter = Counter()
+    for (text,) in t.documents.select("text").collect():
+        import re
+
+        for w in re.sub(r"\s+", " ", text.lower()).strip().split(" "):
+            for i in range(len(w) - 1):
+                cnt[w[i : i + 2]] += 1
+    best = min((-c, p) for p, c in cnt.items())
+    assert (rows[0].pair, rows[0].freq) == (best[1], -best[0])
+
+
+def test_bloom_probe_no_false_negatives(t):
+    """Bloom-filter theorems on the measured confusion row: zero false
+    negatives (a member key always passes its own bits), and the pass
+    count decomposes into members + false positives."""
+    r = QUERIES["dq_bloom_fk_probe"](t).collect()[0]
+    assert r.n_false_neg == 0
+    assert r.n_bloom_pass == r.n_members + r.n_false_pos
+    assert r.n_probed >= r.n_members > 0
+
+
+def test_count_min_never_underestimates(t):
+    """CMS theorem: est >= exact for every key (min over d counters can
+    only overcount), and the overestimate column is that difference."""
+    rows = QUERIES["events_count_min_sketch"](t).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_est >= r.exact_cnt
+        assert r.overestimate == r.cms_est - r.exact_cnt
