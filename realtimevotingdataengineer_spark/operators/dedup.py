@@ -1940,3 +1940,109 @@ def dedup_substring_window(t: Tables) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_STRIP_SQL = (
+    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+    f"wl AS (SELECT doc_id, list_transform(range(1, len(tk) - {SUBSTR_W} + 2), "
+    f"i -> struct_pack(i := i, wh := md5(array_to_string("
+    f"tk[CAST(i AS INT):CAST(i AS INT) + {SUBSTR_W - 1}], ' ')))) AS ws "
+    f"FROM tk WHERE len(tk) >= {SUBSTR_W}), "
+    "wpos AS (SELECT doc_id, u.s.i AS i, u.s.wh AS wh FROM wl, "
+    "LATERAL unnest(ws) AS u(s)), "
+    "nd AS (SELECT wh FROM (SELECT wh, count(DISTINCT doc_id) AS ndocs "
+    "FROM wpos GROUP BY wh) WHERE ndocs >= 2), "
+    f"cov AS (SELECT DISTINCT doc_id, CAST(u.off AS BIGINT) AS off FROM "
+    f"(SELECT w.doc_id, range(w.i, w.i + {SUBSTR_W}) AS offs "
+    f"FROM wpos w JOIN nd ON w.wh = nd.wh), "
+    f"LATERAL unnest(offs) AS u(off)), "
+    "covl AS (SELECT doc_id, list(off) AS cov FROM cov GROUP BY doc_id) "
+    "SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, "
+    "CAST(coalesce(len(cov), 0) AS BIGINT) AS n_removed, "
+    # coalesce: array_to_string(empty list) is NULL in DuckDB but
+    # concat_ws gives '' in Spark — fully-stripped docs must agree
+    "md5(coalesce(array_to_string(list_filter(tk, (x, i) -> "
+    "NOT coalesce(list_contains(cov, CAST(i AS BIGINT)), false)), ' '), '')) "
+    "AS cleaned_md5 "
+    "FROM tk t LEFT JOIN covl c ON t.doc_id = c.doc_id ORDER BY t.doc_id"
+)
+
+
+@register("text_strip_shared_spans", _STRIP_SQL)
+def text_strip_shared_spans(t: Tables) -> DataFrame:
+    """The span-REMOVAL half of substring dedup (Lee et al.'s actual
+    deliverable): every token position covered by any SUBSTR_W-window
+    that occurs verbatim in another document is removed, and the
+    document is re-emitted (md5-keyed — repo rule: no long raw strings
+    in comparison cells) with its removal count. Unlike document-level
+    dedup, no document is dropped — only the duplicated spans are,
+    which is what preserves the unique remainder of mostly-boilerplate
+    pages instead of discarding them.
+
+    Plan: the posting stream and per-hash distinct-doc counts are the
+    dedup_substring_window plan; shared windows then explode to their
+    W covered offsets (bounded W-fold expansion of SHARED windows only,
+    not the corpus), collapse to one per-doc coverage array (in-row,
+    ≤ doc length), and the rewrite is a narrow per-row array filter —
+    order-preserving, no sort, no second corpus shuffle. Every doc
+    appears (left join: untouched docs carry n_removed = 0), so the key
+    composes with downstream gates as a full-corpus map. Index
+    convention pinned explicitly: Spark's filter lambda index is
+    0-based, DuckDB's is 1-based — both sides align to the 1-based
+    window offsets (i+1 in Spark, i in DuckDB)."""
+    c = tokens("text")
+    tk = t.documents.select("doc_id", c.alias("tk"))
+    long_tk = tk.filter(F.size("tk") >= SUBSTR_W)
+    wpos = spread(long_tk, "doc_id").select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - F.lit(SUBSTR_W - 1)),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice(F.col("tk"), i, SUBSTR_W))
+                    ).alias("wh"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.i", "s.wh")
+    nd = (
+        wpos.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("wh")
+    )
+    covl = (
+        wpos.join(nd, "wh")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(SUBSTR_W - 1))
+            ).alias("off"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("off").alias("cov"))
+    )
+    cov = F.col("cov")
+    return (
+        tk.join(covl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("tk").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.size("cov"), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.filter(
+                        F.col("tk"),
+                        lambda x, i: ~F.coalesce(
+                            F.array_contains(cov, i + F.lit(1)), F.lit(False)
+                        ),
+                    ),
+                )
+            ).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1717,3 +1717,84 @@ def events_count_min_sketch(t: Tables) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+_SCD2_SQL = (
+    "WITH seq AS (SELECT user_id, event_type, ts, event_id, "
+    "CASE WHEN lag(event_type) OVER w IS NULL "
+    "OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS brk "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "runs AS (SELECT user_id, event_type, ts, "
+    "sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS run_id FROM seq), "
+    "spans AS (SELECT user_id, CAST(run_id AS BIGINT) AS run_id, "
+    "any_value(event_type) AS state, min(ts) AS vf, "
+    "CAST(count(*) AS BIGINT) AS n_events "
+    "FROM runs GROUP BY user_id, run_id) "
+    "SELECT user_id, run_id, state, "
+    "strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from, "
+    "strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY run_id), "
+    "'%Y-%m-%d %H:%M:%S') AS valid_to, "
+    "lead(vf) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL AS is_current, "
+    "n_events FROM spans ORDER BY user_id, run_id"
+)
+
+
+@register("scd2_user_state_history", _SCD2_SQL)
+def scd2_user_state_history(t: Tables) -> DataFrame:
+    """Batch SCD2 (slowly-changing-dimension type 2) derivation: each
+    user's event_type stream collapses to validity intervals — one row
+    per run of consecutive identical states with valid_from / valid_to
+    chained so intervals tile the user's history and exactly one row
+    per user is_current. This is the batch twin of the streaming SCD2
+    parquet sink (streaming/sinks.py::scd2_parquet_batches): the sink
+    maintains the chain incrementally per micro-batch; this key derives
+    the identical shape from raw history in one pass — the backfill /
+    rebuild job every SCD2 pipeline needs next to its incremental path.
+
+    Plan: the gaps-and-islands shape (window_session's pattern) — two
+    window passes over ONE (user_id) shuffle partitioning (break flags
+    + running sum share the sort), a per-run rollup co-partitioned on
+    user_id, and the valid_to chain is one more lead() over the runs —
+    runs ≪ events, so the second window is cheap. Deterministic
+    ordering pinned by (ts, event_id); at 100 TB this is the standard
+    sessionization shuffle: keyed by user, time-sorted within, no
+    global sort anywhere."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    runs = seq.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    spans = runs.groupBy("user_id", F.col("run_id").cast("bigint").alias("run_id")).agg(
+        F.any_value("event_type").alias("state"),
+        F.min("ts").alias("vf"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("run_id")
+    nxt = F.lead("vf").over(wr)
+    return spans.select(
+        "user_id",
+        "run_id",
+        "state",
+        F.date_format("vf", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "n_events",
+    ).orderBy("user_id", "run_id")

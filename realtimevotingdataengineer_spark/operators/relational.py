@@ -1945,3 +1945,83 @@ def dq_bloom_fk_probe(t: Tables) -> DataFrame:
             / F.nullif((F.count(F.lit(1)) - nm).cast("double"), F.lit(0.0))
         ).alias("fp_rate"),
     )
+
+
+_MERGE_SQL = (
+    "WITH updates AS ("
+    "SELECT o_orderkey AS k, 'U' AS new_status, "
+    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(10.00 AS DECIMAL(18,2)) "
+    "AS DOUBLE) AS new_total FROM orders WHERE o_orderkey % 7 = 0 "
+    "UNION ALL "
+    "SELECT o_orderkey + 1000000000 AS k, 'N' AS new_status, "
+    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS new_total "
+    "FROM orders WHERE o_orderkey % 13 = 0), "
+    "base AS (SELECT o_orderkey AS k, o_orderstatus AS status, "
+    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total FROM orders) "
+    "SELECT coalesce(b.k, u.k) AS o_orderkey, "
+    "coalesce(u.new_status, b.status) AS status, "
+    "coalesce(u.new_total, b.total) AS total, "
+    "CASE WHEN b.k IS NULL THEN 'inserted' "
+    "WHEN u.k IS NULL THEN 'unchanged' ELSE 'updated' END AS merge_action "
+    "FROM base b FULL OUTER JOIN updates u ON b.k = u.k "
+    "ORDER BY o_orderkey"
+)
+
+
+@register("batch_merge_upsert", _MERGE_SQL)
+def batch_merge_upsert(t: Tables) -> DataFrame:
+    """MERGE INTO semantics (the lakehouse upsert: WHEN MATCHED THEN
+    UPDATE / WHEN NOT MATCHED THEN INSERT) expressed as one full-outer
+    join — the batch twin of the streaming foreachBatch upsert sink
+    (streaming/sinks.py). The update/insert feed is derived
+    deterministically from orders itself (every 7th key updated, every
+    13th key re-keyed as an insert) so the key needs no extra fixture;
+    each output row carries its merge_action so the three MERGE branches
+    are individually visible to the oracle. Money flows through
+    DECIMAL(18,2) (associative, partition-invariant).
+
+    Scale: the join shuffles both sides co-partitioned on the merge key
+    — exactly what Delta/Iceberg MERGE does after its file-pruning
+    phase, and the pruning half is already demonstrated by
+    events_partitioned_day (partition filters) + layout_zorder_events
+    (clustering); with the update feed typically ≪ base, AQE picks a
+    broadcast for it at runtime (no forced hint — the feed here is
+    SF-proportional by construction), and skewed hot keys split under
+    AQE skew-join. State never lives on the driver."""
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    updates = (
+        t.orders.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit("U").alias("new_status"),
+            (dec2("o_totalprice") + F.lit("10.00").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("new_total"),
+        )
+        .unionAll(
+            t.orders.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + F.lit(1000000000)).alias("k"),
+                F.lit("N").alias("new_status"),
+                dec2("o_totalprice").cast("double").alias("new_total"),
+            )
+        )
+    )
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        dec2("o_totalprice").cast("double").alias("total"),
+    )
+    b, u = base.alias("b"), updates.alias("u")
+    return (
+        b.join(u, F.col("b.k") == F.col("u.k"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.k"), F.col("u.k")).alias("o_orderkey"),
+            F.coalesce(F.col("u.new_status"), F.col("b.status")).alias("status"),
+            F.coalesce(F.col("u.new_total"), F.col("b.total")).alias("total"),
+            F.when(F.col("b.k").isNull(), F.lit("inserted"))
+            .when(F.col("u.k").isNull(), F.lit("unchanged"))
+            .otherwise(F.lit("updated"))
+            .alias("merge_action"),
+        )
+        .orderBy("o_orderkey")
+    )

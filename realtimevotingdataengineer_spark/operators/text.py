@@ -1342,3 +1342,148 @@ def text_bpe_first_merges(t: Tables) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("pair"))
         .limit(BPE_TOP_MERGES)
     )
+
+
+#: RAG retrieval geometry: chunks of the first RAG_QUERY_DOCS documents
+#: act as queries; each retrieves RAG_K chunks from OTHER documents.
+RAG_QUERY_DOCS = 3
+RAG_K = 3
+
+
+def _rag_sql() -> str:
+    from ..functions import dot_sql, norm_sql
+
+    dims_list = ", ".join(
+        f"CAST(sum(CASE WHEN dim = {j} THEN c ELSE 0 END) AS DOUBLE)"
+        for j in range(HTF_DIM)
+    )
+    cos = (
+        f"({dot_sql('q.v', 'c.v', HTF_DIM)}) / "
+        f"(({norm_sql('q.v', HTF_DIM)}) * ({norm_sql('c.v', HTF_DIM)}))"
+    )
+    return (
+        f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+        "ch AS (SELECT doc_id, u.i AS chunk_id, "
+        f"list_slice(tk, CAST(u.i * {CHUNK_STRIDE} + 1 AS INT), "
+        f"CAST(u.i * {CHUNK_STRIDE} + {CHUNK_TOKENS} AS INT)) AS ct FROM tk, "
+        "LATERAL unnest(range(0, 1 + greatest(0, len(tk) - "
+        f"{CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE})) AS u(i)), "
+        "ctok AS (SELECT doc_id, chunk_id, u.tok FROM ch, "
+        "LATERAL unnest(ct) AS u(tok)), "
+        "dims AS (SELECT doc_id, chunk_id, "
+        f"CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % {HTF_DIM} AS dim, "
+        "CAST(count(*) AS BIGINT) AS c FROM ctok GROUP BY doc_id, chunk_id, dim), "
+        f"vec AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+        f"[{dims_list}] AS v FROM dims GROUP BY doc_id, chunk_id), "
+        f"scored AS (SELECT q.doc_id AS query_doc_id, q.chunk_id AS query_chunk_id, "
+        "c.doc_id AS neighbor_doc_id, c.chunk_id AS neighbor_chunk_id, "
+        f"{cos} AS cosine FROM vec q JOIN vec c "
+        f"ON q.doc_id < {RAG_QUERY_DOCS} AND c.doc_id <> q.doc_id) "
+        "SELECT query_doc_id, query_chunk_id, neighbor_doc_id, neighbor_chunk_id, "
+        "cosine FROM (SELECT *, row_number() OVER ("
+        "PARTITION BY query_doc_id, query_chunk_id "
+        "ORDER BY cosine DESC, neighbor_doc_id, neighbor_chunk_id) AS rn "
+        f"FROM scored) WHERE rn <= {RAG_K} "
+        "ORDER BY query_doc_id, query_chunk_id, cosine DESC, neighbor_doc_id"
+    )
+
+
+@register("pipeline_rag_chunk_index", _rag_sql())
+def pipeline_rag_chunk_index(t: Tables) -> DataFrame:
+    """The RAG indexing/retrieval capstone as ONE plan: overlapping
+    token-window chunking (text_chunk_windows geometry) → per-CHUNK
+    hashed-TF vectors (the model-free text→vector bridge) → exact
+    pinned-cosine top-RAG_K retrieval of foreign chunks for every chunk
+    of the query documents. This is the retrieval loop a RAG system
+    runs at ingest + query time, demonstrated end to end at chunk
+    granularity — provenance (doc_id, chunk_id) rides through the whole
+    plan, so the result is directly the "cite these passages" set.
+
+    Plan shape: chunking is a narrow per-doc explode; vectorization is
+    one (doc, chunk, dim) count + a 64-column pivot co-partitioned on
+    (doc, chunk); retrieval broadcasts the BOUNDED query-chunk side
+    (filtered to RAG_QUERY_DOCS docs BEFORE the hint — the
+    no-forced-broadcast rule) against a single scan of the corpus
+    chunks. The scale path swaps the exact scan for the SRP band
+    machinery exactly as sim_doc_topk_hashed_srp does for whole docs —
+    the vectors are the same shape, so the bucketed twin is a drop-in;
+    this key is the exact-retrieval contract it would be measured
+    against."""
+    from ..functions import dot_expr, norm_expr
+
+    tk = t.documents.select("doc_id", tokens("text").alias("tk"))
+    n_extra = F.expr(
+        f"greatest(0, size(tk) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)"
+        f" div {CHUNK_STRIDE}"
+    )
+    chunks = spread(tk, "doc_id").select(
+        "doc_id", "tk", F.explode(F.sequence(F.lit(0).cast("long"), n_extra)).alias("i")
+    )
+    ctok = chunks.select(
+        "doc_id",
+        F.col("i").cast("bigint").alias("chunk_id"),
+        F.explode(
+            F.slice("tk", (F.col("i") * CHUNK_STRIDE + 1).cast("int"), CHUNK_TOKENS)
+        ).alias("tok"),
+    )
+    dims = (
+        ctok.select(
+            "doc_id",
+            "chunk_id",
+            F.pmod(
+                F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint"),
+                F.lit(HTF_DIM),
+            ).alias("dim"),
+        )
+        .groupBy("doc_id", "chunk_id", "dim")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sums = [
+        F.sum(F.when(F.col("dim") == j, F.col("c")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias(f"s{j}")
+        for j in range(HTF_DIM)
+    ]
+    vec = (
+        dims.groupBy("doc_id", "chunk_id")
+        .agg(*sums)
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.array(*[F.col(f"s{j}") for j in range(HTF_DIM)]).alias("v"),
+        )
+    )
+    q = vec.filter(F.col("doc_id") < RAG_QUERY_DOCS).alias("q")
+    c = vec.alias("c")
+    cos = dot_expr("q.v", "c.v", HTF_DIM) / (
+        norm_expr("q.v", HTF_DIM) * norm_expr("c.v", HTF_DIM)
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("c.doc_id") != F.col("q.doc_id"))
+        .select(
+            F.col("q.doc_id").alias("query_doc_id"),
+            F.col("q.chunk_id").alias("query_chunk_id"),
+            F.col("c.doc_id").alias("neighbor_doc_id"),
+            F.col("c.chunk_id").alias("neighbor_chunk_id"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_doc_id", "query_chunk_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_doc_id"), F.asc("neighbor_chunk_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RAG_K)
+        .select(
+            "query_doc_id",
+            "query_chunk_id",
+            "neighbor_doc_id",
+            "neighbor_chunk_id",
+            "cosine",
+        )
+        .orderBy(
+            "query_doc_id", "query_chunk_id", F.desc("cosine"), "neighbor_doc_id"
+        )
+    )

@@ -1287,3 +1287,95 @@ def test_count_min_never_underestimates(t):
     for r in rows:
         assert r.cms_est >= r.exact_cnt
         assert r.overestimate == r.cms_est - r.exact_cnt
+
+
+def test_strip_shared_spans_consistent_with_profile(t):
+    """The span stripper and the window profile must tell one story:
+    a doc loses tokens iff the profile says it has shared windows, the
+    removal count covers at least one full window, and untouched docs
+    re-hash to their original normalized text."""
+    import hashlib
+
+    from realtimevotingdataengineer_spark.operators.dedup import SUBSTR_W
+
+    prof = {r.doc_id: r for r in QUERIES["dedup_substring_window"](t).collect()}
+    stripped = {r.doc_id: r for r in QUERIES["text_strip_shared_spans"](t).collect()}
+    import re
+
+    originals = {
+        r.doc_id: re.sub(r"\s+", " ", r.text.lower()).strip()
+        for r in t.documents.select("doc_id", "text").collect()
+    }
+    assert set(stripped) == set(originals)  # full-corpus map
+    for doc_id, s in stripped.items():
+        p = prof.get(doc_id)
+        if p is None or p.n_shared == 0:
+            assert s.n_removed == 0
+            assert (
+                s.cleaned_md5
+                == hashlib.md5(originals[doc_id].encode()).hexdigest()
+            )
+        else:
+            assert SUBSTR_W <= s.n_removed <= s.n_tokens
+
+
+def test_merge_upsert_action_counts(t):
+    """MERGE branch arithmetic: inserts = every-13th keys, updates =
+    every-7th keys, unchanged = the rest; inserted keys live in the
+    shifted range and actions partition the output."""
+    rows = QUERIES["batch_merge_upsert"](t).collect()
+    n_orders = t.orders.count()
+    by = {"inserted": 0, "updated": 0, "unchanged": 0}
+    for r in rows:
+        by[r.merge_action] += 1
+        if r.merge_action == "inserted":
+            assert r.o_orderkey >= 1000000000
+            assert r.status == "N"
+    assert by["updated"] == t.orders.filter(F.col("o_orderkey") % 7 == 0).count()
+    assert by["inserted"] == t.orders.filter(F.col("o_orderkey") % 13 == 0).count()
+    assert by["updated"] + by["unchanged"] == n_orders
+
+
+def test_scd2_intervals_tile_and_single_current(t):
+    """SCD2 invariants: per user exactly one open (is_current) row,
+    intervals chain without gaps (valid_to == next valid_from), states
+    alternate (no two consecutive runs share a state), and run event
+    counts sum to the user's event count."""
+    from collections import defaultdict
+
+    rows = QUERIES["scd2_user_state_history"](t).collect()
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r)
+    ev_counts = {
+        r.user_id: r.cnt
+        for r in t.events.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    for uid, hist in per_user.items():
+        hist.sort(key=lambda r: r.run_id)
+        assert sum(1 for r in hist if r.is_current) == 1
+        assert hist[-1].is_current and hist[-1].valid_to is None
+        for a, b in zip(hist, hist[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.state != b.state
+        assert sum(r.n_events for r in hist) == ev_counts[uid]
+
+
+def test_rag_chunk_index_shape_and_provenance(t):
+    """Every query chunk retrieves exactly RAG_K foreign chunks, never
+    from its own document, with cosine in [-1, 1] and the per-query
+    ordering by descending cosine."""
+    from realtimevotingdataengineer_spark.operators.text import RAG_K, RAG_QUERY_DOCS
+
+    rows = QUERIES["pipeline_rag_chunk_index"](t).collect()
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in rows:
+        assert r.query_doc_id < RAG_QUERY_DOCS
+        assert r.neighbor_doc_id != r.query_doc_id
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
+        per_q[(r.query_doc_id, r.query_chunk_id)].append(r.cosine)
+    for cosines in per_q.values():
+        assert len(cosines) == RAG_K
+        assert cosines == sorted(cosines, reverse=True)
