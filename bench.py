@@ -72,6 +72,12 @@ HEADLINE = [
     # to its brute-force baseline
     "pipeline_export_corpus_incremental",
     "sim_doc_topk_hashed_srp",
+    # round-7 additions: substring-level dedup (profile + span removal
+    # — the posting-aggregate plan whose sf-scaling should be measured)
+    # and the chunk-granularity RAG retrieval capstone
+    "dedup_substring_window",
+    "text_strip_shared_spans",
+    "pipeline_rag_chunk_index",
 ]
 
 

@@ -1498,3 +1498,57 @@ def sim_ivfpq_residual_topk(t: Tables) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "adc_dist")
     )
+
+
+_MIPS_SQL = (
+    f"WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}), "
+    "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    f"{dot_sql('q.embedding', 'c.embedding', EMB_DIM)} AS score "
+    "FROM q JOIN embeddings c ON c.vec_id <> q.vec_id) "
+    "SELECT query_id, neighbor_id, score FROM ("
+    "SELECT query_id, neighbor_id, score, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM scored) "
+    f"WHERE rn <= {TOP_K}"
+)
+
+
+@register("sim_mips_topk", _MIPS_SQL)
+def sim_mips_topk(t: Tables) -> DataFrame:
+    """Maximum-inner-product search (MIPS) — top-k by RAW dot product,
+    not cosine. This is the recommender/serving retrieval semantic
+    (user vector × item vectors, where item norm IS part of the score:
+    popular items deliberately rank higher), and it is NOT the same
+    ranking as sim_bruteforce_topk's cosine — vectors with large norms
+    win ties cosine would score low. Same broadcast-bounded-queries /
+    single-corpus-scan plan, pinned left-assoc dot chains for the
+    bitwise oracle.
+
+    Scale path: MIPS does not directly fit cosine-LSH (inner product
+    is not a metric), but the standard norm-augmentation reduction
+    (Shrivastava & Li 2014) appends sqrt(M² − ‖x‖²) to each item vector
+    (M = max corpus norm) and a 0 to each query, after which
+    argmax dot ≡ argmax cosine on the augmented vectors — so the
+    existing SRP/IVF bucketed operators serve augmented MIPS unchanged;
+    this key is the exact contract the reduction is measured against."""
+    q = (
+        t.embeddings.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        .alias("q")
+    )
+    c = t.embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    ).alias("c")
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", dot_expr("qe", "ce", EMB_DIM).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "score")
+    )

@@ -1487,3 +1487,152 @@ def pipeline_rag_chunk_index(t: Tables) -> DataFrame:
             "query_doc_id", "query_chunk_id", F.desc("cosine"), "neighbor_doc_id"
         )
     )
+
+
+_LANG_CONF_SQL = (
+    f"WITH pred AS ({_LANGID_SQL}), "
+    "cells AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n "
+    "FROM pred GROUP BY lang, pred_lang), "
+    "tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM cells GROUP BY lang) "
+    "SELECT c.lang, c.pred_lang, c.n, "
+    "CAST(c.n AS DOUBLE) / t.n_lang AS share, "
+    "c.lang = c.pred_lang AS is_correct "
+    "FROM cells c JOIN tot t ON c.lang = t.lang "
+    "ORDER BY c.lang, c.pred_lang"
+)
+
+
+@register("text_lang_confusion", _LANG_CONF_SQL)
+def text_lang_confusion(t: Tables) -> DataFrame:
+    """Confusion matrix of the lexicon language-ID against the labeled
+    lang column — the measured-accuracy companion every heuristic
+    filter in a data pipeline should ship with (the repo rule since
+    sim_centroid_classify: a classifier key is honest only next to its
+    confusion matrix). Each cell carries its count and row-share, so
+    per-language recall is the diagonal share and systematic
+    confusions (e.g. which languages fall to 'und') are directly
+    visible. The matrix is |langs|² rows of metadata off one
+    map-side-combinable count — the corpus is scanned once by the
+    prediction plan and never again."""
+    pred = text_lang_id(t)
+    cells = pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.groupBy("lang").agg(F.sum("n").alias("n_lang"))
+    return (
+        cells.join(tot, "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n",
+            (F.col("n").cast("double") / F.col("n_lang")).alias("share"),
+            (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
+_BPE2_SQL = (
+    f"WITH tk AS (SELECT {_TOKENS_SQL} AS tk FROM documents), "
+    "w AS (SELECT u.word, CAST(count(*) AS BIGINT) AS wc FROM tk, "
+    "LATERAL unnest(tk) AS u(word) WHERE u.word <> '' GROUP BY u.word), "
+    "p1 AS (SELECT u.pair, wc FROM (SELECT word, wc, "
+    "list_transform(range(1, length(word)), "
+    "i -> substring(word, CAST(i AS INT), 2)) AS prs "
+    "FROM w WHERE length(word) >= 2), LATERAL unnest(prs) AS u(pair)), "
+    "top1 AS (SELECT pair AS mp FROM (SELECT pair, sum(wc) AS freq FROM p1 "
+    "GROUP BY pair) ORDER BY freq DESC, pair LIMIT 1), "
+    "tw AS (SELECT replace(word, mp, chr(1)) AS sw, wc, mp FROM w, top1), "
+    "p2 AS (SELECT u.s.l AS sym_left, u.s.r AS sym_right, wc FROM ("
+    "SELECT list_transform(range(1, length(sw)), i -> struct_pack("
+    "l := replace(substring(sw, CAST(i AS INT), 1), chr(1), mp), "
+    "r := replace(substring(sw, CAST(i AS INT) + 1, 1), chr(1), mp))) AS prs, "
+    "wc FROM tw WHERE length(sw) >= 2), LATERAL unnest(prs) AS u(s)), "
+    "f2 AS (SELECT sym_left, sym_right, CAST(sum(wc) AS BIGINT) AS freq "
+    "FROM p2 GROUP BY sym_left, sym_right) "
+    "SELECT sym_left, sym_right, freq, CAST(row_number() OVER "
+    "(ORDER BY freq DESC, sym_left, sym_right) AS BIGINT) AS merge_rank "
+    f"FROM f2 ORDER BY freq DESC, sym_left, sym_right LIMIT {BPE_TOP_MERGES}"
+)
+
+
+@register("text_bpe_apply_merge", _BPE2_SQL)
+def text_bpe_apply_merge(t: Tables) -> DataFrame:
+    """BPE learning, round 2 — the iteration made real: apply merge #1
+    (the text_bpe_first_merges winner, recomputed in-plan as a 1-row
+    relation) to every vocabulary word via left-to-right non-overlapping
+    replace (standard replace() semantics ARE greedy BPE application),
+    then recount adjacent SYMBOL pairs where the merged pair is now one
+    symbol. Output pairs are reported with merged symbols expanded, so
+    'th'+'e' appearing as a candidate proves the round actually
+    composed. The key demonstrates the property that makes distributed
+    BPE viable: iteration never rescans the corpus — round 2 touches
+    only the vocabulary-sized word table (Zipf-bounded), the corpus
+    aggregation having been paid once in round 1.
+
+    Determinism: the merged symbol is a chr(1) placeholder (absent from
+    the normalized corpus alphabet) so symbol boundaries stay single
+    chars; expansion is injective because the merge pair has width 2,
+    so grouping by expanded (left, right) IS grouping by symbol pair,
+    and binary string collation orders ties identically in both
+    engines."""
+    words = (
+        spread(t.documents.select(tokens("text").alias("tk")))
+        .select(F.explode("tk").alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    p1 = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "wc",
+        )
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("freq"))
+    )
+    top1 = (
+        p1.orderBy(F.desc("freq"), F.asc("pair")).limit(1).select(F.col("pair").alias("mp"))
+    )
+    tw = words.crossJoin(F.broadcast(top1)).select(
+        F.expr("replace(word, mp, chr(1))").alias("sw"), "wc", "mp"
+    )
+    expand = lambda c: F.expr(f"replace({c}, chr(1), mp)")  # noqa: E731
+    p2 = (
+        tw.filter(F.length("sw") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("sw") - 1),
+                    lambda i: F.struct(
+                        F.col("sw").substr(i, F.lit(1)).alias("l"),
+                        F.col("sw").substr(i + F.lit(1), F.lit(1)).alias("r"),
+                    ),
+                )
+            ).alias("s"),
+            "wc",
+            "mp",
+        )
+        .select(
+            expand("s.l").alias("sym_left"), expand("s.r").alias("sym_right"), "wc"
+        )
+        .groupBy("sym_left", "sym_right")
+        .agg(F.sum("wc").alias("freq"))
+    )
+    return (
+        p2.select(
+            "sym_left",
+            "sym_right",
+            "freq",
+            F.row_number()
+            .over(Window.orderBy(F.desc("freq"), F.asc("sym_left"), F.asc("sym_right")))
+            .cast("bigint")
+            .alias("merge_rank"),
+        )
+        .orderBy(F.desc("freq"), F.asc("sym_left"), F.asc("sym_right"))
+        .limit(BPE_TOP_MERGES)
+    )

@@ -1379,3 +1379,65 @@ def test_rag_chunk_index_shape_and_provenance(t):
     for cosines in per_q.values():
         assert len(cosines) == RAG_K
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lang_confusion_is_stochastic_matrix(t):
+    """Row shares sum to 1 per true language, cell counts sum to the
+    corpus size, and is_correct marks exactly the diagonal."""
+    rows = QUERIES["text_lang_confusion"](t).collect()
+    from collections import defaultdict
+
+    share_sum = defaultdict(float)
+    n_total = 0
+    for r in rows:
+        assert r.is_correct == (r.lang == r.pred_lang)
+        share_sum[r.lang] += r.share
+        n_total += r.n
+    assert n_total == t.documents.count()
+    for s in share_sum.values():
+        assert abs(s - 1.0) < 1e-9
+
+
+def test_bpe_round2_composes_the_first_merge(t):
+    """Applying merge #1 must actually change the symbol stream: the
+    round-2 report contains the expanded 2-char merged symbol on at
+    least one side, ranks are sequential, and the round-2 top frequency
+    cannot exceed round-1's (merging only removes pair occurrences)."""
+    r1 = QUERIES["text_bpe_first_merges"](t).collect()
+    r2 = QUERIES["text_bpe_apply_merge"](t).collect()
+    merged = r1[0].pair
+    assert any(r.sym_left == merged or r.sym_right == merged for r in r2)
+    assert [r.merge_rank for r in r2] == list(range(1, len(r2) + 1))
+    assert r2[0].freq <= r1[0].freq
+
+
+def test_mips_ranking_matches_numpy(t):
+    """The MIPS scores and per-query ranking must agree with a numpy
+    recomputation (float64 dot over the same vectors)."""
+    import numpy as np
+
+    from realtimevotingdataengineer_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+    )
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in t.embeddings.collect()
+    }
+    rows = QUERIES["sim_mips_topk"](t).collect()
+    from collections import defaultdict
+
+    got = defaultdict(list)
+    for r in rows:
+        got[r.query_id].append((r.neighbor_id, r.score))
+    assert set(got) == set(range(N_QUERIES))
+    for qid, lst in got.items():
+        assert len(lst) == TOP_K
+        # scores match an independent (order-insensitive) float64 dot
+        for nid, score in lst:
+            assert abs(float(emb[qid] @ emb[nid]) - score) < 1e-6
+        exact = sorted(
+            ((float(emb[qid] @ emb[n]), -n) for n in emb if n != qid), reverse=True
+        )[:TOP_K]
+        assert {(-e[1]) for e in exact} == {nid for nid, _ in lst}
