@@ -1919,6 +1919,10 @@ def dedup_substring_window(t: Tables) -> DataFrame:
     tk = t.documents.select("doc_id", c.alias("tk")).filter(
         F.size("tk") >= SUBSTR_W
     )
+    # Eager checkpoint: the posting stream feeds BOTH the per-hash
+    # aggregate and the join spine — without materialization each gets
+    # its own corpus scan + window-hash pass, doubling the dominant
+    # cost (same single-evaluation idiom as the minhash shingle table).
     wpos = spread(tk, "doc_id").select(
         "doc_id",
         F.explode(
@@ -1927,7 +1931,7 @@ def dedup_substring_window(t: Tables) -> DataFrame:
                 lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("tk"), i, SUBSTR_W))),
             )
         ).alias("wh"),
-    )
+    ).localCheckpoint(eager=True)
     nd = wpos.groupBy("wh").agg(F.count_distinct("doc_id").alias("ndocs"))
     shared = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
     return (
@@ -1993,20 +1997,28 @@ def text_strip_shared_spans(t: Tables) -> DataFrame:
     c = tokens("text")
     tk = t.documents.select("doc_id", c.alias("tk"))
     long_tk = tk.filter(F.size("tk") >= SUBSTR_W)
-    wpos = spread(long_tk, "doc_id").select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tk") - F.lit(SUBSTR_W - 1)),
-                lambda i: F.struct(
-                    i.alias("i"),
-                    F.md5(
-                        F.concat_ws(" ", F.slice(F.col("tk"), i, SUBSTR_W))
-                    ).alias("wh"),
-                ),
-            )
-        ).alias("s"),
-    ).select("doc_id", "s.i", "s.wh")
+    # Eager checkpoint: the positioned posting stream feeds the per-hash
+    # aggregate AND the coverage join — single evaluation (see
+    # dedup_substring_window).
+    wpos = (
+        spread(long_tk, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - F.lit(SUBSTR_W - 1)),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice(F.col("tk"), i, SUBSTR_W))
+                        ).alias("wh"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.i", "s.wh")
+        .localCheckpoint(eager=True)
+    )
     nd = (
         wpos.groupBy("wh")
         .agg(F.count_distinct("doc_id").alias("ndocs"))

@@ -1903,17 +1903,28 @@ def dq_bloom_fk_probe(t: Tables) -> DataFrame:
     output. The broadcast hint here is deliberately allowed under the
     no-forced-broadcast rule because the relation's cardinality is
     capped at BLOOM_M by construction at ANY scale factor."""
+    # Eager checkpoints: both distinct key sets feed TWO consumers each
+    # (members → bits build + truth join; probe → position explode +
+    # verdict spine). Without materialization Spark re-derives each from
+    # a second fact/dim scan AND a second distinct shuffle — the most
+    # expensive stages of this job, doubled. Same single-evaluation
+    # idiom as the minhash shingle table.
     members = (
         t.orders.filter(F.col("o_orderstatus") == "F")
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     k = F.col("k")
     pos_arr = F.array(*[_bloom_pos_col(j, k) for j in range(BLOOM_K)])
     bits = (
         members.select(F.explode(pos_arr).alias("pos")).distinct()
     )
-    probe = t.lineitem.select(F.col("l_orderkey").alias("k")).distinct()
+    probe = (
+        t.lineitem.select(F.col("l_orderkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     pp = probe.select("k", F.explode(pos_arr).alias("pos"))
     hit = (
         pp.join(F.broadcast(bits), "pos")
