@@ -1727,10 +1727,19 @@ def sim_srp_topk(t: Tables) -> DataFrame:
         )
         .distinct()
     )
-    ea = t.embeddings.withColumn("nrm", norm_expr("embedding", EMB_DIM)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("emb_q"),
-        F.col("nrm").alias("nrm_q"),
+    # Filter to the bounded query set BEFORE the broadcast hint: the
+    # join on query_id only ever matches vec_id < N_QUERIES rows (the
+    # cand query side is filtered above), and an unfiltered hint would
+    # broadcast a corpus-proportional relation — the same round-6/7
+    # fix applied to sim_doc_topk_hashed_srp.
+    ea = (
+        t.embeddings.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("nrm", norm_expr("embedding", EMB_DIM))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("emb_q"),
+            F.col("nrm").alias("nrm_q"),
+        )
     )
     eb = t.embeddings.withColumn("nrm", norm_expr("embedding", EMB_DIM)).select(
         F.col("vec_id").alias("neighbor_id"),

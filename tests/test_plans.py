@@ -364,6 +364,10 @@ def test_no_forced_broadcast_of_sf_proportional_relations(spark, t):
         "lineitem_market_basket",
         "sim_doc_topk_hashed",
         "sim_doc_topk_hashed_srp",
+        "sim_srp_topk",
+        "sim_mips_topk",
+        "pipeline_rag_chunk_index",
+        "dq_bloom_fk_probe",
     ]
     # relations that legitimately keep a hint (SF-invariant):
     # nation/region dims and 1-row scalar aggregates. Count broadcasts
@@ -389,6 +393,14 @@ def test_no_forced_broadcast_of_sf_proportional_relations(spark, t):
         # unfiltered corpus-proportional vector relation)
         "sim_doc_topk_hashed": 1,
         "sim_doc_topk_hashed_srp": 1,
+        # bounded query-side hints (round-7 fix: sim_srp_topk used to
+        # hint the unfiltered corpus-proportional embedding relation)
+        "sim_srp_topk": 1,
+        "sim_mips_topk": 1,
+        "pipeline_rag_chunk_index": 1,
+        # the set-bit relation is geometry-capped at BLOOM_M rows at
+        # any SF — the one legitimately hint-broadcast non-query side
+        "dq_bloom_fk_probe": 1,
     }
     import re
 
