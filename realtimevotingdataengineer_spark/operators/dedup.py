@@ -2067,3 +2067,95 @@ def text_strip_shared_spans(t: Tables) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Winnowing window: each run of WINNOW consecutive window-hashes
+#: contributes its minimum as a fingerprint — density ~2/(WINNOW+1)
+#: of the full posting stream, with the winnowing guarantee intact.
+WINNOW = 4
+
+_WINNOW_SQL = (
+    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+    f"wl AS (SELECT doc_id, list_transform(range(1, len(tk) - {SUBSTR_W} + 2), "
+    f"i -> struct_pack(i := i, wh := md5(array_to_string("
+    f"tk[CAST(i AS INT):CAST(i AS INT) + {SUBSTR_W - 1}], ' ')))) AS ws "
+    f"FROM tk WHERE len(tk) >= {SUBSTR_W}), "
+    "wpos AS (SELECT doc_id, u.s.i AS i, u.s.wh AS wh FROM wl, "
+    "LATERAL unnest(ws) AS u(s)), "
+    "mins AS (SELECT doc_id, min(wh) OVER (PARTITION BY doc_id ORDER BY i "
+    f"ROWS BETWEEN {WINNOW - 1} PRECEDING AND CURRENT ROW) AS fp, "
+    "i FROM wpos), "
+    "fps AS (SELECT DISTINCT doc_id, fp FROM mins), "
+    "nd AS (SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs "
+    "FROM fps GROUP BY fp) "
+    "SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints, "
+    "CAST(sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared, "
+    "CAST(sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) "
+    "AS shared_ratio "
+    "FROM fps f JOIN nd ON f.fp = nd.fp GROUP BY f.doc_id ORDER BY f.doc_id"
+)
+
+
+@register("dedup_substring_winnow", _WINNOW_SQL)
+def dedup_substring_winnow(t: Tables) -> DataFrame:
+    """Winnowed substring fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm) — the SCALE DIAL for dedup_substring_window registered
+    as its own passing key (repo rule since simhash64: a documented
+    dial must be a key, not a comment). Naive striding cannot thin the
+    posting stream safely: strided sampling on both sides is
+    phase-sensitive (two arithmetic progressions with different
+    residues mod S never meet), so a copied span shifted by one token
+    would evade it entirely. Winnowing is CONTENT-defined — each run of
+    WINNOW consecutive window hashes contributes its minimum — so both
+    copies of a span select the same fingerprints regardless of
+    alignment, and the winnowing theorem guarantees any shared span of
+    >= SUBSTR_W + WINNOW - 1 tokens shares at least one fingerprint
+    (pytest plants exactly that case). Fingerprint density is
+    ~2/(WINNOW+1) of the full stream — the posting shuffle shrinks ~2.5×
+    here and by the chosen dial at 100 TB, with the detection guarantee
+    degrading only in span-length resolution, never by phase.
+
+    Plan: the window-hash stream (one narrow pass), a per-doc rolling
+    min sharing the SAME (doc) partitioning as the downstream distinct,
+    then the identical posting-aggregate shape as the full-stream key.
+    """
+    c = tokens("text")
+    tk = t.documents.select("doc_id", c.alias("tk")).filter(
+        F.size("tk") >= SUBSTR_W
+    )
+    wpos = spread(tk, "doc_id").select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - F.lit(SUBSTR_W - 1)),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice(F.col("tk"), i, SUBSTR_W))
+                    ).alias("wh"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.i", "s.wh")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(WINNOW - 1), Window.currentRow)
+    )
+    fps = (
+        wpos.select("doc_id", F.min("wh").over(w).alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nd = fps.groupBy("fp").agg(F.count_distinct("doc_id").alias("ndocs"))
+    shared = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+    return (
+        fps.join(nd, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            shared.cast("bigint").alias("n_shared"),
+            (shared.cast("double") / F.count(F.lit(1))).alias("shared_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1464,3 +1464,35 @@ def test_mips_srp_recall_vs_exact(t):
         total += len(ex)
     recall = hits / total
     assert recall >= 0.3, recall
+
+
+def test_winnow_guarantee_catches_shifted_span(spark):
+    """The winnowing theorem, live: a span of SUBSTR_W + WINNOW - 1
+    tokens copied into another document at a DIFFERENT token offset
+    (the phase shift that defeats naive strided sampling) must still
+    be caught — both docs report a shared fingerprint. Unrelated docs
+    report none."""
+    from realtimevotingdataengineer_spark.operators.dedup import (
+        SUBSTR_W,
+        WINNOW,
+        dedup_substring_winnow,
+    )
+
+    span = " ".join(f"span{i}" for i in range(SUBSTR_W + WINNOW - 1))
+    filler_a = " ".join(f"aw{i}" for i in range(10))
+    filler_b = " ".join(f"bw{i}" for i in range(13))  # different offset
+    filler_c = " ".join(f"cw{i}" for i in range(25))
+    docs = [
+        (0, f"{filler_a} {span} tail0 tail1"),
+        (1, f"{filler_b} {span}"),
+        (2, filler_c),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    class _T:
+        documents = df
+
+    rows = {r.doc_id: r for r in dedup_substring_winnow(_T()).collect()}
+    assert rows[0].n_shared >= 1
+    assert rows[1].n_shared >= 1
+    assert rows[2].n_shared == 0
