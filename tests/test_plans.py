@@ -366,8 +366,14 @@ def test_no_forced_broadcast_of_sf_proportional_relations(spark, t):
         "sim_doc_topk_hashed_srp",
         "sim_srp_topk",
         "sim_mips_topk",
+        "sim_mips_srp_topk",
         "pipeline_rag_chunk_index",
         "dq_bloom_fk_probe",
+        "events_count_min_sketch",
+        "batch_merge_upsert",
+        "dedup_substring_window",
+        "dedup_substring_winnow",
+        "text_strip_shared_spans",
     ]
     # relations that legitimately keep a hint (SF-invariant):
     # nation/region dims and 1-row scalar aggregates. Count broadcasts
@@ -397,10 +403,21 @@ def test_no_forced_broadcast_of_sf_proportional_relations(spark, t):
         # hint the unfiltered corpus-proportional embedding relation)
         "sim_srp_topk": 1,
         "sim_mips_topk": 1,
+        # bounded query hint + the 1-row M² scalar hint
+        "sim_mips_srp_topk": 2,
         "pipeline_rag_chunk_index": 1,
         # the set-bit relation is geometry-capped at BLOOM_M rows at
         # any SF — the one legitimately hint-broadcast non-query side
         "dq_bloom_fk_probe": 1,
+        # the d×w counter grid is geometry-capped at CMS_D*CMS_W rows
+        "events_count_min_sketch": 1,
+        # MERGE: both sides SF-proportional, no hints at all
+        "batch_merge_upsert": 0,
+        # posting-aggregate joins: per-hash relation is SF-proportional,
+        # never hinted
+        "dedup_substring_window": 0,
+        "dedup_substring_winnow": 0,
+        "text_strip_shared_spans": 0,
     }
     import re
 

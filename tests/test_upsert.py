@@ -181,3 +181,55 @@ def test_recover_swap_restores_mid_crash_state(spark, tmp_path):
     assert not os.path.exists(f"{table}__staging")
     assert not os.path.exists(f"{table}__old_stale")
     assert not os.path.exists(f"{table}__old_fresh")
+
+
+def test_scd2_sink_equals_batch_rebuild(spark, tmp_path):
+    """The streaming SCD2 sink and the batch scd2_user_state_history
+    rebuild must produce the SAME dimension history from the same
+    change stream — the incremental-table vs nightly-rebuild equality
+    a lakehouse SCD2 pipeline depends on. The change stream is each
+    user's state transitions (derived from the driver events); it is
+    split across two file batches mid-history, so the sink accumulates
+    incrementally while the batch key sees everything at once."""
+    import json as _json
+
+    import realtimevotingdataengineer_spark.operators  # noqa: F401
+    from realtimevotingdataengineer_spark.registry import QUERIES
+    from realtimevotingdataengineer_spark.sources.tables import Tables
+
+    t = Tables(spark, "/root/testdata/sf0.001")
+    batch = QUERIES["scd2_user_state_history"](t).collect()
+    # the change stream: one row per (user, run) at its valid_from
+    changes = sorted(
+        ({"user_id": r.user_id, "state": r.state, "vf": r.valid_from} for r in batch),
+        key=lambda c: (c["vf"], c["user_id"]),
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    half = len(changes) // 2
+    for i, chunk in enumerate((changes[:half], changes[half:])):
+        (src / f"b{i}.jsonl").write_text(
+            "\n".join(_json.dumps(c) for c in chunk)
+        )
+    stream = (
+        spark.readStream.schema("user_id long, state string, vf string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = sinks.scd2_parquet_batches(
+        stream,
+        str(tmp_path / "hist"),
+        str(tmp_path / "ckpt"),
+        key="user_id",
+        version_col="vf",
+    )
+    q.processAllAvailable()
+    q.stop()
+    hist = {
+        (r.user_id, r.valid_from): (r.state, r.valid_to, r.is_current)
+        for r in spark.read.parquet(str(tmp_path / "hist")).collect()
+    }
+    expected = {
+        (r.user_id, r.valid_from): (r.state, r.valid_to, r.is_current) for r in batch
+    }
+    assert hist == expected
