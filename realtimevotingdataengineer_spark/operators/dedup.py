@@ -1695,13 +1695,22 @@ def sim_srp_topk(t: Tables) -> DataFrame:
     measures recall against brute force. Same scale shape as
     dedup_embedding_srp: narrow signature map, one (band, bv) shuffle,
     verify on candidates only."""
-    from .similarity import EMB_DIM, N_QUERIES, TOP_K, srp_band_signatures
+    from .similarity import srp_band_signatures
 
     # Arrow-kernel signatures (see dedup_embedding_srp — bitwise-equal
     # to the retired expression chains, one pass, no Janino fallback)
     sigs = srp_band_signatures(
         spread(t.embeddings, "vec_id"), "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
     ).localCheckpoint(eager=True)
+    return _srp_search_from_sigs(t, sigs)
+
+
+def _srp_search_from_sigs(t: Tables, sigs: DataFrame) -> DataFrame:
+    """The search half of sim_srp_topk against a signature table from
+    ANY provenance — the fresh Arrow-kernel pass (sim_srp_topk) or the
+    persisted index (search_srp_index). Byte-identical either way."""
+    from .similarity import EMB_DIM, N_QUERIES, TOP_K
+
     bands = sigs.select(
         "vec_id",
         F.explode(
@@ -1758,6 +1767,25 @@ def sim_srp_topk(t: Tables) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+def build_srp_index(t: Tables, path: str) -> None:
+    """Persist the SRP index: the band-signature table as parquet.
+    Build-once / search-many — at 100 TB the signature table is a
+    maintained corpus artifact refreshed with the crawl delta (pure
+    narrow map work per new doc; no codebook to re-fit, unlike IVF),
+    and every search reads it instead of re-kerneling the corpus."""
+    from .similarity import srp_band_signatures
+
+    srp_band_signatures(
+        spread(t.embeddings, "vec_id"), "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+    ).write.mode("overwrite").parquet(f"{path}/signatures")
+
+
+def search_srp_index(t: Tables, path: str) -> DataFrame:
+    """sim_srp_topk against the PERSISTED signature table — byte-equal
+    to the in-memory path (asserted in tests/test_operators.py)."""
+    return _srp_search_from_sigs(t, t.spark.read.parquet(f"{path}/signatures"))
 
 
 #: Incremental-dedup split: docs with id >= (max_id+1)*4/5 play the

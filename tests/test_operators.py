@@ -1573,3 +1573,25 @@ def test_minhash_1bit_estimator_calibration(t):
     mae1 = sum(abs(r.est_1bit - r.jaccard) for r in rows) / len(rows)
     maef = sum(abs(r.est_full - r.jaccard) for r in rows) / len(rows)
     assert mae1 <= 2 * maef + 1.0 / MINHASH_K
+
+
+def test_srp_index_persist_and_search(t, tmp_path_factory):
+    """The SRP persisted-index lifecycle: build_srp_index → search
+    against the stored signature table must equal the in-memory
+    kernel-signature search exactly (ids AND cosines)."""
+    from realtimevotingdataengineer_spark.operators.dedup import (
+        build_srp_index,
+        search_srp_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("srp_index"))
+    build_srp_index(t, path)
+    stored = {
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in search_srp_index(t, path).collect()
+    }
+    memory = {
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in QUERIES["sim_srp_topk"](t).collect()
+    }
+    assert stored == memory and stored
