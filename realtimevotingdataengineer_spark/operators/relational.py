@@ -2036,3 +2036,139 @@ def batch_merge_upsert(t: Tables) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+_ASOF_FWD_SQL = (
+    "WITH s AS (SELECT event_id, user_id, ts, event_type, "
+    "min(CASE WHEN event_type = 'signup' THEN ts END) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_signup "
+    "FROM events) "
+    "SELECT event_id, user_id, "
+    "strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, "
+    "strftime(next_signup, '%Y-%m-%d %H:%M:%S') AS next_signup, "
+    "CAST(date_diff('second', ts, next_signup) AS BIGINT) AS until_signup_sec "
+    "FROM s WHERE event_type = 'purchase' AND next_signup IS NOT NULL "
+    "ORDER BY event_id"
+)
+
+
+@register("join_asof_forward", _ASOF_FWD_SQL)
+def join_asof_forward(t: Tables) -> DataFrame:
+    """FORWARD as-of join — for every purchase, the NEXT signup at or
+    after it by the same user (pandas merge_asof direction='forward';
+    the attribution shape for \"what did this event lead to\"). Same
+    single-shuffle sorted-window formulation as the backward key
+    (join_asof_last_signup), with the frame reversed: a running min
+    over (current row → unbounded following) on one (user) partition
+    sort — no per-user range join, no quadratic blowup, identical
+    scale posture."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    next_signup = F.min(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    enriched = t.events.select(
+        "event_id", "user_id", "ts", "event_type", next_signup.alias("next_signup")
+    )
+    return (
+        enriched.filter(
+            (F.col("event_type") == "purchase") & F.col("next_signup").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.date_format("next_signup", "yyyy-MM-dd HH:mm:ss").alias("next_signup"),
+            (
+                F.unix_timestamp("next_signup") - F.unix_timestamp("ts")
+            ).alias("until_signup_sec"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_ASOF_NEAR_SQL = (
+    "WITH s AS (SELECT event_id, user_id, ts, event_type, "
+    "max(CASE WHEN event_type = 'signup' THEN ts END) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_signup, "
+    "min(CASE WHEN event_type = 'signup' THEN ts END) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_signup "
+    "FROM events), "
+    "p AS (SELECT event_id, user_id, ts, prev_signup, next_signup, "
+    "CASE WHEN next_signup IS NULL THEN 'backward' "
+    "WHEN prev_signup IS NULL THEN 'forward' "
+    "WHEN date_diff('second', prev_signup, ts) <= date_diff('second', ts, next_signup) "
+    "THEN 'backward' ELSE 'forward' END AS direction "
+    "FROM s WHERE event_type = 'purchase' "
+    "AND (prev_signup IS NOT NULL OR next_signup IS NOT NULL)) "
+    "SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, "
+    "strftime(CASE WHEN direction = 'backward' THEN prev_signup "
+    "ELSE next_signup END, '%Y-%m-%d %H:%M:%S') AS matched_signup, "
+    "direction, "
+    "CAST(abs(date_diff('second', ts, CASE WHEN direction = 'backward' "
+    "THEN prev_signup ELSE next_signup END)) AS BIGINT) AS delta_sec "
+    "FROM p ORDER BY event_id"
+)
+
+
+@register("join_asof_nearest", _ASOF_NEAR_SQL)
+def join_asof_nearest(t: Tables) -> DataFrame:
+    """NEAREST as-of join — each purchase matches its closest signup in
+    EITHER direction (merge_asof direction='nearest'), tie broken
+    backward (deterministic: prefer the earlier, already-known event —
+    the convention pandas uses). Computed as BOTH running extremes over
+    ONE (user) partition sort (the backward max and forward min share
+    the same shuffle and sort), then a per-row comparison — still a
+    single exchange; the naive formulation is a per-user cross join."""
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    sig = F.when(F.col("event_type") == "signup", F.col("ts"))
+    s = t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(sig).over(wb).alias("prev_signup"),
+        F.min(sig).over(wf).alias("next_signup"),
+    ).filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("prev_signup").isNotNull() | F.col("next_signup").isNotNull())
+    )
+    back_delta = F.unix_timestamp("ts") - F.unix_timestamp("prev_signup")
+    fwd_delta = F.unix_timestamp("next_signup") - F.unix_timestamp("ts")
+    direction = (
+        F.when(F.col("next_signup").isNull(), F.lit("backward"))
+        .when(F.col("prev_signup").isNull(), F.lit("forward"))
+        .when(back_delta <= fwd_delta, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+    )
+    matched = F.when(direction == "backward", F.col("prev_signup")).otherwise(
+        F.col("next_signup")
+    )
+    return (
+        s.select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.date_format(matched, "yyyy-MM-dd HH:mm:ss").alias("matched_signup"),
+            direction.alias("direction"),
+            F.abs(
+                F.unix_timestamp(matched) - F.unix_timestamp("ts")
+            ).alias("delta_sec"),
+        )
+        .orderBy("event_id")
+    )

@@ -1595,3 +1595,29 @@ def test_srp_index_persist_and_search(t, tmp_path_factory):
         for r in QUERIES["sim_srp_topk"](t).collect()
     }
     assert stored == memory and stored
+
+
+def test_asof_directions_agree(t):
+    """The three as-of directions must tell one consistent story per
+    purchase: nearest picks whichever of backward/forward is closer
+    (tie → backward), and its delta equals the min of the two
+    one-sided deltas where both exist."""
+    back = {
+        r.event_id: r.since_signup_sec
+        for r in QUERIES["join_asof_last_signup"](t).collect()
+    }
+    fwd = {
+        r.event_id: r.until_signup_sec
+        for r in QUERIES["join_asof_forward"](t).collect()
+    }
+    near = {r.event_id: r for r in QUERIES["join_asof_nearest"](t).collect()}
+    assert set(near) == set(back) | set(fwd)
+    for eid, r in near.items():
+        b, f = back.get(eid), fwd.get(eid)
+        if b is not None and f is not None:
+            assert r.delta_sec == min(b, f)
+            assert r.direction == ("backward" if b <= f else "forward")
+        elif b is not None:
+            assert (r.direction, r.delta_sec) == ("backward", b)
+        else:
+            assert (r.direction, r.delta_sec) == ("forward", f)
