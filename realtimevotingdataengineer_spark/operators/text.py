@@ -1636,3 +1636,96 @@ def text_bpe_apply_merge(t: Tables) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("sym_left"), F.asc("sym_right"))
         .limit(BPE_TOP_MERGES)
     )
+
+
+def fit_bpe_merges(t: Tables, n_merges: int) -> list:
+    """Full BPE training loop: learn ``n_merges`` merges. Round 1 pays
+    the corpus scan (collapse to the word-frequency table — the only
+    aggregation that ever touches corpus volume); every later round
+    operates on the vocab-sized symbol table alone, exactly how
+    distributed BPE trainers structure the loop. The symbol
+    re-segmentation is an in-row F.aggregate fold (greedy left-to-right
+    pair replacement with a skip flag — BPE application semantics), so
+    each round is one small Spark job: pair-count aggregate → 1-row
+    argmax → narrow re-segmentation map, checkpointed so plans don't
+    nest across rounds.
+
+    Returns [(left_symbol, right_symbol, frequency), ...] in merge
+    order. The registered keys text_bpe_first_merges /
+    text_bpe_apply_merge are rounds 1 and 2 of this loop with full
+    DuckDB oracles; pytest asserts this loop reproduces them."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    vocab = (
+        spread(t.documents.select(tokens("text").alias("tk")))
+        .select(F.explode("tk").alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(
+            # chars, unicode-aware; split("(?!^)") emits a trailing ""
+            # (the lookahead matches at end-of-string) — drop empties
+            F.filter(
+                F.split(F.col("word"), "(?!^)"), lambda x: x != ""
+            ).alias("syms"),
+            "wc",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for _ in range(n_merges):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("l"),
+                            F.element_at("syms", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+                "wc",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wc").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        top = pairs[0]
+        merges.append((top.l, top.r, top.freq))
+        la, rb, merged = F.lit(top.l), F.lit(top.r), F.lit(top.l + top.r)
+        n = F.size("syms")
+        # greedy left-to-right merge: fold positions with a skip flag
+        folded = F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.struct(
+                F.array().cast(ArrayType(StringType())).alias("out"),
+                F.lit(False).alias("skip"),
+            ),
+            lambda st, i: F.when(st.getField("skip"), F.struct(st.getField("out").alias("out"), F.lit(False).alias("skip")))
+            .when(
+                (i < n)
+                & (F.element_at("syms", i) == la)
+                & (F.element_at("syms", i + F.lit(1)) == rb),
+                F.struct(
+                    F.concat(st.getField("out"), F.array(merged)).alias("out"),
+                    F.lit(True).alias("skip"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(
+                        st.getField("out"), F.array(F.element_at("syms", i))
+                    ).alias("out"),
+                    F.lit(False).alias("skip"),
+                )
+            ),
+            lambda st: st.getField("out"),
+        )
+        vocab = vocab.select(folded.alias("syms"), "wc").localCheckpoint(eager=True)
+    return merges

@@ -1621,3 +1621,23 @@ def test_asof_directions_agree(t):
             assert (r.direction, r.delta_sec) == ("backward", b)
         else:
             assert (r.direction, r.delta_sec) == ("forward", f)
+
+
+def test_bpe_fit_loop_reproduces_registered_rounds(t):
+    """The full fit loop's merges 1 and 2 must equal the registered
+    round keys exactly (pair, frequency), and merge frequencies must be
+    non-increasing (each merge can only remove pair occurrences)."""
+    from realtimevotingdataengineer_spark.operators.text import fit_bpe_merges
+
+    merges = fit_bpe_merges(t, 3)
+    assert len(merges) == 3
+    r1 = QUERIES["text_bpe_first_merges"](t).collect()[0]
+    assert (merges[0][0] + merges[0][1], merges[0][2]) == (r1.pair, r1.freq)
+    r2 = QUERIES["text_bpe_apply_merge"](t).collect()[0]
+    assert (merges[1][0], merges[1][1], merges[1][2]) == (
+        r2.sym_left,
+        r2.sym_right,
+        r2.freq,
+    )
+    freqs = [m[2] for m in merges]
+    assert freqs == sorted(freqs, reverse=True)
