@@ -2276,3 +2276,126 @@ def dedup_minhash_1bit_estimate(t: Tables) -> DataFrame:
         .select("doc_a", "doc_b", "est_1bit", "est_full", jac.alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _spanclean_sql() -> str:
+    from ..functions import ngram_cte_sql
+    from .corpus import _BENCH_MAX as bench_max
+    from .corpus import _NGRAM as ngram_n
+
+    # strip CTE chain (tk … covl) — identical to _STRIP_SQL's prefix
+    prefix = _STRIP_SQL.split(" SELECT t.doc_id")[0].split("covl AS")[0]
+    rep = (
+        "CASE WHEN len(ctk) > 0 THEN 1 - CAST(len(list_distinct(ctk)) AS DOUBLE)"
+        " / len(ctk) ELSE 1 END"
+    )
+    return (
+        prefix
+        + "covl AS (SELECT doc_id, list(off) AS cov FROM cov GROUP BY doc_id), "
+        "clean AS (SELECT t.doc_id, t.tk, "
+        "list_filter(tk, (x, i) -> NOT coalesce(list_contains(cov, "
+        "CAST(i AS BIGINT)), false)) AS ctk, "
+        "CAST(coalesce(len(cov), 0) AS BIGINT) AS n_removed "
+        "FROM tk t LEFT JOIN covl c ON t.doc_id = c.doc_id), "
+        + ngram_cte_sql("grams", ngram_n, "clean")
+        + ", cont AS (SELECT DISTINCT c.doc_id FROM grams c "
+        f"JOIN (SELECT DISTINCT g FROM grams WHERE doc_id < {bench_max}) b "
+        f"ON c.g = b.g WHERE c.doc_id >= {bench_max}) "
+        "SELECT doc_id, CAST(len(ctk) AS BIGINT) AS n_tokens_clean, n_removed "
+        f"FROM clean WHERE doc_id >= {bench_max} AND len(ctk) >= 20 "
+        f"AND ({rep}) < 0.6 "
+        "AND doc_id NOT IN (SELECT doc_id FROM cont) ORDER BY doc_id"
+    )
+
+
+@register("pipeline_clean_corpus_spans", _spanclean_sql())
+def pipeline_clean_corpus_spans(t: Tables) -> DataFrame:
+    """The RefinedWeb-shape pretraining gate with SUBSTRING-level dedup
+    in the loop: shared spans are stripped FIRST, then the length floor
+    and repetition cap judge the CLEANED token stream — a page that is
+    half boilerplate passes or fails on what remains, not on what the
+    template injected (doc-level survivorship would either keep the
+    boilerplate or drop the unique remainder; span-level keeps exactly
+    the unique part). Decontamination runs on the original n-grams
+    (contamination is about the raw page containing benchmark text,
+    stripped or not — judged on the same tk relation the cleaner used).
+
+    One plan end to end: the substring posting aggregate (eager-
+    checkpointed stream), the in-row rewrite, the broadcast benchmark
+    probe, and stateless gate predicates — at 100 TB the corpus is
+    scanned once for windows and once for grams, everything else is
+    narrow or metadata-sized. Output (doc_id, n_tokens_clean,
+    n_removed): the shard writer's survivor set plus the audit trail of
+    how much was stripped."""
+    from .corpus import _BENCH_MAX, _NGRAM, text_decontaminate
+
+    c = tokens("text")
+    tk = t.documents.select("doc_id", c.alias("tk"))
+    long_tk = tk.filter(F.size("tk") >= SUBSTR_W)
+    wpos = (
+        spread(long_tk, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - F.lit(SUBSTR_W - 1)),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice(F.col("tk"), i, SUBSTR_W))
+                        ).alias("wh"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.i", "s.wh")
+        .localCheckpoint(eager=True)
+    )
+    nd = (
+        wpos.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("wh")
+    )
+    covl = (
+        wpos.join(nd, "wh")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(SUBSTR_W - 1))
+            ).alias("off"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("off").alias("cov"))
+    )
+    cov = F.col("cov")
+    ctk = F.filter(
+        F.col("tk"),
+        lambda x, i: ~F.coalesce(F.array_contains(cov, i + F.lit(1)), F.lit(False)),
+    )
+    clean = tk.join(covl, "doc_id", "left").select(
+        "doc_id",
+        ctk.alias("ctk"),
+        F.coalesce(F.size("cov"), F.lit(0)).cast("bigint").alias("n_removed"),
+    )
+    rep = F.when(
+        F.size("ctk") > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct("ctk")).cast("double") / F.size("ctk"),
+    ).otherwise(F.lit(1.0))
+    contaminated = text_decontaminate(t).select("doc_id")
+    return (
+        clean.join(contaminated, "doc_id", "left_anti")
+        .filter(
+            (F.col("doc_id") >= _BENCH_MAX)
+            & (F.size("ctk") >= 20)
+            & (rep < 0.6)
+        )
+        .select(
+            "doc_id",
+            F.size("ctk").cast("bigint").alias("n_tokens_clean"),
+            "n_removed",
+        )
+        .orderBy("doc_id")
+    )

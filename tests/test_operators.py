@@ -1641,3 +1641,30 @@ def test_bpe_fit_loop_reproduces_registered_rounds(t):
     )
     freqs = [m[2] for m in merges]
     assert freqs == sorted(freqs, reverse=True)
+
+
+def test_spanclean_gate_judges_cleaned_stream(t):
+    """The span-clean gate must judge documents on their CLEANED token
+    stream: survivors' n_tokens_clean >= 20 even when stripping removed
+    tokens, every survivor's n_tokens_clean + n_removed equals its
+    original token count, and no benchmark-split or contaminated doc
+    survives."""
+    from realtimevotingdataengineer_spark.operators.corpus import _BENCH_MAX
+
+    rows = QUERIES["pipeline_clean_corpus_spans"](t).collect()
+    assert rows
+    contaminated = {
+        r.doc_id for r in QUERIES["text_decontaminate"](t).collect()
+    }
+    orig = {
+        r.doc_id: r.n
+        for r in t.documents.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("n"),
+        ).collect()
+    }
+    for r in rows:
+        assert r.doc_id >= _BENCH_MAX
+        assert r.doc_id not in contaminated
+        assert r.n_tokens_clean >= 20
+        assert r.n_tokens_clean + r.n_removed == orig[r.doc_id]
