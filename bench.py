@@ -73,11 +73,14 @@ HEADLINE = [
     "pipeline_export_corpus_incremental",
     "sim_doc_topk_hashed_srp",
     # round-7 additions: substring-level dedup (profile + span removal
-    # — the posting-aggregate plan whose sf-scaling should be measured)
-    # and the chunk-granularity RAG retrieval capstone
+    # — the posting-aggregate plan whose sf-scaling should be measured),
+    # the chunk-granularity RAG retrieval capstone, the span-clean gate
+    # capstone, and bucketed MIPS next to its exact contract
     "dedup_substring_window",
     "text_strip_shared_spans",
     "pipeline_rag_chunk_index",
+    "pipeline_clean_corpus_spans",
+    "sim_mips_srp_topk",
 ]
 
 
