@@ -1668,3 +1668,34 @@ def test_spanclean_gate_judges_cleaned_stream(t):
         assert r.doc_id not in contaminated
         assert r.n_tokens_clean >= 20
         assert r.n_tokens_clean + r.n_removed == orig[r.doc_id]
+
+
+def test_bpe_learned_key_matches_fit_loop(t):
+    """The registered full-training key must reproduce fit_bpe_merges
+    exactly — same merges in the same order with the same frequencies —
+    proving the placeholder-STRING unrolling and the symbol-ARRAY fold
+    are the same greedy BPE program."""
+    from realtimevotingdataengineer_spark.operators.text import (
+        BPE_LEARN_ROUNDS,
+        fit_bpe_merges,
+    )
+
+    fit = fit_bpe_merges(t, BPE_LEARN_ROUNDS)
+    key = QUERIES["text_bpe_learn_merges"](t).orderBy("merge_rank").collect()
+    assert len(key) == len(fit) == BPE_LEARN_ROUNDS
+    for row, (left, right, freq) in zip(key, fit):
+        assert (row.sym_left, row.sym_right, row.freq) == (left, right, freq)
+        assert row.merged == left + right
+
+
+def test_bpe_fertility_invariants(t):
+    """Fertility accounting must tile: every source's BPE token count is
+    bounded by occurrences below (>=1 token per word) and chars above
+    (merges only shrink), and the ppm ratios are exactly the integer
+    division of the reported counts."""
+    rows = QUERIES["text_bpe_fertility"](t).collect()
+    assert rows
+    for r in rows:
+        assert r.n_word_occurrences <= r.n_bpe_tokens <= r.n_chars
+        assert r.tokens_per_word_ppm == r.n_bpe_tokens * 1000000 // r.n_word_occurrences
+        assert r.chars_per_token_ppm == r.n_chars * 1000000 // r.n_bpe_tokens
