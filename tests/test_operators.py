@@ -1699,3 +1699,26 @@ def test_bpe_fertility_invariants(t):
         assert r.n_word_occurrences <= r.n_bpe_tokens <= r.n_chars
         assert r.tokens_per_word_ppm == r.n_bpe_tokens * 1000000 // r.n_word_occurrences
         assert r.chars_per_token_ppm == r.n_chars * 1000000 // r.n_bpe_tokens
+
+
+def test_zorder_skipping_audit_invariants(t):
+    """The skipping audit must account cleanly: both layouts see the
+    same number of row groups, scanned <= groups, the ppm is exactly
+    the integer division, and Z-order never skips FEWER groups than the
+    natural layout on user-bucket probes (Z-order clusters that
+    dimension; arrival order does not)."""
+    rows = QUERIES["layout_zorder_skipping"](t).collect()
+    assert len(rows) == 8
+    by = {(r.layout, r.pcol, r.pval): r for r in rows}
+    n_groups = {r.n_groups for r in rows}
+    assert len(n_groups) == 1
+    for r in rows:
+        assert 0 <= r.n_scanned <= r.n_groups
+        assert (
+            r.skipped_ppm
+            == (r.n_groups - r.n_scanned) * 1000000 // r.n_groups
+        )
+    for val in (7, 101):
+        nat = by[("natural", "user_bucket", val)]
+        zo = by[("zorder", "user_bucket", val)]
+        assert zo.skipped_ppm >= nat.skipped_ppm
