@@ -136,6 +136,50 @@ def sample_stratified(t: Tables) -> DataFrame:
     )
 
 
+#: Fixed-size stratified draw: exactly this many docs per domain.
+SAMPLE_FIXED_K = 5
+
+
+@register(
+    "sample_fixed_k_stratified",
+    "SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM ("
+    "SELECT source, doc_id, row_number() OVER (PARTITION BY source "
+    "ORDER BY md5('fk:' || CAST(doc_id AS VARCHAR) || ':' || source), doc_id) "
+    "AS rk FROM documents) "
+    f"WHERE rk <= {SAMPLE_FIXED_K} ORDER BY source, rk",
+)
+def sample_fixed_k_stratified(t: Tables) -> DataFrame:
+    """Fixed-SIZE stratified sampling: exactly SAMPLE_FIXED_K documents
+    per domain, drawn by ranking a salted md5 of the doc key within each
+    stratum — the eval-set carving operator (rate-based sampling like
+    sample_stratified can't promise 'exactly 100 held-out docs per
+    domain'; this does, deterministically, with membership hash-checked
+    row by row).
+
+    Scale shape: rank-within-partition + rk<=K compiles to Spark's
+    WindowGroupLimit — each map task pre-truncates to its local top-K
+    per source BEFORE the exchange, so the shuffle carries
+    O(K x strata x tasks) rows, not the corpus; the same posture as
+    topk_leading_candidate. The salt prefix decorrelates this draw from
+    every other hash decision (split/shard/bernoulli) on the same key."""
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit("fk"), F.col("doc_id").cast("string"), F.col("source")
+                )
+            ),
+            F.col("doc_id"),
+        )
+    )
+    return (
+        t.documents.select("source", "doc_id", rk.alias("rk"))
+        .filter(F.col("rk") <= SAMPLE_FIXED_K)
+        .select("source", "doc_id", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("source", "rk")
+    )
+
+
 @register(
     "corpus_domain_stats",
     "SELECT source, count(*) AS n_docs, "

@@ -1722,3 +1722,25 @@ def test_zorder_skipping_audit_invariants(t):
         nat = by[("natural", "user_bucket", val)]
         zo = by[("zorder", "user_bucket", val)]
         assert zo.skipped_ppm >= nat.skipped_ppm
+
+
+def test_fixed_k_sample_exact_size_and_determinism(t):
+    """Exactly min(K, stratum size) docs per source, ranks 1..k dense,
+    and the draw is bit-stable across invocations."""
+    from realtimevotingdataengineer_spark.operators.corpus import SAMPLE_FIXED_K
+
+    sizes = {
+        r.source: r.n
+        for r in t.documents.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = QUERIES["sample_fixed_k_stratified"](t).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, []).append(r.rk)
+    assert set(per) == set(sizes)
+    for src, rks in per.items():
+        assert rks == list(range(1, min(SAMPLE_FIXED_K, sizes[src]) + 1))
+    again = QUERIES["sample_fixed_k_stratified"](t).collect()
+    assert [(r.source, r.doc_id, r.rk) for r in rows] == [
+        (r.source, r.doc_id, r.rk) for r in again
+    ]

@@ -493,3 +493,12 @@ def test_spread_guard_ignores_multi_relation_file_counts(spark, tmp_path):
 
     assert re.search(r"^\(\d+\) Exchange$", plan, re.M), plan[:1500]
     assert "hashpartitioning(id#" in plan
+
+
+def test_fixed_k_sample_uses_window_group_limit(t):
+    """sample_fixed_k_stratified's per-stratum rank must plan as a
+    WindowGroupLimit so each map task pre-truncates to its local top-K
+    per source before the exchange — the property that makes a fixed-K
+    draw shuffle O(K x strata x tasks) rows instead of the corpus."""
+    df = QUERIES["sample_fixed_k_stratified"](t)
+    assert "WindowGroupLimit" in formatted_plan(df)
