@@ -1932,3 +1932,102 @@ def scd2_user_state_history(t: Tables) -> DataFrame:
         nxt.isNull().alias("is_current"),
         "n_events",
     ).orderBy("user_id", "run_id")
+
+
+#: CUPED geometry: the pre-period boundary (first 15 of the 30 data
+#: days) and the synthetic assignment (user parity — any deterministic
+#: user-level hash works; parity keeps the oracle trivial to audit).
+CUPED_BOUNDARY = "2024-01-16 00:00:00"
+
+#: Pinned IEEE shapes rendered identically for both engines.
+_CUPED_THETA = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+_CUPED_ADJ = f"syv / nv - ({_CUPED_THETA}) * (sxv / nv - sx / n)"
+_CUPED_VR = (
+    "((n * sxy - sx * sy) * (n * sxy - sx * sy)) / "
+    "((n * sxx - sx * sx) * (n * syy - sy * sy))"
+)
+
+
+def _cuped_sql() -> str:
+    d = "CAST(value AS DECIMAL(12,2))"
+    zero = "CAST(0 AS DECIMAL(12,2))"
+    pre = f"ts < TIMESTAMP '{CUPED_BOUNDARY}'"
+    return (
+        "WITH u AS (SELECT user_id % 2 AS variant, "
+        f"CAST(sum(CASE WHEN {pre} THEN {d} ELSE {zero} END) AS DECIMAL(12,2)) AS x, "
+        f"CAST(sum(CASE WHEN NOT ({pre}) THEN {d} ELSE {zero} END) AS DECIMAL(12,2)) AS y "
+        "FROM events GROUP BY user_id), "
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+        "CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx, "
+        "CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy, "
+        "CAST(CAST(sum(x * x) AS VARCHAR) AS DOUBLE) AS sxx, "
+        "CAST(CAST(sum(y * y) AS VARCHAR) AS DOUBLE) AS syy, "
+        "CAST(CAST(sum(x * y) AS VARCHAR) AS DOUBLE) AS sxy FROM u), "
+        "v AS (SELECT variant, CAST(count(*) AS DOUBLE) AS nv, "
+        "CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sxv, "
+        "CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS syv FROM u GROUP BY variant) "
+        "SELECT CAST(variant AS BIGINT) AS variant, CAST(nv AS BIGINT) AS n_users, "
+        "syv / nv AS mean_value_post, "
+        f"{_CUPED_ADJ} AS mean_value_cuped, "
+        f"{_CUPED_THETA} AS theta, "
+        f"{_CUPED_VR} AS variance_reduction "
+        "FROM v, s ORDER BY variant"
+    )
+
+
+@register("events_ab_cuped", _cuped_sql())
+def events_ab_cuped(t: Tables) -> DataFrame:
+    """CUPED-adjusted A/B readout (Deng et al. 2013) — the variance-
+    reduction technique every large experimentation platform applies
+    before calling a test: each user's post-period metric Y is adjusted
+    by their PRE-period covariate X (theta = cov(X,Y)/var(X), pooled
+    across variants so the adjustment is assignment-independent and
+    unbiased), shrinking between-user noise by the squared pre/post
+    correlation. Reported per synthetic variant (user parity): raw and
+    CUPED means, the pooled theta, and the achieved variance-reduction
+    factor rho².
+
+    Determinism at scale: per-user X/Y are DECIMAL(12,2) sums (exact,
+    associative — identical on any partitioning), the pooled moments are
+    five more exact DECIMAL power sums routed decimal→VARCHAR→double
+    (correctly rounded in both engines), and every float statistic is
+    ONE pinned-shape formula over them — the profile_correlations
+    discipline. Plan: one user_id shuffle for the per-user rollup, then
+    a 1-row pooled aggregate broadcast onto the 2-row variant aggregate;
+    nothing else moves."""
+    d = F.col("value").cast("decimal(12,2)")
+    zero = F.lit(0).cast("decimal(12,2)")
+    pre = F.col("ts") < F.lit(CUPED_BOUNDARY).cast("timestamp")
+    u = (
+        t.events.groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, d).otherwise(zero)).cast("decimal(12,2)").alias("x"),
+            F.sum(F.when(~pre, d).otherwise(zero)).cast("decimal(12,2)").alias("y"),
+        )
+        .select(F.pmod(F.col("user_id"), F.lit(2)).alias("variant"), "x", "y")
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("nv"),
+        F.sum("x").cast("double").alias("sxv"),
+        F.sum("y").cast("double").alias("syv"),
+    )
+    return (
+        v.crossJoin(F.broadcast(s))
+        .select(
+            F.col("variant").cast("bigint").alias("variant"),
+            F.col("nv").cast("bigint").alias("n_users"),
+            F.expr("syv / nv").alias("mean_value_post"),
+            F.expr(_CUPED_ADJ).alias("mean_value_cuped"),
+            F.expr(_CUPED_THETA).alias("theta"),
+            F.expr(_CUPED_VR).alias("variance_reduction"),
+        )
+        .orderBy("variant")
+    )

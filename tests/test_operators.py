@@ -1744,3 +1744,20 @@ def test_fixed_k_sample_exact_size_and_determinism(t):
     assert [(r.source, r.doc_id, r.rk) for r in rows] == [
         (r.source, r.doc_id, r.rk) for r in again
     ]
+
+
+def test_cuped_adjustment_properties(t):
+    """CUPED must be a pure variance trade: theta and rho² are pooled
+    (identical across variants), rho² lands in [0, 1], and because the
+    per-variant adjustments are weighted deviations from the pooled
+    pre-period mean, the user-weighted average of adjusted means equals
+    the user-weighted average of raw means (the adjustment is unbiased)."""
+    rows = QUERIES["events_ab_cuped"](t).collect()
+    assert [r.variant for r in rows] == [0, 1]
+    assert rows[0].theta == rows[1].theta
+    assert rows[0].variance_reduction == rows[1].variance_reduction
+    assert 0.0 <= rows[0].variance_reduction <= 1.0
+    n = sum(r.n_users for r in rows)
+    raw = sum(r.mean_value_post * r.n_users for r in rows) / n
+    adj = sum(r.mean_value_cuped * r.n_users for r in rows) / n
+    assert abs(raw - adj) < 1e-9 * max(1.0, abs(raw))
