@@ -2031,3 +2031,108 @@ def events_ab_cuped(t: Tables) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+#: Kaplan-Meier censoring rule: a user last seen within this many days
+#: of the observation edge is censored (still active), not churned.
+KM_CENSOR_DAYS = 6
+
+_KM_SQL = (
+    "WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd, "
+    "max(CAST(ts AS DATE)) AS ld FROM events GROUP BY user_id), "
+    "g AS (SELECT max(CAST(ts AS DATE)) AS dmax FROM events), "
+    "c AS (SELECT date_diff('day', fd, ld) AS d, "
+    f"CASE WHEN date_diff('day', ld, dmax) <= {KM_CENSOR_DAYS} THEN 1 ELSE 0 END "
+    "AS cens FROM u, g), "
+    "tbl AS (SELECT d, CAST(sum(1 - cens) AS BIGINT) AS churned, "
+    "CAST(sum(cens) AS BIGINT) AS censored FROM c GROUP BY d), "
+    "r AS (SELECT *, CAST(sum(churned + censored) OVER (ORDER BY d DESC) AS BIGINT) "
+    "AS n_at_risk FROM tbl), "
+    "fx AS (SELECT d, n_at_risk, churned, censored, "
+    "CAST(n_at_risk - churned AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS factor "
+    "FROM r), "
+    "a AS (SELECT list_sort(list(struct_pack(d := d, n_at_risk := n_at_risk, "
+    "churned := churned, censored := censored, factor := factor))) AS arr FROM fx), "
+    "e AS (SELECT u.i AS pos, arr FROM a, "
+    "LATERAL unnest(range(1, len(arr) + 1)) AS u(i)) "
+    "SELECT CAST(arr[pos].d AS BIGINT) AS duration_days, "
+    "arr[pos].n_at_risk AS n_at_risk, arr[pos].churned AS churned, "
+    "arr[pos].censored AS censored, "
+    "list_reduce(list_transform(list_slice(arr, 1, pos), s -> s.factor), "
+    "(acc, x) -> acc * x) AS survival "
+    "FROM e ORDER BY duration_days"
+)
+
+
+@register("users_survival_km", _KM_SQL)
+def users_survival_km(t: Tables) -> DataFrame:
+    """Kaplan-Meier survival over user lifetimes — the churn curve
+    (retention's duration-model twin: events_retention_cohort counts
+    day-offset returns; this estimates P(lifetime > t) under RIGHT
+    CENSORING, crediting still-active users for the time they survived
+    without counting them as churned). Lifetime = days between a user's
+    first and last event; users last seen within KM_CENSOR_DAYS of the
+    observation edge are censored. S(t) = prod over event times ti<=t of
+    (1 - d_i/n_i), with d_i churns at ti and n_i the at-risk count.
+
+    Exactness: d_i / n_i / censored counts are all-integer (one user_id
+    shuffle + a duration-bounded histogram + an integer suffix-sum
+    window); each hazard factor is ONE pinned double division; and the
+    cumulative product is an ORDERED FOLD over the duration-sorted
+    factor array (left fold, init 1.0 — IEEE-identical to DuckDB's
+    list_reduce because 1.0*x is exact), the EWMA discipline applied to
+    products. The KM table itself is |distinct durations| rows — tiny at
+    any corpus scale — so the quadratic slice-fold is O(30²) on one
+    row's array, never corpus work."""
+    u = t.events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"), F.max(F.to_date("ts")).alias("ld")
+    )
+    g = t.events.agg(F.max(F.to_date("ts")).alias("dmax"))
+    c = u.crossJoin(F.broadcast(g)).select(
+        F.datediff("ld", "fd").alias("d"),
+        F.when(F.datediff("dmax", "ld") <= KM_CENSOR_DAYS, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("cens"),
+    )
+    tbl = c.groupBy("d").agg(
+        F.sum(F.lit(1) - F.col("cens")).cast("bigint").alias("churned"),
+        F.sum("cens").cast("bigint").alias("censored"),
+    )
+    r = tbl.withColumn(
+        "n_at_risk",
+        F.sum(F.col("churned") + F.col("censored"))
+        .over(Window.orderBy(F.desc("d")))
+        .cast("bigint"),
+    )
+    fx = r.select(
+        "d",
+        "n_at_risk",
+        "churned",
+        "censored",
+        (
+            (F.col("n_at_risk") - F.col("churned")).cast("double")
+            / F.col("n_at_risk").cast("double")
+        ).alias("factor"),
+    )
+    a = fx.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("d", "n_at_risk", "churned", "censored", "factor")
+            )
+        ).alias("arr")
+    )
+    e = a.select("arr", F.posexplode("arr").alias("pos", "s"))
+    survival = F.aggregate(
+        F.transform(
+            F.slice("arr", F.lit(1), F.col("pos") + F.lit(1)), lambda s: s["factor"]
+        ),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    return e.select(
+        F.col("s.d").cast("bigint").alias("duration_days"),
+        F.col("s.n_at_risk").alias("n_at_risk"),
+        F.col("s.churned").alias("churned"),
+        F.col("s.censored").alias("censored"),
+        survival.alias("survival"),
+    ).orderBy("duration_days")

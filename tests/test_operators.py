@@ -1761,3 +1761,20 @@ def test_cuped_adjustment_properties(t):
     raw = sum(r.mean_value_post * r.n_users for r in rows) / n
     adj = sum(r.mean_value_cuped * r.n_users for r in rows) / n
     assert abs(raw - adj) < 1e-9 * max(1.0, abs(raw))
+
+
+def test_km_survival_curve_properties(t):
+    """The KM estimator must be a valid survival curve: monotone
+    non-increasing from <=1, strictly positive while users remain at
+    risk, at-risk counts telescope exactly (n_{i+1} = n_i - churned_i -
+    censored_i), and the first at-risk count is the total user count."""
+    rows = QUERIES["users_survival_km"](t).collect()
+    assert rows
+    n_users = t.events.select("user_id").distinct().count()
+    assert rows[0].n_at_risk == n_users
+    prev_s = 1.0
+    for i, r in enumerate(rows):
+        assert 0.0 < r.survival <= prev_s
+        prev_s = r.survival
+        if i + 1 < len(rows):
+            assert rows[i + 1].n_at_risk == r.n_at_risk - r.churned - r.censored
