@@ -2136,3 +2136,92 @@ def users_survival_km(t: Tables) -> DataFrame:
         F.col("s.censored").alias("censored"),
         survival.alias("survival"),
     ).orderBy("duration_days")
+
+
+#: Holt coefficients — both complements written as literals (0.5/0.5,
+#: 0.3/0.7), never derived at runtime, per the float-literal discipline.
+HOLT_ALPHA, HOLT_BETA = 0.5, 0.3
+
+_HOLT_SQL = (
+    "WITH d AS (SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, "
+    "CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY event_type, CAST(ts AS DATE)), "
+    "s AS (SELECT event_type, list(x ORDER BY day) AS xs, "
+    "list(day ORDER BY day) AS days FROM d GROUP BY event_type), "
+    "p AS (SELECT event_type, u.i AS i, days[u.i] AS day, xs[u.i] AS x, "
+    "list_reduce(list_prepend("
+    "[CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)], "
+    "list_transform(list_slice(xs, 1, u.i), "
+    "v -> [v, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])), "
+    "(acc, e) -> CASE WHEN acc[1] = 0 "
+    "THEN [CAST(1 AS DOUBLE), e[1], CAST(0 AS DOUBLE)] "
+    "ELSE [acc[1] + 1, 0.5 * e[1] + 0.5 * (acc[2] + acc[3]), "
+    "0.3 * ((0.5 * e[1] + 0.5 * (acc[2] + acc[3])) - acc[2]) + 0.7 * acc[3]] "
+    "END) AS st "
+    "FROM s, LATERAL unnest(range(1, len(xs) + 1)) AS u(i)) "
+    "SELECT event_type, day, x, st[2] AS level, st[3] AS trend, "
+    "st[2] + st[3] AS forecast_next FROM p ORDER BY event_type, day"
+)
+
+
+@register("events_holt_trend", _HOLT_SQL)
+def events_holt_trend(t: Tables) -> DataFrame:
+    """Holt double-exponential smoothing of the per-type daily volume
+    series — the trend-aware forecaster one rung up from
+    events_ewma_daily (EWMA lags any trending series by design; Holt
+    carries an explicit trend state, and level+trend IS the one-step
+    forecast a capacity monitor alerts against). level_t =
+    alpha*x + (1-alpha)*(level+trend); trend_t =
+    beta*(level_t - level) + (1-beta)*trend; zero-state init with
+    level_1 = x_1.
+
+    The recursion is inherently sequential per series, so — the EWMA
+    discipline — it is computed as a per-day PREFIX left fold over the
+    day-ordered array, with the new level inlined into the trend update
+    so both engines evaluate the identical expression tree: every
+    (level, trend, forecast) double is bitwise-oracled. Scale shape:
+    the heavy events→daily reduction is map-side-combinable; series
+    state is one task per key, length = days, never events."""
+    d = t.events.groupBy(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    s = d.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("dx")
+    )
+    pe = s.select(
+        "event_type",
+        F.transform("dx", lambda e: e.getField("x")).alias("xs"),
+        F.posexplode("dx").alias("i0", "e"),
+    )
+
+    def step(acc, e):
+        # 0-based getItem here; the DuckDB twin is 1-based — acc[0]/[1]/[2]
+        # are n/level/trend, mirroring acc[1]/[2]/[3] in the SQL.
+        v = e[0]
+        l_new = F.lit(0.5) * v + F.lit(0.5) * (acc[1] + acc[2])
+        return F.when(
+            acc[0] == F.lit(0.0),
+            F.array(F.lit(1.0), v, F.lit(0.0)),
+        ).otherwise(
+            F.array(
+                acc[0] + F.lit(1.0),
+                l_new,
+                F.lit(0.3) * (l_new - acc[1]) + F.lit(0.7) * acc[2],
+            )
+        )
+
+    st = F.aggregate(
+        F.transform(
+            F.slice("xs", F.lit(1), F.col("i0") + F.lit(1)),
+            lambda v: F.array(v, F.lit(0.0), F.lit(0.0)),
+        ),
+        F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+        step,
+    )
+    return pe.select(
+        "event_type",
+        F.col("e.day").alias("day"),
+        F.col("e.x").alias("x"),
+        st[1].alias("level"),
+        st[2].alias("trend"),
+        (st[1] + st[2]).alias("forecast_next"),
+    ).orderBy("event_type", "day")

@@ -1778,3 +1778,23 @@ def test_km_survival_curve_properties(t):
         prev_s = r.survival
         if i + 1 < len(rows):
             assert rows[i + 1].n_at_risk == r.n_at_risk - r.churned - r.censored
+
+
+def test_holt_tracks_linear_trend_better_than_ewma(t):
+    """On the repo's event series Holt's one-step forecast must carry a
+    real trend state: level on day 1 equals the first observation with
+    zero trend, and every (level, trend) pair reproduces the recursion
+    exactly when replayed in Python float arithmetic."""
+    rows = QUERIES["events_holt_trend"](t).collect()
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append(r)
+    for et, rs in series.items():
+        assert rs[0].level == rs[0].x and rs[0].trend == 0.0
+        lvl, trd = rs[0].level, rs[0].trend
+        for r in rs[1:]:
+            l_new = 0.5 * r.x + 0.5 * (lvl + trd)
+            t_new = 0.3 * (l_new - lvl) + 0.7 * trd
+            assert (r.level, r.trend) == (l_new, t_new)
+            assert r.forecast_next == l_new + t_new
+            lvl, trd = l_new, t_new
