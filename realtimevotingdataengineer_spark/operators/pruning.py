@@ -234,22 +234,22 @@ def _pi_fold(expr_list: str) -> str:
     )
 
 
-def _pi_round_sql(k: int, prev: str) -> str:
+def _pi_round_sql(k: int, prev: str, cent: str = "cent", pfx: str = "") -> str:
     return (
-        f"s{k} AS (SELECT vec_id, c, "
+        f"{pfx}s{k} AS (SELECT vec_id, c, "
         + _pi_fold(f"list_transform(range(1, {EMB_DIM + 1}), j -> c[j] * vk[j])")
-        + f" AS s FROM cent CROSS JOIN {prev}), "
-        f"d{k} AS (SELECT vec_id, CAST(r.range AS INT) AS pos, "
-        f"c[CAST(r.range AS INT) + 1] * s AS t FROM s{k} CROSS JOIN range({EMB_DIM}) r), "
-        f"u{k} AS (SELECT pos, " + _pi_fold("list(t ORDER BY vec_id)")
-        + f" AS u FROM d{k} GROUP BY pos), "
-        f"n{k} AS (SELECT sqrt(" + _pi_fold("list_transform(uarr, x -> x * x)")
-        + f") AS lam, uarr FROM (SELECT list(u ORDER BY pos) AS uarr FROM u{k})), "
-        f"v{k} AS (SELECT list_transform(uarr, x -> x / lam) AS vk, lam FROM n{k})"
+        + f" AS s FROM {cent} CROSS JOIN {prev}), "
+        f"{pfx}d{k} AS (SELECT vec_id, CAST(r.range AS INT) AS pos, "
+        f"c[CAST(r.range AS INT) + 1] * s AS t FROM {pfx}s{k} CROSS JOIN range({EMB_DIM}) r), "
+        f"{pfx}u{k} AS (SELECT pos, " + _pi_fold("list(t ORDER BY vec_id)")
+        + f" AS u FROM {pfx}d{k} GROUP BY pos), "
+        f"{pfx}n{k} AS (SELECT sqrt(" + _pi_fold("list_transform(uarr, x -> x * x)")
+        + f") AS lam, uarr FROM (SELECT list(u ORDER BY pos) AS uarr FROM {pfx}u{k})), "
+        f"{pfx}v{k} AS (SELECT list_transform(uarr, x -> x / lam) AS vk, lam FROM {pfx}n{k})"
     )
 
 
-_PI_SQL = (
+_PI_PREFIX = (
     "WITH v AS (SELECT vec_id, "
     "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
     f"dims AS (SELECT vec_id, CAST(r.range AS INT) AS pos, "
@@ -261,10 +261,36 @@ _PI_SQL = (
     "j -> v[j] - m[j]) AS c FROM v CROSS JOIN marr), "
     "v0 AS (SELECT list_prepend(CAST(1 AS DOUBLE), "
     f"list_transform(range(1, {EMB_DIM}), j -> CAST(0 AS DOUBLE))) AS vk), "
+)
+
+_PI_SQL = (
+    _PI_PREFIX
     + ", ".join(_pi_round_sql(k, f"v{k - 1}") for k in range(1, PI_ITERS + 1))
     + f" SELECT CAST(r.range AS BIGINT) AS pos, "
     f"vk[CAST(r.range AS INT) + 1] AS loading, lam AS eigenvalue "
     f"FROM v{PI_ITERS} CROSS JOIN range({EMB_DIM}) r ORDER BY pos"
+)
+
+_PI2_SQL = (
+    _PI_PREFIX
+    + ", ".join(_pi_round_sql(k, f"v{k - 1}") for k in range(1, PI_ITERS + 1))
+    + ", proj AS (SELECT vec_id, c, vk, "
+    + _pi_fold(f"list_transform(range(1, {EMB_DIM + 1}), j -> c[j] * vk[j])")
+    + f" AS pr FROM cent CROSS JOIN v{PI_ITERS}), "
+    f"cent2 AS (SELECT vec_id, list_transform(range(1, {EMB_DIM + 1}), "
+    "j -> c[j] - pr * vk[j]) AS c FROM proj), "
+    + ", ".join(
+        _pi_round_sql(k, "v0" if k == 1 else f"bv{k - 1}", cent="cent2", pfx="b")
+        for k in range(1, PI_ITERS + 1)
+    )
+    + f" SELECT CAST(1 AS BIGINT) AS component, CAST(r.range AS BIGINT) AS pos, "
+    f"vk[CAST(r.range AS INT) + 1] AS loading, lam AS eigenvalue "
+    f"FROM v{PI_ITERS} CROSS JOIN range({EMB_DIM}) r "
+    "UNION ALL "
+    f"SELECT CAST(2 AS BIGINT), CAST(r.range AS BIGINT), "
+    f"vk[CAST(r.range AS INT) + 1], lam "
+    f"FROM bv{PI_ITERS} CROSS JOIN range({EMB_DIM}) r "
+    "ORDER BY component, pos"
 )
 
 
@@ -288,6 +314,21 @@ def emb_top_component(t: Tables) -> DataFrame:
     per-row dot, one (pos)-keyed fold shuffle of n·d terms — linear in
     the corpus; at petabyte rows switch the folds to double partials
     and drop the oracle, not the operator (the module-head rule)."""
+    vk = _power_top(_centered_embeddings(t))
+    return (
+        vk.select(F.posexplode("vk").alias("pos", "loading"), "lam")
+        .select(
+            F.col("pos").cast("bigint").alias("pos"),
+            "loading",
+            F.col("lam").alias("eigenvalue"),
+        )
+        .orderBy("pos")
+    )
+
+
+def _centered_embeddings(t: Tables) -> DataFrame:
+    """Mean-centered embedding rows (vec_id, c), ordered-fold means,
+    eager-checkpointed — the shared input of the power-iteration keys."""
     v = t.embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -311,8 +352,13 @@ def emb_top_component(t: Tables) -> DataFrame:
     cent = v.crossJoin(F.broadcast(marr)).select(
         "vec_id", F.zip_with("v", "m", lambda a, b: a - b).alias("c")
     )
-    cent = cent.localCheckpoint(eager=True)  # reused by every round
-    vk = marr.sparkSession.range(1).select(
+    return cent.localCheckpoint(eager=True)  # reused by every round
+
+
+def _power_top(cent: DataFrame) -> DataFrame:
+    """PI_ITERS power-iteration rounds over (vec_id, c): returns the
+    1-row (vk, lam) frame. Every accumulation is an ordered fold."""
+    vk = cent.sparkSession.range(1).select(
         F.array(
             F.lit(1.0), *[F.lit(0.0) for _ in range(EMB_DIM - 1)]
         ).alias("vk"),
@@ -354,12 +400,49 @@ def emb_top_component(t: Tables) -> DataFrame:
         vk = uarr.select(
             F.transform("uarr", lambda x: x / lam).alias("vk"), lam.alias("lam")
         ).localCheckpoint(eager=True)
-    return (
-        vk.select(F.posexplode("vk").alias("pos", "loading"), "lam")
-        .select(
+    return vk
+
+
+@register("emb_top2_components", _PI2_SQL)
+def emb_top2_components(t: Tables) -> DataFrame:
+    """Top TWO principal components by power iteration + Hotelling
+    DEFLATION — the step that turns the single-eigenvector operator
+    into a PCA: after v1 converges, every centered row is projected out
+    (c ← c − (c·v1)·v1) and the identical unrolled iteration runs on
+    the deflated matrix, whose dominant eigenvector is the ORIGINAL
+    second component. Both components + eigenvalue estimates in one
+    result, orthogonality pytest-asserted (|v1·v2| ≤ 1e-12 at the
+    iteration budget).
+
+    Exactness: deflation is one more ordered-fold dot (c·v1) and a
+    zip_with subtraction per row — the same pinned shapes as the
+    iteration itself, so both components are bitwise-oracled end to
+    end. Scale: deflation is a narrow map over one broadcast 64-vector
+    (no extra shuffle); the d-th component costs exactly d-1 deflation
+    passes plus the same two linear passes per round — never a d×d
+    covariance."""
+    cent = _centered_embeddings(t)
+    v1 = _power_top(cent)
+    pr = F.aggregate(
+        F.zip_with("c", "vk", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    proj = cent.crossJoin(F.broadcast(v1.select("vk"))).select(
+        "vec_id", "c", "vk", pr.alias("pr")
+    )
+    cent2 = proj.select(
+        "vec_id",
+        F.zip_with("c", "vk", lambda a, b: a - F.col("pr") * b).alias("c"),
+    ).localCheckpoint(eager=True)
+    v2 = _power_top(cent2)
+
+    def rows(vk: DataFrame, comp: int) -> DataFrame:
+        return vk.select(F.posexplode("vk").alias("pos", "loading"), "lam").select(
+            F.lit(comp).cast("bigint").alias("component"),
             F.col("pos").cast("bigint").alias("pos"),
             "loading",
             F.col("lam").alias("eigenvalue"),
         )
-        .orderBy("pos")
-    )
+
+    return rows(v1, 1).unionAll(rows(v2, 2)).orderBy("component", "pos")

@@ -1798,3 +1798,23 @@ def test_holt_tracks_linear_trend_better_than_ewma(t):
             assert (r.level, r.trend) == (l_new, t_new)
             assert r.forecast_next == l_new + t_new
             lvl, trd = l_new, t_new
+
+
+def test_top2_components_orthogonal_and_consistent(t):
+    """Component 1 of the deflated key must equal emb_top_component
+    bitwise (same helper, same folds); the two loadings must be
+    orthogonal at the iteration budget and unit-norm; eigenvalue 1 >=
+    eigenvalue 2 (deflation removes the dominant direction)."""
+    both = QUERIES["emb_top2_components"](t).collect()
+    one = QUERIES["emb_top_component"](t).collect()
+    c1 = [r for r in both if r.component == 1]
+    c2 = [r for r in both if r.component == 2]
+    assert [(r.pos, r.loading, r.eigenvalue) for r in c1] == [
+        (r.pos, r.loading, r.eigenvalue) for r in one
+    ]
+    dot = sum(a.loading * b.loading for a, b in zip(c1, c2))
+    n1 = sum(a.loading**2 for a in c1)
+    n2 = sum(b.loading**2 for b in c2)
+    assert abs(dot) < 1e-12
+    assert abs(n1 - 1.0) < 1e-12 and abs(n2 - 1.0) < 1e-12
+    assert c1[0].eigenvalue >= c2[0].eigenvalue
