@@ -1818,3 +1818,18 @@ def test_top2_components_orthogonal_and_consistent(t):
     assert abs(dot) < 1e-12
     assert abs(n1 - 1.0) < 1e-12 and abs(n2 - 1.0) < 1e-12
     assert c1[0].eigenvalue >= c2[0].eigenvalue
+
+
+def test_audience_overlap_set_identities(t):
+    """Overlap rows must satisfy set algebra exactly: all 10 unordered
+    type pairs present, overlap <= min(|A|, |B|), Jaccard is the exact
+    integer division, and the sketch verdict is green everywhere."""
+    rows = QUERIES["events_audience_overlap_hll"](t).collect()
+    types = {r for row in rows for r in (row.type_a, row.type_b)}
+    assert len(rows) == len(types) * (len(types) - 1) // 2
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert r.exact_overlap <= min(r.exact_a, r.exact_b)
+        union = r.exact_a + r.exact_b - r.exact_overlap
+        assert r.jaccard_ppm == r.exact_overlap * 1000000 // union
+        assert r.overlap_ok
