@@ -1981,3 +1981,105 @@ def text_bpe_fertility(t: Tables) -> DataFrame:
             "chars_per_token_ppm"
         ),
     ).orderBy("source")
+
+
+#: Bigram LM interpolation weights — literals in both engines, never
+#: derived (the float-literal discipline).
+BIGRAM_LAMBDA, BIGRAM_UNIGRAM_W = 0.8, 0.2
+
+_BIGRAM_PPLX_SQL = (
+    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+    "toks AS (SELECT doc_id, u.i AS pos, tk[u.i] AS tok FROM tk, "
+    "LATERAL unnest(range(1, len(tk) + 1)) AS u(i)), "
+    "bgs AS (SELECT doc_id, u.i AS pos, tk[u.i - 1] AS w1, tk[u.i] AS w2 "
+    "FROM tk, LATERAL unnest(range(2, len(tk) + 1)) AS u(i)), "
+    "cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cbg FROM bgs GROUP BY w1, w2), "
+    "cc AS (SELECT w1, CAST(count(*) AS BIGINT) AS cctx FROM bgs GROUP BY w1), "
+    "cu AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok), "
+    "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cu), "
+    "probs AS (SELECT cb.w1, cb.w2, CAST(CAST(ln("
+    "0.8 * (CAST(cbg AS DOUBLE) / CAST(cctx AS DOUBLE)) + "
+    "0.2 * (CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))"
+    ") AS DECIMAL(18,9)) AS DOUBLE) AS lp "
+    "FROM cb JOIN cc ON cb.w1 = cc.w1 JOIN cu ON cu.tok = cb.w2, tot), "
+    "scored AS (SELECT b.doc_id, b.pos, p.lp FROM bgs b "
+    "JOIN probs p ON b.w1 = p.w1 AND b.w2 = p.w2) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lp ORDER BY pos)), "
+    "(acc, x) -> acc + x) / count(*) AS mean_logprob_bigram "
+    "FROM scored GROUP BY doc_id ORDER BY doc_id"
+)
+
+
+@register("text_perplexity_bigram", _BIGRAM_PPLX_SQL)
+def text_perplexity_bigram(t: Tables) -> DataFrame:
+    """Interpolated BIGRAM language-model scoring — the context-aware
+    rung above text_perplexity_unigram (CCNet's actual filter is a
+    KenLM n-gram model; this is its count-LM shape in pure DataFrame
+    ops): p(w_i | w_{i-1}) = 0.8·c(w1,w2)/c(w1·) + 0.2·c(w2)/N, mean
+    ln(p) per document over position-ordered folds. Interpolation with
+    the unigram floor is what makes the conditional usable as a filter
+    (pure MLE assigns sharp probabilities to rare contexts); c(w1·) is
+    the bigram-CONTEXT count, so the conditional rows sum to 1 exactly.
+
+    Exactness: every count is integer, each probability is ONE
+    pinned-shape float expression, ln pinned through DECIMAL(18,9) (the
+    BM25 trick), and the per-doc mean is an ordered fold — bitwise
+    oracle despite the transcendental. Scale shape: the corpus
+    collapses to Zipf-bounded bigram/context/unigram tables (three
+    map-side-combinable counts off one checkpointed bigram stream); the
+    scoring join co-partitions on (w1, w2). This is the LM-scoring
+    pipeline a CCNet-style filter runs where the model IS the corpus
+    statistics."""
+    tk = spread(t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id")
+    bgs = (
+        tk.select(
+            "doc_id",
+            "tk",
+            F.explode(F.sequence(F.lit(2), F.size("tk"))).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.element_at("tk", F.col("pos") - 1).alias("w1"),
+            F.element_at("tk", F.col("pos")).alias("w2"),
+        )
+        .localCheckpoint(eager=True)  # feeds cb, cc AND the scoring join
+    )
+    toks = tk.select("doc_id", F.explode("tk").alias("tok"))
+    cb = bgs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbg"))
+    cc = bgs.groupBy("w1").agg(F.count(F.lit(1)).alias("cctx"))
+    cu = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cu.agg(F.sum("cnt").alias("total"))
+    lp = (
+        F.log(
+            F.lit(0.8)
+            * (F.col("cbg").cast("double") / F.col("cctx").cast("double"))
+            + F.lit(0.2)
+            * (F.col("cnt").cast("double") / F.col("total").cast("double"))
+        )
+        .cast("decimal(18,9)")
+        .cast("double")
+    )
+    probs = (
+        cb.join(cc, "w1")
+        .join(cu, cb["w2"] == cu["tok"])
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", lp.alias("lp"))
+    )
+    scored = bgs.join(probs, ["w1", "w2"])
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+        lambda s: s.getField("lp"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x)
+                / F.count(F.lit(1))
+            ).alias("mean_logprob_bigram"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1833,3 +1833,17 @@ def test_audience_overlap_set_identities(t):
         union = r.exact_a + r.exact_b - r.exact_overlap
         assert r.jaccard_ppm == r.exact_overlap * 1000000 // union
         assert r.overlap_ok
+
+
+def test_bigram_lm_accounting(t):
+    """Every document scores exactly its n_tokens - 1 bigrams and the
+    mean interpolated log-probability is strictly negative (the model
+    never assigns p >= 1; normalization of the MLE conditional is
+    structural — context counts are the group sums of the bigram
+    counts)."""
+    rows = QUERIES["text_perplexity_bigram"](t).collect()
+    ntok = {r.doc_id: r.n_tokens for r in QUERIES["text_token_count"](t).collect()}
+    assert rows
+    for r in rows:
+        assert r.mean_logprob_bigram < 0.0
+        assert r.n_bigrams == ntok[r.doc_id] - 1
