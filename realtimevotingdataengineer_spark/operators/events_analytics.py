@@ -2316,3 +2316,167 @@ def events_audience_overlap_hll(t: Tables) -> DataFrame:
         ).alias("jaccard_ppm"),
         ok.alias("overlap_ok"),
     ).orderBy("type_a", "type_b")
+
+
+#: PSI geometry: coarse value bins (width 50 over the ~[0, 500) value
+#: range), the same pre/post boundary as CUPED, +1 Laplace smoothing so
+#: one-sided bins stay finite, and the industry 0.1 / 0.25 thresholds.
+PSI_BIN_WIDTH = 50.0
+
+_PSI_SQL = (
+    "WITH b AS (SELECT event_type, "
+    f"CAST(floor(value / {PSI_BIN_WIDTH}) AS BIGINT) AS bin, "
+    f"CASE WHEN ts < TIMESTAMP '{CUPED_BOUNDARY}' THEN 1 ELSE 0 END AS pre "
+    "FROM events), "
+    "c AS (SELECT event_type, bin, CAST(sum(pre) AS BIGINT) + 1 AS pc, "
+    "CAST(sum(1 - pre) AS BIGINT) + 1 AS qc FROM b GROUP BY event_type, bin), "
+    "tt AS (SELECT event_type, CAST(sum(pc) AS BIGINT) AS pt, "
+    "CAST(sum(qc) AS BIGINT) AS qt FROM c GROUP BY event_type), "
+    "terms AS (SELECT c.event_type, bin, "
+    "(CAST(pc AS DOUBLE) / CAST(pt AS DOUBLE) - "
+    "CAST(qc AS DOUBLE) / CAST(qt AS DOUBLE)) * "
+    "CAST(CAST(ln((CAST(pc AS DOUBLE) / CAST(pt AS DOUBLE)) / "
+    "(CAST(qc AS DOUBLE) / CAST(qt AS DOUBLE))) AS DECIMAL(18,9)) AS DOUBLE) "
+    "AS term FROM c JOIN tt ON c.event_type = tt.event_type), "
+    "agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_bins, "
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY bin)), "
+    "(acc, x) -> acc + x) AS psi FROM terms GROUP BY event_type) "
+    "SELECT event_type, n_bins, psi, "
+    "CASE WHEN psi < 0.1 THEN 'stable' WHEN psi < 0.25 THEN 'moderate' "
+    "ELSE 'shifted' END AS verdict FROM agg ORDER BY event_type"
+)
+
+
+@register("dq_distribution_drift_psi", _PSI_SQL)
+def dq_distribution_drift_psi(t: Tables) -> DataFrame:
+    """Population Stability Index between the first- and second-half
+    value distributions per event type — the drift monitor production
+    scoring/DQ systems run between a reference window and live traffic
+    (PSI < 0.1 stable, < 0.25 moderate, else shifted; the standard
+    credit-scoring thresholds). PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i)
+    over the shared fixed-width binning, +1 Laplace smoothing so a bin
+    observed on only one side contributes a finite term instead of ±∞.
+
+    Determinism: bin counts are one conditional-sum integer aggregate
+    (no align join — both periods count in the same group), each term
+    is a pinned-shape expression with ln through DECIMAL(18,9), and the
+    bin sum is an ordered fold — bitwise-oracled. Scale: stateless bin
+    expression, map-side combine to |types|·|bins| rows, everything
+    after is tiny."""
+    pre = (F.col("ts") < F.lit(CUPED_BOUNDARY).cast("timestamp")).cast("int")
+    b = t.events.select(
+        "event_type",
+        F.floor(F.col("value") / F.lit(PSI_BIN_WIDTH)).cast("bigint").alias("bin"),
+        pre.alias("pre"),
+    )
+    c = b.groupBy("event_type", "bin").agg(
+        (F.sum("pre") + F.lit(1)).cast("bigint").alias("pc"),
+        (F.sum(F.lit(1) - F.col("pre")) + F.lit(1)).cast("bigint").alias("qc"),
+    )
+    tt = c.groupBy("event_type").agg(
+        F.sum("pc").cast("bigint").alias("pt"),
+        F.sum("qc").cast("bigint").alias("qt"),
+    )
+    pd_ = F.col("pc").cast("double") / F.col("pt").cast("double")
+    qd = F.col("qc").cast("double") / F.col("qt").cast("double")
+    term = (pd_ - qd) * F.log(pd_ / qd).cast("decimal(18,9)").cast("double")
+    terms = c.join(tt, "event_type").select("event_type", "bin", term.alias("term"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("bin", "term"))),
+        lambda s: s.getField("term"),
+    )
+    agg = terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x).alias("psi"),
+    )
+    verdict = (
+        F.when(F.col("psi") < 0.1, "stable")
+        .when(F.col("psi") < 0.25, "moderate")
+        .otherwise("shifted")
+    )
+    return agg.select("event_type", "n_bins", "psi", verdict.alias("verdict")).orderBy(
+        "event_type"
+    )
+
+
+#: Pinned IEEE shapes for the binary-segmentation gain and means —
+#: rendered identically in both engines from exact integer window sums.
+_BINSEG_GAIN = (
+    "(CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / "
+    "CAST(n AS DOUBLE)) - ((CAST(css AS DOUBLE) - CAST(cs AS DOUBLE) * "
+    "CAST(cs AS DOUBLE) / CAST(i AS DOUBLE)) + (CAST(sst - css AS DOUBLE) - "
+    "CAST(st - cs AS DOUBLE) * CAST(st - cs AS DOUBLE) / CAST(n - i AS DOUBLE)))"
+)
+_BINSEG_MEANS = (
+    "CAST(cs AS DOUBLE) / CAST(i AS DOUBLE)",
+    "CAST(st - cs AS DOUBLE) / CAST(n - i AS DOUBLE)",
+)
+
+_BINSEG_SQL = (
+    "WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+    "CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2), "
+    "p AS (SELECT event_type, day, "
+    "CAST(sum(y) OVER w AS BIGINT) AS cs, "
+    "CAST(sum(y * y) OVER w AS BIGINT) AS css, "
+    "CAST(row_number() OVER w AS BIGINT) AS i, "
+    "CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS st, "
+    "CAST(sum(y * y) OVER (PARTITION BY event_type) AS BIGINT) AS sst, "
+    "CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n "
+    "FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)), "
+    f"g AS (SELECT *, {_BINSEG_GAIN} AS gain FROM p WHERE i < n) "
+    "SELECT event_type, strftime(day, '%Y-%m-%d') AS split_day, n AS n_days, "
+    f"{_BINSEG_MEANS[0]} AS mean_before, {_BINSEG_MEANS[1]} AS mean_after, gain "
+    "FROM (SELECT *, row_number() OVER (PARTITION BY event_type "
+    "ORDER BY gain DESC, day) AS rn FROM g) WHERE rn = 1 ORDER BY event_type"
+)
+
+
+@register("events_changepoint_binseg", _BINSEG_SQL)
+def events_changepoint_binseg(t: Tables) -> DataFrame:
+    """Change-point detection on the per-type daily volume series —
+    round 1 of binary segmentation (the classic CPD recursion): the
+    split that maximizes the SSE reduction of a two-mean fit over a
+    one-mean fit, reported with the pre/post level means. The
+    monitoring question behind it ('did this series change regime, and
+    when?') is what the z-score and MAD keys answer pointwise; this
+    answers it structurally.
+
+    Every candidate split is scored from exact integer prefix/total
+    window sums (Σy, Σy² cumulative and per-partition — one
+    (type, day) shuffle, series-length work after), so the gain is ONE
+    pinned-shape double expression per row and the argmax (tie-break
+    earliest day) is bitwise-oracled. Full binary segmentation recurses
+    on the two halves — each recursion is this same plan on a filtered
+    day range, the label-propagation structuring applied to CPD."""
+    d = t.events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    wp = Window.partitionBy("event_type")
+    p = d.select(
+        "event_type",
+        "day",
+        F.sum("y").over(w).cast("bigint").alias("cs"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("css"),
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.sum("y").over(wp).cast("bigint").alias("st"),
+        F.sum(F.col("y") * F.col("y")).over(wp).cast("bigint").alias("sst"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+    )
+    g = p.filter(F.col("i") < F.col("n")).withColumn("gain", F.expr(_BINSEG_GAIN))
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.desc("gain"), F.asc("day"))
+    )
+    return (
+        g.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+            F.col("n").alias("n_days"),
+            F.expr(_BINSEG_MEANS[0]).alias("mean_before"),
+            F.expr(_BINSEG_MEANS[1]).alias("mean_after"),
+            "gain",
+        )
+        .orderBy("event_type")
+    )

@@ -1847,3 +1847,42 @@ def test_bigram_lm_accounting(t):
     for r in rows:
         assert r.mean_logprob_bigram < 0.0
         assert r.n_bigrams == ntok[r.doc_id] - 1
+
+
+def test_psi_symmetric_in_time_and_smoothed(t):
+    """PSI accounting: n_bins >= 1 per type, psi >= 0 always (the
+    KL-symmetrized form is non-negative), and the verdict matches the
+    thresholds exactly."""
+    for r in QUERIES["dq_distribution_drift_psi"](t).collect():
+        assert r.n_bins >= 1 and r.psi >= 0.0
+        expect = "stable" if r.psi < 0.1 else ("moderate" if r.psi < 0.25 else "shifted")
+        assert r.verdict == expect
+
+
+def test_changepoint_gain_is_true_argmax(t):
+    """The reported split must be the exact argmax: replaying the SSE
+    gain for every candidate split from the collected daily series
+    (exact integer sums, same float shape) finds no strictly better
+    day, and the two reported means reproduce from the series."""
+    series: dict = {}
+    for r in (
+        t.events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .collect()
+    ):
+        series.setdefault(r.event_type, []).append((r.day, r.y))
+    for r in QUERIES["events_changepoint_binseg"](t).collect():
+        ys = [y for _, y in sorted(series[r.event_type])]
+        days = [d for d, _ in sorted(series[r.event_type])]
+        n, st, sst = len(ys), sum(ys), sum(y * y for y in ys)
+        best = None
+        for i in range(1, n):
+            cs, css = sum(ys[:i]), sum(y * y for y in ys[:i])
+            gain = (sst - st * st / n) - (
+                (css - cs * cs / i) + ((sst - css) - (st - cs) * (st - cs) / (n - i))
+            )
+            if best is None or gain > best[0]:
+                best = (gain, days[i - 1], cs / i, (st - cs) / (n - i))
+        assert str(best[1]) == r.split_day
+        assert abs(best[2] - r.mean_before) < 1e-9
+        assert abs(best[3] - r.mean_after) < 1e-9
