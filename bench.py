@@ -81,6 +81,11 @@ HEADLINE = [
     "pipeline_rag_chunk_index",
     "pipeline_clean_corpus_spans",
     "sim_mips_srp_topk",
+    # round-7 continuation: bigram LM scoring (the corpus-volume
+    # bigram stream + Zipf-bounded count tables) and the CUPED A/B
+    # readout (per-user rollup + decimal power sums at fact scale)
+    "text_perplexity_bigram",
+    "events_ab_cuped",
 ]
 
 

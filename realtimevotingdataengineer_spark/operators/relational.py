@@ -2172,3 +2172,66 @@ def join_asof_nearest(t: Tables) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+#: As-of tolerance: matches staler than this are rejected (pandas
+#: merge_asof's `tolerance=` semantics). 7 days in seconds.
+ASOF_TOLERANCE_SEC = 604800
+
+_ASOF_TOL_SQL = (
+    "WITH s AS (SELECT event_id, user_id, ts, event_type, "
+    "max(CASE WHEN event_type = 'signup' THEN ts END) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_signup "
+    "FROM events) "
+    "SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, "
+    "CASE WHEN prev_signup IS NOT NULL AND "
+    f"date_diff('second', prev_signup, ts) <= {ASOF_TOLERANCE_SEC} "
+    "THEN strftime(prev_signup, '%Y-%m-%d %H:%M:%S') END AS last_signup, "
+    "CASE WHEN prev_signup IS NOT NULL AND "
+    f"date_diff('second', prev_signup, ts) <= {ASOF_TOLERANCE_SEC} "
+    "THEN CAST(date_diff('second', prev_signup, ts) AS BIGINT) END "
+    "AS since_signup_sec, "
+    "(prev_signup IS NOT NULL AND "
+    f"date_diff('second', prev_signup, ts) <= {ASOF_TOLERANCE_SEC}) AS matched "
+    "FROM s WHERE event_type = 'purchase' ORDER BY event_id"
+)
+
+
+@register("join_asof_tolerance", _ASOF_TOL_SQL)
+def join_asof_tolerance(t: Tables) -> DataFrame:
+    """Backward as-of join WITH TOLERANCE — pandas merge_asof's
+    ``tolerance=`` semantics, completing the as-of family (backward /
+    forward / nearest / bounded-staleness): a purchase matches its most
+    recent preceding signup only if that signup is at most
+    ASOF_TOLERANCE_SEC old; staler matches are rejected to NULL rather
+    than silently attributed (the feature-freshness rule every
+    point-in-time feature-store join enforces). ALL purchases are kept
+    with a ``matched`` verdict, so the result also measures match rate.
+
+    Same single-shuffle sorted-window plan as the other three
+    directions — one (user) partition sort, a running max, then a pure
+    row-local staleness predicate; tolerance adds zero plan cost."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_signup = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    s = t.events.select(
+        "event_id", "user_id", "ts", "event_type", prev_signup.alias("prev_signup")
+    ).filter(F.col("event_type") == "purchase")
+    delta = F.unix_timestamp("ts") - F.unix_timestamp("prev_signup")
+    ok = F.col("prev_signup").isNotNull() & (delta <= ASOF_TOLERANCE_SEC)
+    return s.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.when(ok, F.date_format("prev_signup", "yyyy-MM-dd HH:mm:ss")).alias(
+            "last_signup"
+        ),
+        F.when(ok, delta).alias("since_signup_sec"),
+        ok.alias("matched"),
+    ).orderBy("event_id")

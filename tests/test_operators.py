@@ -1886,3 +1886,28 @@ def test_changepoint_gain_is_true_argmax(t):
         assert str(best[1]) == r.split_day
         assert abs(best[2] - r.mean_before) < 1e-9
         assert abs(best[3] - r.mean_after) < 1e-9
+
+
+def test_asof_tolerance_agrees_with_unbounded_backward(t):
+    """The tolerance key must be exactly the unbounded backward as-of
+    with a staleness gate: matched purchases carry the identical delta,
+    every unmatched purchase either has no preceding signup or one
+    older than the tolerance, and no purchase is dropped."""
+    from realtimevotingdataengineer_spark.operators.relational import (
+        ASOF_TOLERANCE_SEC,
+    )
+
+    back = {
+        r.event_id: r.since_signup_sec
+        for r in QUERIES["join_asof_last_signup"](t).collect()
+    }
+    rows = QUERIES["join_asof_tolerance"](t).collect()
+    n_purchases = t.events.filter(F.col("event_type") == "purchase").count()
+    assert len(rows) == n_purchases
+    for r in rows:
+        b = back.get(r.event_id)
+        if r.matched:
+            assert r.since_signup_sec == b <= ASOF_TOLERANCE_SEC
+        else:
+            assert r.since_signup_sec is None and r.last_signup is None
+            assert b is None or b > ASOF_TOLERANCE_SEC
