@@ -2083,3 +2083,80 @@ def text_perplexity_bigram(t: Tables) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_NOVELTY_SQL = (
+    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, u.g FROM (SELECT doc_id, "
+    "list_transform(range(1, len(tk) - 1), "
+    "i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]) AS gs "
+    "FROM tk WHERE len(tk) >= 3), LATERAL unnest(gs) AS u(g)), "
+    "f AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g), "
+    "a AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+    "CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_novel FROM sh JOIN f ON sh.g = f.g GROUP BY sh.doc_id) "
+    "SELECT doc_id, n_grams, n_novel, "
+    "CAST(n_novel * 1000000 // n_grams AS BIGINT) AS novelty_ppm "
+    "FROM a ORDER BY doc_id"
+)
+
+
+@register("text_ngram_novelty", _NOVELTY_SQL)
+def text_ngram_novelty(t: Tables) -> DataFrame:
+    """Per-document n-gram NOVELTY in corpus order: the fraction of a
+    doc's distinct word trigrams whose FIRST corpus occurrence is this
+    doc (first-occurrence = min doc_id — the ingestion-order convention
+    of streaming dedup). This is the redundancy curve curators read
+    before paying for dedup: a corpus whose late documents contribute
+    near-zero novel trigrams is one where substring/near-dup dedup will
+    reclaim most of its token budget, and the same statistic ordered by
+    doc_id IS the 'diminishing novelty' plot from scaling-data papers.
+
+    Plan: one narrow shingle pass (in-row transform + per-doc distinct),
+    ONE gram-keyed shuffle shared by the min-aggregate and the
+    co-partitioned join back, then a per-doc count — the
+    dedup_substring_window posting discipline; a boilerplate trigram
+    shared by millions of docs is a single aggregate row, never a pair
+    explosion. All-integer, bitwise oracle."""
+    tk = spread(t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id")
+    sh = (
+        tk.filter(F.size("tk") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("tk") - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at("tk", i),
+                            F.element_at("tk", i + 1),
+                            F.element_at("tk", i + 2),
+                        ),
+                    )
+                )
+            ).alias("g"),
+        )
+        .localCheckpoint(eager=True)  # feeds the min-agg AND the join
+    )
+    f = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    a = (
+        sh.join(f, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return a.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.expr("CAST((n_novel * 1000000) div n_grams AS BIGINT)").alias(
+            "novelty_ppm"
+        ),
+    ).orderBy("doc_id")

@@ -1911,3 +1911,38 @@ def test_asof_tolerance_agrees_with_unbounded_backward(t):
         else:
             assert r.since_signup_sec is None and r.last_signup is None
             assert b is None or b > ASOF_TOLERANCE_SEC
+
+
+def test_ngram_novelty_is_first_occurrence_accounting(t):
+    """Doc 0 (the corpus-order first doc) must be 100% novel; every
+    novelty count is bounded by the doc's distinct-gram count; the ppm
+    is the exact integer division; and summing n_novel over all docs
+    equals the corpus's total distinct trigram count (each gram is
+    novel exactly once)."""
+    rows = QUERIES["text_ngram_novelty"](t).collect()
+    by_id = {r.doc_id: r for r in rows}
+    first = by_id[min(by_id)]
+    assert first.n_novel == first.n_grams
+    assert first.novelty_ppm == 1000000
+    total_novel = sum(r.n_novel for r in rows)
+    from realtimevotingdataengineer_spark.functions import tokens
+
+    # corpus distinct trigrams, recomputed independently
+    tk = t.documents.select("doc_id", tokens("text").alias("tk"))
+    grams = tk.filter(F.size("tk") >= 3).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("tk", i),
+                    F.element_at("tk", i + 1),
+                    F.element_at("tk", i + 2),
+                ),
+            )
+        ).alias("g")
+    )
+    assert total_novel == grams.select("g").distinct().count()
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_grams
+        assert r.novelty_ppm == r.n_novel * 1000000 // r.n_grams
