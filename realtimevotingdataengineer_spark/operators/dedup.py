@@ -1655,7 +1655,7 @@ def dedup_fuzzy_edit(t: Tables) -> DataFrame:
     )
 
 
-def _srp_topk_sql() -> str:
+def _srp_topk_sql(probe_bits: int = 0) -> str:
     from .similarity import EMB_DIM, N_QUERIES, TOP_K
 
     duck_sig = _srp_duck_sig()
@@ -1663,14 +1663,28 @@ def _srp_topk_sql() -> str:
         f"({dot_sql('ea.embedding', 'eb.embedding', EMB_DIM)}) / "
         f"(({norm_sql('ea.embedding', EMB_DIM)}) * ({norm_sql('eb.embedding', EMB_DIM)}))"
     )
+    if probe_bits:
+        probe_list = ", ".join(
+            ["bv"] + [f"xor(bv, {1 << b})" for b in range(probe_bits)]
+        )
+        qside = (
+            f"qb AS (SELECT vec_id, band, bv FROM bands WHERE vec_id < {N_QUERIES}), "
+            f"q AS (SELECT vec_id, band, u.pv AS bv FROM qb, "
+            f"LATERAL unnest([{probe_list}]) AS u(pv)), "
+        )
+    else:
+        qside = (
+            f"q AS (SELECT vec_id, band, bv FROM bands WHERE vec_id < {N_QUERIES}), "
+        )
     return (
         f"WITH s AS (SELECT vec_id, {duck_sig} AS sig FROM embeddings), "
         "bands AS (SELECT vec_id, u.j AS band, "
         f"(sig >> ({SRP_BAND_BITS} * u.j)) & {(1 << SRP_BAND_BITS) - 1} AS bv "
         f"FROM s, (SELECT unnest(range(0, {SRP_BANDS})) AS j) u), "
-        "cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id "
-        "FROM bands q JOIN bands c ON q.band = c.band AND q.bv = c.bv "
-        f"AND q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id), "
+        + qside
+        + "cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id "
+        "FROM q JOIN bands c ON q.band = c.band AND q.bv = c.bv "
+        "AND c.vec_id <> q.vec_id), "
         f"scored AS (SELECT query_id, neighbor_id, {cos} AS cosine FROM cand "
         "JOIN embeddings ea ON ea.vec_id = query_id "
         "JOIN embeddings eb ON eb.vec_id = neighbor_id) "
@@ -1705,10 +1719,40 @@ def sim_srp_topk(t: Tables) -> DataFrame:
     return _srp_search_from_sigs(t, sigs)
 
 
-def _srp_search_from_sigs(t: Tables, sigs: DataFrame) -> DataFrame:
+@register("sim_srp_multiprobe_topk", _srp_topk_sql(probe_bits=SRP_BAND_BITS))
+def sim_srp_multiprobe_topk(t: Tables) -> DataFrame:
+    """LSH MULTIPROBE (Lv et al. 2007) through the SRP band index: each
+    query probes its own band value PLUS every Hamming-1 perturbation
+    (flip one of the SRP_BAND_BITS bits per band) — the nearby buckets
+    a near-neighbor most likely fell into when one hyperplane voted
+    wrong. The recall dial that does NOT cost index storage: where
+    raising SRP_BANDS multiplies the indexed rows (more hash tables),
+    multiprobe multiplies only the BOUNDED query side's lookups
+    (×(1+bits) probe rows for 5 queries), with the corpus-side band
+    relation byte-identical to sim_srp_topk's — the same trade IVF
+    makes with n_probe vs n_cells (sim_ivf_multiprobe_topk), completing
+    the dial on the LSH leg. Candidates only grow, so recall ≥ the
+    single-probe key's by construction (pytest-asserted, and measured
+    against brute force every round); exact pinned-cosine re-rank keeps
+    the whole thing bitwise-oracled."""
+    from .similarity import srp_band_signatures
+
+    sigs = srp_band_signatures(
+        spread(t.embeddings, "vec_id"), "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+    ).localCheckpoint(eager=True)
+    return _srp_search_from_sigs(t, sigs, probe_bits=SRP_BAND_BITS)
+
+
+def _srp_search_from_sigs(
+    t: Tables, sigs: DataFrame, probe_bits: int = 0
+) -> DataFrame:
     """The search half of sim_srp_topk against a signature table from
     ANY provenance — the fresh Arrow-kernel pass (sim_srp_topk) or the
-    persisted index (search_srp_index). Byte-identical either way."""
+    persisted index (search_srp_index). Byte-identical either way.
+    With ``probe_bits`` > 0 the (bounded) query side also probes every
+    Hamming-1 perturbation of each band value's low ``probe_bits`` bits
+    — LSH MULTIPROBE: recall of extra hash tables at the cost of a few
+    more bucket lookups, with the corpus side untouched."""
     from .similarity import EMB_DIM, N_QUERIES, TOP_K
 
     bands = sigs.select(
@@ -1722,13 +1766,27 @@ def _srp_search_from_sigs(t: Tables, sigs: DataFrame) -> DataFrame:
             )
         ).alias("b"),
     ).select("vec_id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
-    q, c = bands.alias("q"), bands.alias("c")
+    qb = bands.filter(F.col("vec_id") < N_QUERIES)
+    if probe_bits:
+        qb = qb.select(
+            "vec_id",
+            "band",
+            F.explode(
+                F.array(
+                    F.col("bv"),
+                    *[
+                        F.col("bv").bitwiseXOR(F.lit(1 << b))
+                        for b in range(probe_bits)
+                    ],
+                )
+            ).alias("bv"),
+        )
+    q, c = qb.alias("q"), bands.alias("c")
     cand = (
         q.join(
             c,
             (F.col("q.band") == F.col("c.band"))
             & (F.col("q.bv") == F.col("c.bv"))
-            & (F.col("q.vec_id") < N_QUERIES)
             & (F.col("c.vec_id") != F.col("q.vec_id")),
         )
         .select(

@@ -1946,3 +1946,36 @@ def test_ngram_novelty_is_first_occurrence_accounting(t):
     for r in rows:
         assert 0 <= r.n_novel <= r.n_grams
         assert r.novelty_ppm == r.n_novel * 1000000 // r.n_grams
+
+
+def test_srp_multiprobe_recall_dominates_single_probe(t):
+    """Multiprobe explores a superset of the single-probe buckets, so
+    per-query recall against exact brute force can only improve; both
+    keys must agree bitwise on the neighbors they share (same pinned
+    cosine re-rank)."""
+    exact = {}
+    for r in QUERIES["sim_bruteforce_topk"](t).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    single = {}
+    for r in QUERIES["sim_srp_topk"](t).collect():
+        single.setdefault(r.query_id, set()).add(r.neighbor_id)
+    multi = {}
+    scores_m = {}
+    for r in QUERIES["sim_srp_multiprobe_topk"](t).collect():
+        multi.setdefault(r.query_id, set()).add(r.neighbor_id)
+        scores_m[(r.query_id, r.neighbor_id)] = r.cosine
+    scores_s = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in QUERIES["sim_srp_topk"](t).collect()
+    }
+
+    def recall(found):
+        hit = sum(len(found.get(q, set()) & n) for q, n in exact.items())
+        tot = sum(len(n) for n in exact.values())
+        return hit / tot
+
+    r_single, r_multi = recall(single), recall(multi)
+    assert r_multi >= r_single
+    for key, cos in scores_s.items():
+        if key in scores_m:
+            assert scores_m[key] == cos
