@@ -4,9 +4,13 @@ inverted-index formulation, plus fuzzy (edit-distance) dedup.
 The 100 TB shape: the (doc, term, tf) inverted index is THE search
 structure — built once as a term-partitioned table, it turns a keyword
 query into a broadcast probe of the handful of posting lists it names,
-never a corpus scan. Document-frequency and corpus stats are tiny
-(|vocab| rows / 1 row) and broadcast. The only corpus-sized shuffle is
-the one groupBy that builds the index.
+never a corpus scan. Corpus stats are 1 broadcast row; document
+frequency is never materialized vocabulary-wide — BM25 computes df only
+for the bounded query-term set (semi-join before the aggregation), and
+TF-IDF derives it as a term-partitioned window count on the posting
+list (|vocab| grows unboundedly with corpus size under Heaps' law, so a
+full-vocabulary broadcast is a 100 TB job-killer). The only
+corpus-sized shuffle is the one groupBy that builds the index.
 
 Exactness: BM25 is a float statistic, oracled bitwise via the repo's
 pinning discipline — integer tf/df/dl everywhere, the idf's `ln` (the
@@ -112,20 +116,30 @@ def search_bm25_topk(t: Tables) -> DataFrame:
     tie-break.
 
     Plan: query terms (a handful of rows) broadcast against the posting
-    lists, document-frequency table broadcast (|vocab| rows), corpus
-    stats a broadcast single row; one (query, doc) aggregation over the
-    matched postings only — candidate set is the union of the named
-    posting lists, never the corpus."""
+    lists; document frequencies are computed ONLY for the bounded query
+    term set (postings semi-joined to the query terms BEFORE the df
+    aggregation), so the df relation broadcast is <= |query terms| rows
+    at any corpus size — never the |vocab|-row table, which grows
+    unboundedly under Heaps' law at 100 TB. Corpus stats are a broadcast
+    single row; one (query, doc) aggregation over the matched postings
+    only — candidate set is the union of the named posting lists, never
+    the corpus."""
     dl = doc_lengths(t)
     terms = inverted_index(dl)
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
     )
-    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qt = t.spark.createDataFrame(
         [(qid, term) for qid, qterms in BM25_QUERIES for term in qterms],
         "query_id string, term string",
+    )
+    # df over query-term postings only: identical values for the terms
+    # that are ever consumed, and the broadcast side is query-bounded.
+    dfreq = (
+        terms.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
     )
     idf = (
         F.log(
@@ -204,16 +218,19 @@ def text_keywords_tfidf(t: Tables) -> DataFrame:
     """TF-IDF keyword extraction: each document's KW_TOP_K most
     distinctive terms by tf · (ln((1+N)/(1+df)) + 1) — the sklearn
     smoothed idf — with ties broken lexically. Reuses the BM25 posting
-    list; the df table and corpus size broadcast, so the only
-    corpus-sized shuffles are the posting-list build and the per-doc
-    rank window.
+    list. Unlike BM25, EVERY document needs EVERY term's df here, so
+    there is no bounded set to pre-filter to; df therefore comes from a
+    term-partitioned window COUNT over the posting list itself — one
+    shuffle on term, no join, and no |vocab|-row relation ever
+    materialized or broadcast (at 100 TB the index is term-bucketed, so
+    that window is exchange-free). Only the 1-row corpus-size scalar
+    broadcasts.
 
     ln is pinned through DECIMAL(18,9) (the _IDF_SQL trick), making a
     transcendental-bearing score exactly oracle-checkable."""
     dl = doc_lengths(t)
     terms = inverted_index(dl)
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"))
-    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = (
         F.log(
             (F.lit(1.0) + F.col("n_docs").cast("double"))
@@ -224,7 +241,9 @@ def text_keywords_tfidf(t: Tables) -> DataFrame:
         + F.lit(1.0)
     )
     scored = (
-        terms.join(F.broadcast(dfreq), "term")
+        terms.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(stats))
         .select("doc_id", "term", "tf", (F.col("tf").cast("double") * idf).alias("score"))
     )
