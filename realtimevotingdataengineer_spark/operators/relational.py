@@ -2235,3 +2235,118 @@ def join_asof_tolerance(t: Tables) -> DataFrame:
         F.when(ok, delta).alias("since_signup_sec"),
         ok.alias("matched"),
     ).orderBy("event_id")
+
+
+_ASOF_SNAP_SQL = (
+    "WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, "
+    "sum(CAST(value AS DECIMAL(20,4))) AS dv, CAST(count(*) AS BIGINT) AS dn "
+    "FROM events GROUP BY user_id, date_trunc('day', ts)), "
+    "snaps AS (SELECT user_id, d + INTERVAL 1 DAY AS snap_ts, "
+    "CAST(sum(dv) OVER (PARTITION BY user_id ORDER BY d "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(30,4)) AS bal, "
+    "CAST(sum(dn) OVER (PARTITION BY user_id ORDER BY d "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nev "
+    "FROM daily), "
+    "u AS (SELECT user_id, snap_ts AS ts, 0 AS src, snap_ts, bal, nev, "
+    "CAST(NULL AS BIGINT) AS event_id FROM snaps "
+    "UNION ALL "
+    "SELECT user_id, ts, 1 AS src, CAST(NULL AS TIMESTAMP) AS snap_ts, "
+    "CAST(NULL AS DECIMAL(30,4)) AS bal, CAST(NULL AS BIGINT) AS nev, event_id "
+    "FROM events WHERE event_type = 'purchase'), "
+    "m AS (SELECT event_id, user_id, ts, src, "
+    "last_value(snap_ts IGNORE NULLS) OVER w AS m_snap, "
+    "last_value(bal IGNORE NULLS) OVER w AS m_bal, "
+    "last_value(nev IGNORE NULLS) OVER w AS m_nev "
+    "FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, src, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+    "SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, "
+    "strftime(m_snap, '%Y-%m-%d %H:%M:%S') AS snap_ts, "
+    "CAST(m_bal AS DOUBLE) AS balance_asof, m_nev AS n_events_asof "
+    "FROM m WHERE src = 1 AND m_snap IS NOT NULL ORDER BY event_id"
+)
+
+
+@register("join_asof_snapshot", _ASOF_SNAP_SQL)
+def join_asof_snapshot(t: Tables) -> DataFrame:
+    """TWO-RELATION as-of join — the pandas ``merge_asof(left, right,
+    by=key, direction='backward')`` shape the single-table family
+    (join_asof_last_signup / _forward / _nearest / _tolerance) builds
+    toward: a FACT relation (purchase events) joined point-in-time
+    against a SEPARATE SNAPSHOT relation (end-of-day per-user account
+    state: running balance + lifetime event count, effective at the
+    following midnight so no same-day lookahead), carrying the
+    snapshot's PAYLOAD columns — not just its timestamp — onto each
+    fact row. Facts before a user's first snapshot are dropped
+    (merge_asof + dropna semantics, matching the sibling keys'
+    NOT NULL convention).
+
+    Plan — the tagged-union trick, NOT a range join: both relations
+    union with a src tag (snapshot=0 sorts before fact=1, so a snapshot
+    exactly at a fact's timestamp matches — merge_asof's inclusive
+    default), then ONE (user) partition sort where a running
+    ``last(payload, ignorenulls=True)`` carries the latest snapshot's
+    columns forward. One shuffle of the union, zero joins, no island
+    re-partition (the ignore-nulls carry replaces the gap-and-islands
+    LOCF of events_gapfill_daily); the naive per-user range join is
+    quadratic in events-per-user. At 100 TB both relations arrive
+    bucketed by user_id and even the union shuffle collapses. The
+    snapshot balance is an associative DECIMAL prefix sum (the
+    money_sum discipline), cast to double only at the edge."""
+    daily = t.events.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.sum(dec("value", 20, 4)).alias("dv"), F.count(F.lit(1)).alias("dn"))
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    snaps = daily.select(
+        "user_id",
+        (F.col("d") + F.expr("INTERVAL 1 DAY")).alias("snap_ts"),
+        F.sum("dv").over(w_run).cast("decimal(30,4)").alias("bal"),
+        F.sum("dn").over(w_run).cast("long").alias("nev"),
+    )
+    right = snaps.select(
+        "user_id",
+        F.col("snap_ts").alias("ts"),
+        F.lit(0).alias("src"),
+        "snap_ts",
+        "bal",
+        "nev",
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    left = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("src"),
+        F.lit(None).cast("timestamp").alias("snap_ts"),
+        F.lit(None).cast("decimal(30,4)").alias("bal"),
+        F.lit(None).cast("long").alias("nev"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("src"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = right.unionByName(left).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "src",
+        F.last("snap_ts", ignorenulls=True).over(w).alias("m_snap"),
+        F.last("bal", ignorenulls=True).over(w).alias("m_bal"),
+        F.last("nev", ignorenulls=True).over(w).alias("m_nev"),
+    )
+    return (
+        m.filter((F.col("src") == 1) & F.col("m_snap").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.date_format("m_snap", "yyyy-MM-dd HH:mm:ss").alias("snap_ts"),
+            F.col("m_bal").cast("double").alias("balance_asof"),
+            F.col("m_nev").alias("n_events_asof"),
+        )
+        .orderBy("event_id")
+    )

@@ -531,3 +531,17 @@ def test_fixed_k_sample_uses_window_group_limit(t):
     draw shuffle O(K x strata x tasks) rows instead of the corpus."""
     df = QUERIES["sample_fixed_k_stratified"](t)
     assert "WindowGroupLimit" in formatted_plan(df)
+
+
+def test_asof_snapshot_union_window_no_join(t):
+    """join_asof_snapshot — the two-relation as-of — must plan as the
+    tagged union + one partition-sorted window: ZERO join nodes of any
+    kind (the naive formulation is a per-user range join, quadratic in
+    events-per-user) and no per-island re-partition (the ignore-nulls
+    running last() carries the snapshot payload on the same sort)."""
+    import re
+
+    plan = formatted_plan(QUERIES["join_asof_snapshot"](t))
+    assert not re.findall(r"^\s*\(\d+\) \w*Join\w*", plan, re.M), "join leaked in"
+    assert "Union" in plan
+    assert re.search(r"^\s*\(\d+\) Window", plan, re.M)
