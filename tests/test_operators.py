@@ -1979,3 +1979,38 @@ def test_srp_multiprobe_recall_dominates_single_probe(t):
     for key, cos in scores_s.items():
         if key in scores_m:
             assert scores_m[key] == cos
+
+
+def test_bpe_batched_vs_sequential_divergence_class(t):
+    """text_bpe_learn_merges_batched vs the sequential trainer, with the
+    one legitimate divergence class pinned: (1) the FIRST merge is
+    identical (both argmax the same round-1 ranking); (2) every batch is
+    mutually symbol-disjoint (the invariant that keeps each committed
+    merge's frequency exact); (3) every merge BOTH trainers select has
+    the IDENTICAL frequency (disjointness keeps committed counts exact
+    in both programs), and the two 8-merge sets overlap on at least
+    rounds*k - (k-1) merges — the documented divergence being that a
+    pair sharing a symbol with an earlier same-batch selection defers a
+    round (sf0.001: 'or' after 'er' takes 'r'; 'ar' after 'or'), which
+    can let a different same-frequency pair ('pa') or the next composed
+    pair ('mer') into the fixed budget at the tail."""
+    from realtimevotingdataengineer_spark.operators.text import (
+        BPE_BATCH_K,
+        BPE_LEARN_ROUNDS,
+    )
+
+    seq = QUERIES["text_bpe_learn_merges"](t).orderBy("merge_rank").collect()
+    bat = QUERIES["text_bpe_learn_merges_batched"](t).orderBy("merge_rank").collect()
+    assert len(bat) == len(seq) == BPE_LEARN_ROUNDS
+    s0, b0 = seq[0], bat[0]
+    assert (s0.sym_left, s0.sym_right, s0.freq) == (b0.sym_left, b0.sym_right, b0.freq)
+    for start in range(0, len(bat), BPE_BATCH_K):
+        batch = bat[start : start + BPE_BATCH_K]
+        syms = [s for r in batch for s in (r.sym_left, r.sym_right)]
+        assert len(syms) == len(set(syms)), f"batch at {start} not disjoint"
+    sq = {(r.sym_left, r.sym_right): r.freq for r in seq}
+    bq = {(r.sym_left, r.sym_right): r.freq for r in bat}
+    common = set(sq) & set(bq)
+    assert len(common) >= BPE_LEARN_ROUNDS - (BPE_BATCH_K - 1)
+    for pair in common:
+        assert sq[pair] == bq[pair], f"{pair}: committed frequency drifted"

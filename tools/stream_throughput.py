@@ -95,6 +95,13 @@ def main() -> None:
     rows = sum(p["numInputRows"] for p in steady)
     secs = sum(p["durationMs"]["triggerExecution"] for p in steady) / 1000.0
     sustained = rows / secs if secs > 0 else 0.0
+    # state-store footprint from the last steady batch: the dedup store
+    # (voter keys) + the update-mode tally store, RocksDB-backed.
+    state_rows = state_mem = 0
+    if steady:
+        for op in steady[-1].get("stateOperators", []):
+            state_rows += op.get("numRowsTotal", 0)
+            state_mem += op.get("memoryUsedBytes", 0)
     print(
         json.dumps(
             {
@@ -104,6 +111,8 @@ def main() -> None:
                 "target_rate": RATE,
                 "batches": n_batches,
                 "seconds": SECONDS,
+                "state_rows": state_rows,
+                "state_mem_mb": round(state_mem / 1e6, 1),
             }
         )
     )
