@@ -86,6 +86,11 @@ HEADLINE = [
     # readout (per-user rollup + decimal power sums at fact scale)
     "text_perplexity_bigram",
     "events_ab_cuped",
+    # round-8 additions: the two-relation as-of (tagged-union window —
+    # the one new shuffle shape this round) and the batched BPE trainer
+    # (multi-job key: its timing is the rounds-vs-merges dial, measured)
+    "join_asof_snapshot",
+    "text_bpe_learn_merges_batched",
 ]
 
 
