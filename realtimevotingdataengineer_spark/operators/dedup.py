@@ -1842,8 +1842,14 @@ def build_srp_index(t: Tables, path: str) -> None:
 
 def search_srp_index(t: Tables, path: str) -> DataFrame:
     """sim_srp_topk against the PERSISTED signature table — byte-equal
-    to the in-memory path (asserted in tests/test_operators.py)."""
-    return _srp_search_from_sigs(t, t.spark.read.parquet(f"{path}/signatures"))
+    to the in-memory path (asserted in tests/test_operators.py).
+    The signature frame is eagerly checkpointed because
+    _srp_search_from_sigs consumes its bands relation twice (query side
+    + corpus side); without it the index parquet is scanned twice per
+    search — the same 2-consumer reason the in-memory twin checkpoints
+    (round-7 ADVICE)."""
+    sigs = t.spark.read.parquet(f"{path}/signatures").localCheckpoint(eager=True)
+    return _srp_search_from_sigs(t, sigs)
 
 
 #: Incremental-dedup split: docs with id >= (max_id+1)*4/5 play the
@@ -1984,6 +1990,76 @@ _SUBSTR_SQL = (
 )
 
 
+def _substring_postings(t: Tables) -> DataFrame:
+    """(doc_id, i, wh): the positioned SUBSTR_W-token window-hash
+    posting stream — THE shared structure of the substring family
+    (dedup_substring_window / text_strip_shared_spans /
+    pipeline_clean_corpus_spans use this one definition; round-7 ADVICE:
+    extract it so the three keys cannot drift). Eager-checkpointed:
+    every consumer feeds it to BOTH the per-hash aggregate and a join
+    back, and without materialization each side would pay its own
+    corpus scan + window-hash pass."""
+    c = tokens("text")
+    long_tk = t.documents.select("doc_id", c.alias("tk")).filter(
+        F.size("tk") >= SUBSTR_W
+    )
+    return (
+        spread(long_tk, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - F.lit(SUBSTR_W - 1)),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice(F.col("tk"), i, SUBSTR_W))
+                        ).alias("wh"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.i", "s.wh")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _shared_coverage(wpos: DataFrame) -> DataFrame:
+    """(doc_id, cov): per document, the set of 1-based token offsets
+    covered by any window hash occurring in >= 2 documents. Shared
+    windows explode to their W offsets (bounded W-fold expansion of
+    SHARED windows only, never the corpus) and collapse in-row."""
+    nd = (
+        wpos.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("wh")
+    )
+    return (
+        wpos.join(nd, "wh")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(SUBSTR_W - 1))
+            ).alias("off"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("off").alias("cov"))
+    )
+
+
+def _strip_covered(tk_col: str = "tk"):
+    """The order-preserving span rewrite: drop every token whose
+    1-based position is in the doc's coverage set (Spark filter lambdas
+    index 0-based; the +1 aligns to the 1-based window offsets)."""
+    cov = F.col("cov")
+    return F.filter(
+        F.col(tk_col),
+        lambda x, i: ~F.coalesce(F.array_contains(cov, i + F.lit(1)), F.lit(False)),
+    )
+
+
 @register("dedup_substring_window", _SUBSTR_SQL)
 def dedup_substring_window(t: Tables) -> DataFrame:
     """Substring-level duplication profile — the ExactSubstr posture
@@ -2010,23 +2086,7 @@ def dedup_substring_window(t: Tables) -> DataFrame:
     posting stream itself never amplifies), and AQE's skew split covers
     the hot-hash reduce; window hashes are md5 → uniform shuffle keys.
     """
-    c = tokens("text")
-    tk = t.documents.select("doc_id", c.alias("tk")).filter(
-        F.size("tk") >= SUBSTR_W
-    )
-    # Eager checkpoint: the posting stream feeds BOTH the per-hash
-    # aggregate and the join spine — without materialization each gets
-    # its own corpus scan + window-hash pass, doubling the dominant
-    # cost (same single-evaluation idiom as the minhash shingle table).
-    wpos = spread(tk, "doc_id").select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tk") - F.lit(SUBSTR_W - 1)),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("tk"), i, SUBSTR_W))),
-            )
-        ).alias("wh"),
-    ).localCheckpoint(eager=True)
+    wpos = _substring_postings(t)
     nd = wpos.groupBy("wh").agg(F.count_distinct("doc_id").alias("ndocs"))
     shared = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
     return (
@@ -2088,68 +2148,17 @@ def text_strip_shared_spans(t: Tables) -> DataFrame:
     composes with downstream gates as a full-corpus map. Index
     convention pinned explicitly: Spark's filter lambda index is
     0-based, DuckDB's is 1-based — both sides align to the 1-based
-    window offsets (i+1 in Spark, i in DuckDB)."""
+    window offsets (see _strip_covered)."""
     c = tokens("text")
     tk = t.documents.select("doc_id", c.alias("tk"))
-    long_tk = tk.filter(F.size("tk") >= SUBSTR_W)
-    # Eager checkpoint: the positioned posting stream feeds the per-hash
-    # aggregate AND the coverage join — single evaluation (see
-    # dedup_substring_window).
-    wpos = (
-        spread(long_tk, "doc_id")
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("tk") - F.lit(SUBSTR_W - 1)),
-                    lambda i: F.struct(
-                        i.alias("i"),
-                        F.md5(
-                            F.concat_ws(" ", F.slice(F.col("tk"), i, SUBSTR_W))
-                        ).alias("wh"),
-                    ),
-                )
-            ).alias("s"),
-        )
-        .select("doc_id", "s.i", "s.wh")
-        .localCheckpoint(eager=True)
-    )
-    nd = (
-        wpos.groupBy("wh")
-        .agg(F.count_distinct("doc_id").alias("ndocs"))
-        .filter(F.col("ndocs") >= 2)
-        .select("wh")
-    )
-    covl = (
-        wpos.join(nd, "wh")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("i"), F.col("i") + F.lit(SUBSTR_W - 1))
-            ).alias("off"),
-        )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.collect_set("off").alias("cov"))
-    )
-    cov = F.col("cov")
+    covl = _shared_coverage(_substring_postings(t))
     return (
         tk.join(covl, "doc_id", "left")
         .select(
             "doc_id",
             F.size("tk").cast("bigint").alias("n_tokens"),
             F.coalesce(F.size("cov"), F.lit(0)).cast("bigint").alias("n_removed"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.filter(
-                        F.col("tk"),
-                        lambda x, i: ~F.coalesce(
-                            F.array_contains(cov, i + F.lit(1)), F.lit(False)
-                        ),
-                    ),
-                )
-            ).alias("cleaned_md5"),
+            F.md5(F.concat_ws(" ", _strip_covered())).alias("cleaned_md5"),
         )
         .orderBy("doc_id")
     )
@@ -2389,52 +2398,10 @@ def pipeline_clean_corpus_spans(t: Tables) -> DataFrame:
 
     c = tokens("text")
     tk = t.documents.select("doc_id", c.alias("tk"))
-    long_tk = tk.filter(F.size("tk") >= SUBSTR_W)
-    wpos = (
-        spread(long_tk, "doc_id")
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("tk") - F.lit(SUBSTR_W - 1)),
-                    lambda i: F.struct(
-                        i.alias("i"),
-                        F.md5(
-                            F.concat_ws(" ", F.slice(F.col("tk"), i, SUBSTR_W))
-                        ).alias("wh"),
-                    ),
-                )
-            ).alias("s"),
-        )
-        .select("doc_id", "s.i", "s.wh")
-        .localCheckpoint(eager=True)
-    )
-    nd = (
-        wpos.groupBy("wh")
-        .agg(F.count_distinct("doc_id").alias("ndocs"))
-        .filter(F.col("ndocs") >= 2)
-        .select("wh")
-    )
-    covl = (
-        wpos.join(nd, "wh")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("i"), F.col("i") + F.lit(SUBSTR_W - 1))
-            ).alias("off"),
-        )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.collect_set("off").alias("cov"))
-    )
-    cov = F.col("cov")
-    ctk = F.filter(
-        F.col("tk"),
-        lambda x, i: ~F.coalesce(F.array_contains(cov, i + F.lit(1)), F.lit(False)),
-    )
+    covl = _shared_coverage(_substring_postings(t))
     clean = tk.join(covl, "doc_id", "left").select(
         "doc_id",
-        ctk.alias("ctk"),
+        _strip_covered().alias("ctk"),
         F.coalesce(F.size("cov"), F.lit(0)).cast("bigint").alias("n_removed"),
     )
     rep = F.when(

@@ -1274,10 +1274,27 @@ def text_quality_logreg(t: Tables) -> DataFrame:
 #: How many top byte-pair merges the BPE learning key reports.
 BPE_TOP_MERGES = 20
 
+#: The chr(1..N) merge placeholders are only sound if those codepoints
+#: are ABSENT from the training vocabulary. normalize_text only
+#: collapses whitespace, so the BPE word collapse ENFORCES the
+#: invariant (round-7 ADVICE): any word carrying a C0 control character
+#: — crawl junk by definition — is dropped, identically in both
+#: engines, before symbols are ever formed. [\\x00-\\x1f] leaves room
+#: for 31 placeholders; \\x09-\\x0d can't reach a token anyway (the
+#: tokenizer splits on \\s).
+#: (the SQL twin `NOT regexp_matches(u.word, '[\\x00-\\x1f]')` is
+#: inlined at every words/w0/ws CTE in this module's oracles.)
+_BPE_CTRL_RE = r"[\x00-\x1f]"
+
+
+def _bpe_word_ok(name: str) -> Column:
+    """Spark twin of _BPE_WORD_SQL: non-empty, control-char-free."""
+    return (F.col(name) != "") & ~F.col(name).rlike(_BPE_CTRL_RE)
+
 _BPE_SQL = (
     f"WITH tk AS (SELECT {_TOKENS_SQL} AS tk FROM documents), "
     "w AS (SELECT u.word, CAST(count(*) AS BIGINT) AS wc FROM tk, "
-    "LATERAL unnest(tk) AS u(word) WHERE u.word <> '' GROUP BY u.word), "
+    "LATERAL unnest(tk) AS u(word) WHERE u.word <> '' AND NOT regexp_matches(u.word, '[\\x00-\\x1f]') GROUP BY u.word), "
     "p AS (SELECT u.pair, wc FROM (SELECT word, wc, "
     "list_transform(range(1, length(word)), "
     "i -> substring(word, CAST(i AS INT), 2)) AS prs "
@@ -1312,7 +1329,7 @@ def text_bpe_first_merges(t: Tables) -> DataFrame:
     words = (
         spread(t.documents.select(tokens("text").alias("tk")), )
         .select(F.explode("tk").alias("word"))
-        .filter(F.col("word") != "")
+        .filter(_bpe_word_ok("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
@@ -1533,7 +1550,7 @@ def text_lang_confusion(t: Tables) -> DataFrame:
 _BPE2_SQL = (
     f"WITH tk AS (SELECT {_TOKENS_SQL} AS tk FROM documents), "
     "w AS (SELECT u.word, CAST(count(*) AS BIGINT) AS wc FROM tk, "
-    "LATERAL unnest(tk) AS u(word) WHERE u.word <> '' GROUP BY u.word), "
+    "LATERAL unnest(tk) AS u(word) WHERE u.word <> '' AND NOT regexp_matches(u.word, '[\\x00-\\x1f]') GROUP BY u.word), "
     "p1 AS (SELECT u.pair, wc FROM (SELECT word, wc, "
     "list_transform(range(1, length(word)), "
     "i -> substring(word, CAST(i AS INT), 2)) AS prs "
@@ -1577,7 +1594,7 @@ def text_bpe_apply_merge(t: Tables) -> DataFrame:
     words = (
         spread(t.documents.select(tokens("text").alias("tk")))
         .select(F.explode("tk").alias("word"))
-        .filter(F.col("word") != "")
+        .filter(_bpe_word_ok("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
@@ -1659,7 +1676,7 @@ def fit_bpe_merges(t: Tables, n_merges: int) -> list:
     vocab = (
         spread(t.documents.select(tokens("text").alias("tk")))
         .select(F.explode("tk").alias("word"))
-        .filter(F.col("word") != "")
+        .filter(_bpe_word_ok("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
         .select(
@@ -1709,9 +1726,13 @@ def fit_bpe_merges(t: Tables, n_merges: int) -> list:
             ),
             lambda st, i: F.when(st.getField("skip"), F.struct(st.getField("out").alias("out"), F.lit(False).alias("skip")))
             .when(
+                # try_element_at is the structural out-of-bounds guard:
+                # at i == n it returns NULL (≠ rb) instead of throwing
+                # under ANSI mode — never rely on AND evaluation order
+                # to protect an indexed access (round-7 ADVICE).
                 (i < n)
                 & (F.element_at("syms", i) == la)
-                & (F.element_at("syms", i + F.lit(1)) == rb),
+                & (F.try_element_at("syms", i + F.lit(1)) == rb),
                 F.struct(
                     F.concat(st.getField("out"), F.array(merged)).alias("out"),
                     F.lit(True).alias("skip"),
@@ -1755,7 +1776,7 @@ def _bpe_rounds_sql(m: int) -> str:
     parts = [
         f"tkz AS (SELECT {_TOKENS_SQL} AS tk FROM documents), "
         "w0 AS MATERIALIZED (SELECT u.word AS sw, CAST(count(*) AS BIGINT) "
-        "AS wc FROM tkz, LATERAL unnest(tk) AS u(word) WHERE u.word <> '' "
+        "AS wc FROM tkz, LATERAL unnest(tk) AS u(word) WHERE u.word <> '' AND NOT regexp_matches(u.word, '[\\x00-\\x1f]') "
         "GROUP BY u.word)"
     ]
     for k in range(1, m + 1):
@@ -1801,7 +1822,7 @@ def _bpe_fertility_sql(m: int) -> str:
         _bpe_rounds_sql(m) + ", "
         f"tks AS (SELECT source, {_TOKENS_SQL} AS tk FROM documents), "
         "ws AS (SELECT source, u.word, CAST(count(*) AS BIGINT) AS wc FROM tks, "
-        "LATERAL unnest(tk) AS u(word) WHERE u.word <> '' GROUP BY source, u.word), "
+        "LATERAL unnest(tk) AS u(word) WHERE u.word <> '' AND NOT regexp_matches(u.word, '[\\x00-\\x1f]') GROUP BY source, u.word), "
         f"seg AS (SELECT source, wc, length(word) AS lw, length({sw}) AS ls "
         f"FROM ws{mfrom}), "
         "a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_distinct_words, "
@@ -1842,7 +1863,7 @@ def _bpe_learn_rounds(t: Tables, rounds: int) -> list:
     w = (
         spread(t.documents.select(tokens("text").alias("tk")))
         .select(F.explode("tk").alias("sw"))
-        .filter(F.col("sw") != "")
+        .filter(_bpe_word_ok("sw"))
         .groupBy("sw")
         .agg(F.count(F.lit(1)).alias("wc"))
         .localCheckpoint(eager=True)
@@ -1948,7 +1969,7 @@ def text_bpe_fertility(t: Tables) -> DataFrame:
     ws = (
         spread(t.documents.select("source", tokens("text").alias("tk")))
         .select("source", F.explode("tk").alias("word"))
-        .filter(F.col("word") != "")
+        .filter(_bpe_word_ok("word"))
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
@@ -2010,7 +2031,7 @@ def _bpe_batched_sql(rounds: int, k: int, cand: int) -> str:
     parts = [
         f"tkz AS (SELECT {_TOKENS_SQL} AS tk FROM documents), "
         "w0 AS MATERIALIZED (SELECT u.word AS sw, CAST(count(*) AS BIGINT) "
-        "AS wc FROM tkz, LATERAL unnest(tk) AS u(word) WHERE u.word <> '' "
+        "AS wc FROM tkz, LATERAL unnest(tk) AS u(word) WHERE u.word <> '' AND NOT regexp_matches(u.word, '[\\x00-\\x1f]') "
         "GROUP BY u.word)"
     ]
     sel: list = []  # (global_idx, selection_cte, placeholders_before_round)
@@ -2090,7 +2111,7 @@ def _bpe_learn_batched(t: Tables, rounds: int, k: int, cand: int) -> list:
     w = (
         spread(t.documents.select(tokens("text").alias("tk")))
         .select(F.explode("tk").alias("sw"))
-        .filter(F.col("sw") != "")
+        .filter(_bpe_word_ok("sw"))
         .groupBy("sw")
         .agg(F.count(F.lit(1)).alias("wc"))
         .localCheckpoint(eager=True)
