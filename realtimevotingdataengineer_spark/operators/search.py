@@ -63,8 +63,8 @@ _IDF_SQL = (
     "/ (CAST(d.df AS DOUBLE) + 0.5)) AS DECIMAL(18,9)) AS DOUBLE)"
 )
 
-_BM25_SQL = (
-    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+_BM25_CTES = (
+    f"tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
     "dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk FROM tk), "
     "stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
     "CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl), "
@@ -85,8 +85,12 @@ _BM25_SQL = (
     "FROM scored GROUP BY query_id, doc_id), "
     "rk AS (SELECT query_id, doc_id, score, n_terms_hit, "
     "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk "
-    "FROM agg) "
-    "SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, score, n_terms_hit "
+    "FROM agg)"
+)
+
+_BM25_SQL = (
+    "WITH " + _BM25_CTES
+    + " SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, score, n_terms_hit "
     f"FROM rk WHERE rnk <= {BM25_TOP_K} ORDER BY query_id, rank"
 )
 
@@ -254,3 +258,255 @@ def text_keywords_tfidf(t: Tables) -> DataFrame:
         .select("doc_id", F.col("rnk").cast("int").alias("rank"), "term", "tf", "score")
         .orderBy("doc_id", "rank")
     )
+
+
+#: Reciprocal-rank-fusion constant (Cormack/Clarke/Buettcher's 60) and
+#: fused report size.
+RRF_K = 60
+RRF_TOP_K = 10
+
+
+def _retrieval_ctes() -> str:
+    """Shared oracle CTE chain for the fusion/eval keys: the BM25 chain
+    (shared with _BM25_SQL, so the sparse side cannot drift) + the
+    hashed-TF dense side over the SAME queries, ending in
+    hsp(query_id, doc_id, r_sparse) and hdk(query_id, doc_id, r_dense).
+    All float work is the pinned cosine chain (IEEE sqrt is correctly
+    rounded, unlike ln)."""
+    from ..functions import dot_sql, norm_sql
+    from .text import HTF_DIM
+
+    qdims = ", ".join(
+        f"CAST(sum(CASE WHEN dim = {j} THEN c ELSE 0 END) AS DOUBLE)"
+        for j in range(HTF_DIM)
+    )
+    cos = (
+        f"({dot_sql('q.v', 'c.v', HTF_DIM)}) / "
+        f"(({norm_sql('q.v', HTF_DIM)}) * ({norm_sql('c.v', HTF_DIM)}))"
+    )
+    return (
+        "WITH " + _BM25_CTES + ", "
+        "hq AS (SELECT query_id, "
+        f"CAST('0x' || substr(md5(term), 1, 4) AS BIGINT) % {HTF_DIM} AS dim, "
+        "CAST(count(*) AS BIGINT) AS c FROM qt GROUP BY query_id, dim), "
+        f"hqv AS (SELECT query_id, [{qdims}] AS v FROM hq GROUP BY query_id), "
+        "hd AS (SELECT doc_id, "
+        f"CAST('0x' || substr(md5(u.tok), 1, 4) AS BIGINT) % {HTF_DIM} AS dim, "
+        "CAST(count(*) AS BIGINT) AS c FROM tk, LATERAL unnest(tk.tk) AS u(tok) "
+        "GROUP BY doc_id, dim), "
+        f"hdv AS (SELECT doc_id, [{qdims}] AS v FROM hd GROUP BY doc_id), "
+        f"hsc AS (SELECT q.query_id, c.doc_id, {cos} AS cosine FROM hqv q, hdv c), "
+        "hdk AS (SELECT query_id, doc_id, CAST(rn AS INT) AS r_dense FROM ("
+        "SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, doc_id) AS rn FROM hsc) "
+        f"WHERE rn <= {RRF_TOP_K}), "
+        "hsp AS (SELECT query_id, doc_id, CAST(rnk AS INT) AS r_sparse FROM rk "
+        f"WHERE rnk <= {RRF_TOP_K})"
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    return (
+        _retrieval_ctes() + ", "
+        "fused AS (SELECT query_id, doc_id, r_sparse, r_dense, "
+        f"coalesce(CAST(1 AS DOUBLE) / CAST({RRF_K} + r_sparse AS DOUBLE), "
+        "CAST(0 AS DOUBLE)) + "
+        f"coalesce(CAST(1 AS DOUBLE) / CAST({RRF_K} + r_dense AS DOUBLE), "
+        "CAST(0 AS DOUBLE)) AS rrf_score "
+        "FROM hsp FULL JOIN hdk USING (query_id, doc_id)) "
+        "SELECT query_id, CAST(rn AS INT) AS rank, doc_id, rrf_score, "
+        "r_sparse, r_dense FROM (SELECT *, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rn FROM fused) "
+        f"WHERE rn <= {RRF_TOP_K} ORDER BY query_id, rank"
+    )
+
+
+@register("pipeline_hybrid_rrf", _hybrid_rrf_sql())
+def pipeline_hybrid_rrf(t: Tables) -> DataFrame:
+    """HYBRID retrieval — the sparse+dense fusion every production RAG
+    stack runs: BM25 top-10 (search_bm25_topk, reused verbatim so the
+    two keys cannot diverge) and hashed-TF cosine top-10 over the SAME
+    keyword queries (the query vector is the keywords pushed through
+    the identical md5 dimension hash — no model, the text_hashing_tf
+    bridge), fused by Reciprocal Rank Fusion:
+    score(d) = Σ_systems 1/(60 + rank_s(d)), absent ranks contribute 0.
+    RRF needs no score calibration between systems — only ranks — which
+    is exactly why it is the default fusion everywhere.
+
+    Exactness: integer ranks → each reciprocal is one IEEE double
+    division, summed in a fixed 2-term order; the dense cosine is the
+    pinned chain (sqrt is correctly rounded by IEEE-754, so it is
+    portable, unlike ln). Plan: the sparse side is the bounded
+    query-term probe of the posting lists; the dense side broadcasts 4
+    query vectors against one corpus-vector scan (the SRP-bucketed keys
+    are the documented 100 TB drop-in); fusion is a full outer join of
+    two ≤(|queries|·10)-row rank lists — metadata-sized."""
+    sparse = search_bm25_topk(t).select(
+        "query_id", "doc_id", F.col("rank").alias("r_sparse")
+    )
+    dense = dense_keyword_topk(t)
+    rrf = F.coalesce(
+        F.lit(1.0).cast("double") / (F.lit(RRF_K) + F.col("r_sparse")).cast("double"),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(1.0).cast("double") / (F.lit(RRF_K) + F.col("r_dense")).cast("double"),
+        F.lit(0.0),
+    )
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full").select(
+        "query_id", "doc_id", "r_sparse", "r_dense", rrf.alias("rrf_score")
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rank") <= RRF_TOP_K)
+        .select("query_id", "rank", "doc_id", "rrf_score", "r_sparse", "r_dense")
+        .orderBy("query_id", "rank")
+    )
+
+
+def dense_keyword_topk(t: Tables) -> DataFrame:
+    """(query_id, doc_id, r_dense): hashed-TF cosine top-RRF_TOP_K per
+    BM25 keyword query — the dense half shared by pipeline_hybrid_rrf
+    and search_rank_agreement_ndcg (one definition, cannot drift). The
+    query vector is the keywords pushed through text_hashing_tf's md5
+    dimension hash; 4 query vectors broadcast against one corpus-vector
+    scan, pinned-chain cosine, row_number top-k."""
+    from ..functions import dot_expr, norm_expr
+    from .text import HTF_DIM, hashing_tf_vectors
+
+    qt = t.spark.createDataFrame(
+        [(qid, term) for qid, qterms in BM25_QUERIES for term in qterms],
+        "query_id string, term string",
+    )
+    qdims = (
+        qt.select(
+            "query_id",
+            F.pmod(
+                F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("bigint"),
+                F.lit(HTF_DIM),
+            ).alias("dim"),
+        )
+        .groupBy("query_id", "dim")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sums = [
+        F.sum(F.when(F.col("dim") == j, F.col("c")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias(f"s{j}")
+        for j in range(HTF_DIM)
+    ]
+    qv = (
+        qdims.groupBy("query_id")
+        .agg(*sums)
+        .select(
+            "query_id", F.array(*[F.col(f"s{j}") for j in range(HTF_DIM)]).alias("v")
+        )
+        .withColumn("nrm", norm_expr("v", HTF_DIM))
+        .alias("q")
+    )
+    cv = (
+        hashing_tf_vectors(t)
+        .select("doc_id", F.col("vec").cast("array<double>").alias("v"))
+        .withColumn("nrm", norm_expr("v", HTF_DIM))
+        .alias("c")
+    )
+    cos = dot_expr("q.v", "c.v", HTF_DIM) / (F.col("q.nrm") * F.col("c.nrm"))
+    wd = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("doc_id"))
+    return (
+        F.broadcast(qv)
+        .crossJoin(cv)
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            F.col("c.doc_id").alias("doc_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= RRF_TOP_K)
+        .select("query_id", "doc_id", F.col("rn").cast("int").alias("r_dense"))
+    )
+
+
+def _log2_pin_sql(expr: str) -> str:
+    """log2 pinned through DECIMAL(18,9) — same discipline as _IDF_SQL
+    (log2 is libm-dependent like ln; sqrt is not)."""
+    return f"CAST(CAST(log2(CAST({expr} AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)"
+
+
+def _idcg_sql() -> str:
+    """Ideal DCG for RRF_TOP_K graded ranks (rel = K+1-r), as an
+    unrolled left-associated chain — byte-identical expression text in
+    both engines."""
+    return " + ".join(
+        f"CAST({RRF_TOP_K + 1 - r} AS DOUBLE) / {_log2_pin_sql(r + 1)}"
+        for r in range(1, RRF_TOP_K + 1)
+    )
+
+
+def _ndcg_sql() -> str:
+    return (
+        _retrieval_ctes() + ", "
+        "rel AS (SELECT query_id, doc_id, "
+        f"CAST({RRF_TOP_K + 1} - r_dense AS DOUBLE) AS rel FROM hdk), "
+        "gains AS (SELECT s.query_id, s.r_sparse, "
+        "coalesce(rel.rel, CAST(0 AS DOUBLE)) / "
+        f"{_log2_pin_sql('s.r_sparse + 1')} AS g "
+        "FROM hsp s LEFT JOIN rel ON rel.query_id = s.query_id "
+        "AND rel.doc_id = s.doc_id), "
+        "dcg AS (SELECT query_id, "
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(g ORDER BY r_sparse)), "
+        "(acc, x) -> acc + x) AS dcg, CAST(count(*) AS BIGINT) AS n_ranked "
+        "FROM gains GROUP BY query_id) "
+        f"SELECT query_id, n_ranked, dcg, dcg / ({_idcg_sql()}) AS ndcg "
+        "FROM dcg ORDER BY query_id"
+    )
+
+
+@register("search_rank_agreement_ndcg", _ndcg_sql())
+def search_rank_agreement_ndcg(t: Tables) -> DataFrame:
+    """Rank agreement between the two retrieval systems as nDCG — the
+    standard eval statistic, computed with the dense top-10 as graded
+    ground truth (rel(d) = 11 - r_dense) and the BM25 ordering as the
+    run under evaluation: DCG = Σ_r rel(d_r)/log2(r+1) over BM25's
+    ranks as an ORDERED fold, normalized by the ideal DCG of a perfect
+    ordering. ndcg ≈ 1 ⇒ sparse and dense agree on both membership and
+    order; low ndcg flags queries where hybrid fusion actually changes
+    the outcome (the diagnostic retrieval teams read next to
+    pipeline_hybrid_rrf's fused list).
+
+    Exactness: integer ranks and relevance grades; log2 (libm) pinned
+    through DECIMAL(18,9) exactly like BM25's ln; the per-query gain
+    sum is an ordered fold; IDCG is the same unrolled pinned chain in
+    both engines. Plan: both rank lists are the bounded retrieval
+    outputs (≤ |queries|·10 rows) — the eval join is metadata-sized;
+    corpus cost is exactly the two retrieval passes it evaluates."""
+    sparse = search_bm25_topk(t).select(
+        "query_id", "doc_id", F.col("rank").alias("r_sparse")
+    )
+    dense = dense_keyword_topk(t)
+    rel = dense.select(
+        "query_id",
+        "doc_id",
+        (F.lit(RRF_TOP_K + 1) - F.col("r_dense")).cast("double").alias("rel"),
+    )
+    gains = sparse.join(rel, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "r_sparse",
+        (
+            F.coalesce(F.col("rel"), F.lit(0.0))
+            / F.expr(_log2_pin_sql("r_sparse + 1"))
+        ).alias("g"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("r_sparse", "g"))),
+        lambda s: s.getField("g"),
+    )
+    dcg = gains.groupBy("query_id").agg(
+        F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x).alias("dcg"),
+        F.count(F.lit(1)).alias("n_ranked"),
+    )
+    return dcg.select(
+        "query_id",
+        "n_ranked",
+        "dcg",
+        (F.col("dcg") / F.expr(_idcg_sql())).alias("ndcg"),
+    ).orderBy("query_id")

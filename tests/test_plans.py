@@ -395,6 +395,8 @@ def test_no_forced_broadcast_of_sf_proportional_relations(spark, t):
         "text_strip_shared_spans",
         "search_bm25_topk",
         "text_keywords_tfidf",
+        "pipeline_hybrid_rrf",
+        "search_rank_agreement_ndcg",
     ]
     # relations that legitimately keep a hint (SF-invariant):
     # nation/region dims and 1-row scalar aggregates. Count broadcasts
@@ -447,6 +449,11 @@ def test_no_forced_broadcast_of_sf_proportional_relations(spark, t):
         # round-8 fix: df via term-partitioned window (no join at all);
         # only the 1-row corpus-size scalar keeps a hint.
         "text_keywords_tfidf": 1,
+        # fusion/eval keys: the bm25 subplan's 4 bounded hints + the
+        # 4-row dense query-vector hint; the rank-list fusion joins are
+        # unhinted (they degrade to SMJ under -1 by design).
+        "pipeline_hybrid_rrf": 5,
+        "search_rank_agreement_ndcg": 5,
     }
     import re
 
