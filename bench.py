@@ -87,10 +87,15 @@ HEADLINE = [
     "text_perplexity_bigram",
     "events_ab_cuped",
     # round-8 additions: the two-relation as-of (tagged-union window —
-    # the one new shuffle shape this round) and the batched BPE trainer
-    # (multi-job key: its timing is the rounds-vs-merges dial, measured)
+    # the one new shuffle shape this round), the batched BPE trainer
+    # (multi-job key: its timing is the rounds-vs-merges dial, measured),
+    # the sparse+dense RRF fusion capstone, and late-interaction MaxSim
+    # (the trigram-blocked token-granular retrieval — the heaviest new
+    # posting join, so its sf-scaling is measured, not inferred)
     "join_asof_snapshot",
     "text_bpe_learn_merges_batched",
+    "pipeline_hybrid_rrf",
+    "sim_doc_maxsim_topk",
 ]
 
 

@@ -2480,3 +2480,113 @@ def events_changepoint_binseg(t: Tables) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Mann-Whitney pinned IEEE shapes: every statistic is one fixed
+#: expression over exact integers (doubled average ranks r2_1, counts,
+#: the tie-correction sum) — identical text for both engines. sqrt is
+#: IEEE-correctly-rounded, hence portable without the DECIMAL pin ln
+#: needs.
+_MW_U1 = (
+    "CAST(r2_1 AS DOUBLE) / 2 - "
+    "(CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1)) / 2"
+)
+_MW_MU = "(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) / 2"
+_MW_SIG = (
+    "sqrt((CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12) * "
+    "((CAST(n AS DOUBLE) + 1) - "
+    "CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))))"
+)
+_MW_Z = f"(({_MW_U1}) - ({_MW_MU})) / ({_MW_SIG})"
+
+_MW_SQL = (
+    "WITH u AS (SELECT user_id % 2 AS variant, "
+    "CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS m "
+    "FROM events GROUP BY user_id), "
+    "r AS (SELECT variant, m, "
+    "rank() OVER (ORDER BY m) AS rmin, "
+    "count(*) OVER (PARTITION BY m) AS tc FROM u), "
+    "tg AS (SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS ties "
+    "FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM u GROUP BY m)), "
+    "s AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, "
+    "CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+    "CAST(sum(CASE WHEN variant = 1 THEN 2 * rmin + tc - 1 ELSE 0 END) "
+    "AS BIGINT) AS r2_1 FROM r) "
+    "SELECT n, n0, n1, CAST(r2_1 AS DOUBLE) / 2 AS rank_sum_1, "
+    f"{_MW_U1} AS u1, {_MW_MU} AS mu_u, {_MW_SIG} AS sigma_u, {_MW_Z} AS z "
+    "FROM s, tg"
+)
+
+
+@register("events_ab_mannwhitney", _MW_SQL)
+def events_ab_mannwhitney(t: Tables) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) A/B test on the per-user value
+    metric — the nonparametric companion to events_ab_cuped for the
+    heavy-tailed metrics (revenue, session length) where a mean test is
+    dominated by whales: compares the RANK distribution of variant 1
+    vs variant 0 (user-parity assignment, the CUPED convention) with
+    midrank tie handling and the tie-corrected normal approximation
+    (U1, mu, sigma, z).
+
+    Exactness: per-user metrics are exact DECIMAL(12,2) sums, so rank
+    ties are engine-identical; average ranks are carried DOUBLED
+    (2*rank_min + tiecount - 1 — integers, no fractional rank ever
+    stored), the tie correction Σ(t³−t) is an integer sum, and every
+    float statistic is one pinned-shape expression over those integers
+    (sqrt is IEEE-correctly-rounded, portable without ln's DECIMAL
+    pin). Plan: ONE user_id shuffle collapses events to |users| rows;
+    the global metric rank is a window over that collapsed relation
+    (users ≪ events — at 100 TB this is the classic range-partitioned
+    rank, still never an events-sized sort); everything after is 1-row
+    aggregates."""
+    u = t.events.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(12,2)")
+        .alias("m")
+    )
+    u = u.select(F.pmod(F.col("user_id"), F.lit(2)).alias("variant"), "m")
+    r = u.select(
+        "variant",
+        "m",
+        F.rank().over(Window.orderBy("m")).alias("rmin"),
+        F.count(F.lit(1)).over(Window.partitionBy("m")).alias("tc"),
+    )
+    tg = (
+        u.groupBy("m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("ties")
+        )
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(
+            F.when(
+                F.col("variant") == 1,
+                F.lit(2) * F.col("rmin") + F.col("tc") - F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("r2_1"),
+    )
+    return s.crossJoin(F.broadcast(tg)).select(
+        "n",
+        "n0",
+        "n1",
+        F.expr("CAST(r2_1 AS DOUBLE) / 2").alias("rank_sum_1"),
+        F.expr(_MW_U1).alias("u1"),
+        F.expr(_MW_MU).alias("mu_u"),
+        F.expr(_MW_SIG).alias("sigma_u"),
+        F.expr(_MW_Z).alias("z"),
+    )

@@ -2372,3 +2372,143 @@ def text_ngram_novelty(t: Tables) -> DataFrame:
             "novelty_ppm"
         ),
     ).orderBy("doc_id")
+
+
+#: Late-interaction (MaxSim) retrieval geometry: query docs, report
+#: size, and the minimum token length that yields a char trigram.
+MAXSIM_N_QUERIES = 5
+MAXSIM_TOP_K = 10
+
+#: Token-level similarity: Jaccard of the token's DISTINCT char
+#: trigrams — one exact IEEE division per (qtok, dtok) pair, rendered
+#: with this identical shape in both engines.
+_MAXSIM_JAC = (
+    "CAST(c AS DOUBLE) / "
+    "(CAST(nq AS DOUBLE) + CAST(nc AS DOUBLE) - CAST(c AS DOUBLE))"
+)
+
+_MAXSIM_SQL = (
+    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+    "tok AS (SELECT DISTINCT doc_id, u.tok AS tok FROM tk, "
+    "LATERAL unnest(tk) AS u(tok) WHERE length(u.tok) >= 3), "
+    "tri AS (SELECT DISTINCT doc_id, tok, g FROM (SELECT doc_id, tok, "
+    "unnest(list_transform(range(1, length(tok) - 1), "
+    "i -> substring(tok, CAST(i AS INT), 3))) AS g FROM tok)), "
+    "sz AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS ntri "
+    "FROM tri GROUP BY doc_id, tok), "
+    f"qtri AS (SELECT * FROM tri WHERE doc_id < {MAXSIM_N_QUERIES}), "
+    "inter AS (SELECT q.doc_id AS query_id, q.tok AS qtok, "
+    "c.doc_id AS cand_id, c.tok AS dtok, CAST(count(*) AS BIGINT) AS c "
+    "FROM qtri q JOIN tri c ON q.g = c.g AND c.doc_id <> q.doc_id "
+    "GROUP BY q.doc_id, q.tok, c.doc_id, c.tok), "
+    "j AS (SELECT query_id, qtok, cand_id, dtok, "
+    f"{_MAXSIM_JAC} AS jac FROM (SELECT i.query_id, i.qtok, i.cand_id, "
+    "i.dtok, i.c, qs.ntri AS nq, cs.ntri AS nc FROM inter i "
+    "JOIN sz qs ON qs.doc_id = i.query_id AND qs.tok = i.qtok "
+    "JOIN sz cs ON cs.doc_id = i.cand_id AND cs.tok = i.dtok)), "
+    "mx AS (SELECT query_id, qtok, cand_id, max(jac) AS mj "
+    "FROM j GROUP BY query_id, qtok, cand_id), "
+    "sc AS (SELECT query_id, cand_id, "
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(mj ORDER BY qtok)), "
+    "(acc, x) -> acc + x) AS maxsim, CAST(count(*) AS BIGINT) AS n_terms_matched "
+    "FROM mx GROUP BY query_id, cand_id) "
+    "SELECT query_id, CAST(rn AS INT) AS rank, cand_id AS neighbor_id, "
+    "maxsim, n_terms_matched FROM (SELECT *, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY maxsim DESC, cand_id) AS rn FROM sc) "
+    f"WHERE rn <= {MAXSIM_TOP_K} ORDER BY query_id, rank"
+)
+
+
+@register("sim_doc_maxsim_topk", _MAXSIM_SQL)
+def sim_doc_maxsim_topk(t: Tables) -> DataFrame:
+    """LATE-INTERACTION retrieval (the ColBERT MaxSim operator, with
+    char-trigram Jaccard standing in for the token-embedding dot —
+    no model in this container): score(q, d) = Σ over q's distinct
+    tokens of max over d's tokens of sim(qtok, dtok). Late interaction
+    keeps token granularity through scoring — a document matching every
+    query term somewhere beats one repeating a single term — which
+    single-vector retrieval (sim_doc_topk_hashed) structurally cannot
+    express.
+
+    Exactness: trigram-set sizes and intersection counts are integers
+    from the blocking join itself (|A∩B| = matched-trigram count over
+    DISTINCT grams), each Jaccard is ONE pinned IEEE division, max over
+    doubles is order-free, and the per-(query, doc) sum folds in qtok
+    order. Tokens shorter than 3 chars carry no trigram and are
+    excluded on both sides (documented geometry).
+
+    Plan — the blocking IS the index probe, never a token cross
+    product: the query side (MAXSIM_N_QUERIES docs' distinct tokens,
+    exploded to trigrams) is bounded and broadcast against the corpus
+    trigram posting stream; candidate (qtok, dtok) pairs exist ONLY
+    where a trigram matches (non-overlapping pairs have Jaccard 0 and
+    cannot change a max). One groupBy computes intersections, one the
+    per-token max, one the per-doc fold. At 100 TB the trigram posting
+    table is the maintained index; hot trigrams are the skew risk and
+    AQE's skew split covers the reduce (the md5-uniform window-hash
+    argument does not apply to natural-language trigrams — documented
+    honestly)."""
+    c = tokens("text")
+    tok = (
+        t.documents.select("doc_id", F.explode(c).alias("tok"))
+        .filter(F.length("tok") >= 3)
+        .distinct()
+    )
+    # Eager checkpoint: the trigram stream has THREE consumers (query
+    # side, corpus join side, per-token sizes) — without materialization
+    # each re-pays the scan + explode + distinct.
+    tri = (
+        tok.select(
+            "doc_id",
+            "tok",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok") - F.lit(2)),
+                    lambda i: F.col("tok").substr(i, F.lit(3)),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sz = tri.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("ntri"))
+    qtri = tri.filter(F.col("doc_id") < MAXSIM_N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("tok").alias("qtok"), "g"
+    )
+    inter = (
+        F.broadcast(qtri)
+        .join(tri.select(F.col("doc_id").alias("cand_id"), F.col("tok").alias("dtok"), "g"), "g")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "qtok", "cand_id", "dtok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    qs = sz.select(
+        F.col("doc_id").alias("query_id"), F.col("tok").alias("qtok"),
+        F.col("ntri").alias("nq"),
+    ).filter(F.col("query_id") < MAXSIM_N_QUERIES)
+    cs = sz.select(
+        F.col("doc_id").alias("cand_id"), F.col("tok").alias("dtok"),
+        F.col("ntri").alias("nc"),
+    )
+    j = (
+        inter.join(F.broadcast(qs), ["query_id", "qtok"])
+        .join(cs, ["cand_id", "dtok"])
+        .select("query_id", "qtok", "cand_id", F.expr(_MAXSIM_JAC).alias("jac"))
+    )
+    mx = j.groupBy("query_id", "qtok", "cand_id").agg(F.max("jac").alias("mj"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("qtok", "mj"))),
+        lambda s: s.getField("mj"),
+    )
+    sc = mx.groupBy("query_id", "cand_id").agg(
+        F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x).alias("maxsim"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("cand_id"))
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= MAXSIM_TOP_K)
+        .select("query_id", "rank", F.col("cand_id").alias("neighbor_id"),
+                "maxsim", "n_terms_matched")
+        .orderBy("query_id", "rank")
+    )

@@ -397,6 +397,7 @@ def test_no_forced_broadcast_of_sf_proportional_relations(spark, t):
         "text_keywords_tfidf",
         "pipeline_hybrid_rrf",
         "search_rank_agreement_ndcg",
+        "sim_doc_maxsim_topk",
     ]
     # relations that legitimately keep a hint (SF-invariant):
     # nation/region dims and 1-row scalar aggregates. Count broadcasts
@@ -454,6 +455,10 @@ def test_no_forced_broadcast_of_sf_proportional_relations(spark, t):
         # unhinted (they degrade to SMJ under -1 by design).
         "pipeline_hybrid_rrf": 5,
         "search_rank_agreement_ndcg": 5,
+        # late-interaction retrieval: the bounded query-trigram and
+        # query-token-size hints only; the corpus trigram stream and the
+        # per-token size relation join unhinted.
+        "sim_doc_maxsim_topk": 2,
     }
     import re
 
