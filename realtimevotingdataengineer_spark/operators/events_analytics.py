@@ -2590,3 +2590,87 @@ def events_ab_mannwhitney(t: Tables) -> DataFrame:
         F.expr(_MW_SIG).alias("sigma_u"),
         F.expr(_MW_Z).alias("z"),
     )
+
+
+#: Pinned mean / estimator shapes for the 2x2 diff-in-differences cell
+#: grid (variant x period): each mean is one exact-decimal-sum / count
+#: division; the estimator is one fixed four-mean expression.
+_DID_MEAN = "s{c} / CAST(n{c} AS DOUBLE)"
+_DID_EST = (
+    f"(({_DID_MEAN.format(c='11')}) - ({_DID_MEAN.format(c='10')})) - "
+    f"(({_DID_MEAN.format(c='01')}) - ({_DID_MEAN.format(c='00')}))"
+)
+
+
+def _did_sql() -> str:
+    d = "CAST(value AS DECIMAL(12,2))"
+    zero = "CAST(0 AS DECIMAL(12,2))"
+    cells = []
+    for v in (0, 1):
+        for p in (0, 1):
+            pre = f"ts < TIMESTAMP '{CUPED_BOUNDARY}'"
+            period = f"NOT ({pre})" if p else pre
+            cond = f"user_id % 2 = {v} AND ({period})"
+            cells.append(
+                f"CAST(CAST(sum(CASE WHEN {cond} THEN {d} ELSE {zero} END) "
+                f"AS VARCHAR) AS DOUBLE) AS s{v}{p}, "
+                f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n{v}{p}"
+            )
+    means = ", ".join(
+        f"{_DID_MEAN.format(c=f'{v}{p}')} AS mean_{v}{p}"
+        for v in (0, 1)
+        for p in (0, 1)
+    )
+    return (
+        "WITH s AS (SELECT " + ", ".join(cells) + " FROM events) "
+        "SELECT n00, n01, n10, n11, " + means + f", {_DID_EST} AS did FROM s"
+    )
+
+
+@register("events_ab_did", _did_sql())
+def events_ab_did(t: Tables) -> DataFrame:
+    """Difference-in-differences readout — the quasi-experimental
+    estimator for when assignment isn't randomized at the metric's
+    grain (rollouts, geo launches): the treatment effect is the change
+    in variant 1's mean value across the pre/post boundary MINUS the
+    same change in variant 0, so any shared time trend cancels. Uses
+    the CUPED conventions (user-parity variant, CUPED_BOUNDARY period
+    split); together the three keys (_cuped, _mannwhitney, _did) are
+    the A/B readout battery.
+
+    Exactness: the 2x2 cell grid is 8 conditional aggregates in ONE
+    pass — exact DECIMAL value sums (VARCHAR-routed to double, the
+    profile_correlations discipline) and integer counts; each cell mean
+    is one pinned division and the estimator one fixed four-mean
+    expression. Plan: a single map-side-combinable scan to a 1-row
+    result — nothing shuffles but the 1-row partial merge at any
+    event volume."""
+    d = F.col("value").cast("decimal(12,2)")
+    zero = F.lit(0).cast("decimal(12,2)")
+    pre = F.col("ts") < F.lit(CUPED_BOUNDARY).cast("timestamp")
+    aggs = []
+    for v in (0, 1):
+        for p in (0, 1):
+            period = ~pre if p else pre
+            cond = (F.pmod(F.col("user_id"), F.lit(2)) == v) & period
+            aggs.append(
+                F.sum(F.when(cond, d).otherwise(zero))
+                .cast("double")
+                .alias(f"s{v}{p}")
+            )
+            aggs.append(
+                F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"n{v}{p}")
+            )
+    s = t.events.agg(*aggs)
+    return s.select(
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        *[
+            F.expr(_DID_MEAN.format(c=f"{v}{p}")).alias(f"mean_{v}{p}")
+            for v in (0, 1)
+            for p in (0, 1)
+        ],
+        F.expr(_DID_EST).alias("did"),
+    )

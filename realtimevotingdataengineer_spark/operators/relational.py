@@ -1590,6 +1590,109 @@ def profile_correlations(t: Tables) -> DataFrame:
     )
 
 
+def _spearman_sql() -> str:
+    cols = sorted({c for p in _CORR_PAIRS for c in p})
+    hists = []
+    for c in cols:
+        hists.append(
+            f"h_{c} AS (SELECT {c} AS v, CAST(count(*) AS BIGINT) AS tc "
+            f"FROM lineitem GROUP BY {c}), "
+            f"m_{c} AS (SELECT v, CAST(2 * (sum(tc) OVER (ORDER BY v) - tc) "
+            f"+ tc + 1 AS BIGINT) AS mr2 FROM h_{c})"
+        )
+    joins = " ".join(f"JOIN m_{c} ON m_{c}.v = l.{c}" for c in cols)
+    sums = ["CAST(count(*) AS DOUBLE) AS n"]
+    for c in cols:
+        d = f"CAST(m_{c}.mr2 AS DECIMAL(18,0))"
+        sums.append(f"CAST(CAST(sum({d}) AS VARCHAR) AS DOUBLE) AS s_{c}")
+        sums.append(
+            f"CAST(CAST(sum({d} * {d}) AS VARCHAR) AS DOUBLE) AS s_{c}_{c}"
+        )
+    for a, b in _CORR_PAIRS:
+        da = f"CAST(m_{a}.mr2 AS DECIMAL(18,0))"
+        db = f"CAST(m_{b}.mr2 AS DECIMAL(18,0))"
+        sums.append(
+            f"CAST(CAST(sum({da} * {db}) AS VARCHAR) AS DOUBLE) AS s_{a}_{b}"
+        )
+    selects = []
+    for a, b in _CORR_PAIRS:
+        expr = _CORR_FMT.format(
+            n="n", sxy=f"s_{a}_{b}", sx=f"s_{a}", sy=f"s_{b}",
+            sxx=f"s_{a}_{a}", syy=f"s_{b}_{b}",
+        )
+        selects.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, CAST(n AS BIGINT) AS n, "
+            f"{expr} AS spearman FROM s"
+        )
+    return (
+        "WITH " + ", ".join(hists)
+        + ", s AS (SELECT " + ", ".join(sums) + f" FROM lineitem l {joins}) "
+        + " UNION ALL ".join(selects)
+        + " ORDER BY col_x, col_y"
+    )
+
+
+@register("profile_spearman_correlations", _spearman_sql())
+def profile_spearman_correlations(t: Tables) -> DataFrame:
+    """Spearman rank correlations over the profile_correlations pairs —
+    the monotone-dependency statistic that survives the heavy tails and
+    outliers Pearson is hostage to (the pair every profiling suite
+    reports side by side). Computed WITHOUT any row-level global sort:
+    midranks are a function of the per-VALUE histogram alone
+    (midrank2(v) = 2·|{x < v}| + tiecount + 1, doubled so every rank is
+    an integer), derived by a cumulative window over the value-bounded
+    histogram and joined back by value — at 100 TB the histograms are
+    domain-bounded (11 discounts, 50 quantities) broadcast relations
+    and the fact table never sorts or shuffles. The correlation itself
+    is Pearson's pinned _CORR_FMT shape over exact DECIMAL power sums
+    of the midranks (summed past 2^53 → the VARCHAR-routed double cast,
+    the profile_correlations discipline)."""
+    cols = sorted({c for p in _CORR_PAIRS for c in p})
+    l = t.lineitem
+    joined = l
+    for c in cols:
+        hist = l.groupBy(F.col(c).alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("tc")
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        mr = hist.select(
+            "v",
+            (F.lit(2) * (F.sum("tc").over(w) - F.col("tc")) + F.col("tc") + F.lit(1))
+            .cast("bigint")
+            .alias(f"mr2_{c}"),
+        )
+        joined = joined.join(F.broadcast(mr), joined[c] == mr["v"]).drop("v")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in cols:
+        d = F.col(f"mr2_{c}").cast("decimal(18,0)")
+        aggs.append(F.sum(d).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(d * d).cast("double").alias(f"s_{c}_{c}"))
+    for a, b in _CORR_PAIRS:
+        da = F.col(f"mr2_{a}").cast("decimal(18,0)")
+        db = F.col(f"mr2_{b}").cast("decimal(18,0)")
+        aggs.append(F.sum(da * db).cast("double").alias(f"s_{a}_{b}"))
+    s = joined.agg(*aggs)
+    rows = []
+    for a, b in _CORR_PAIRS:
+        expr = _CORR_FMT.format(
+            n="n", sxy=f"s_{a}_{b}", sx=f"s_{a}", sy=f"s_{b}",
+            sxx=f"s_{a}_{a}", syy=f"s_{b}_{b}",
+        )
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("n").cast("bigint").alias("n"),
+                F.expr(expr).alias("spearman"),
+            )
+        )
+    return (
+        s.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.col_x", "r.col_y", "r.n", "r.spearman")
+        .orderBy("col_x", "col_y")
+    )
+
+
 #: Star-schema foreign keys audited by dq_referential_integrity:
 #: (constraint name, child table, child column, parent table, parent key).
 _DQ_FKS = (
