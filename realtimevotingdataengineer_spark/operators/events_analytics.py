@@ -2674,3 +2674,121 @@ def events_ab_did(t: Tables) -> DataFrame:
         ],
         F.expr(_DID_EST).alias("did"),
     )
+
+
+#: Robust outlier rule (Iglewicz–Hoaglin modified z): |0.6745·(x−med)/MAD|
+#: above 3.5. Literal constants identical in both engines; the z shape
+#: is one pinned expression.
+_MAD_Z_OUT = "abs(0.6745 * (value - med) / mad) > 3.5"
+
+_MAD_SQL = (
+    "WITH h AS (SELECT event_type, value AS v, CAST(count(*) AS BIGINT) AS c "
+    "FROM events GROUP BY event_type, value), "
+    "n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY event_type), "
+    "cum AS (SELECT event_type, v, CAST(sum(c) OVER (PARTITION BY event_type "
+    "ORDER BY v) AS BIGINT) AS cc FROM h), "
+    "med AS (SELECT cum.event_type, min(v) AS med FROM cum JOIN n "
+    "ON n.event_type = cum.event_type WHERE 2 * cc >= n GROUP BY cum.event_type), "
+    "dh AS (SELECT e.event_type, abs(e.value - m.med) AS av, "
+    "CAST(count(*) AS BIGINT) AS c FROM events e JOIN med m "
+    "ON m.event_type = e.event_type GROUP BY e.event_type, abs(e.value - m.med)), "
+    "dcum AS (SELECT event_type, av, CAST(sum(c) OVER (PARTITION BY event_type "
+    "ORDER BY av) AS BIGINT) AS cc FROM dh), "
+    "mad AS (SELECT dcum.event_type, min(av) AS mad FROM dcum JOIN n "
+    "ON n.event_type = dcum.event_type WHERE 2 * cc >= n GROUP BY dcum.event_type), "
+    "o AS (SELECT e.event_type, CAST(sum(CASE WHEN mad > 0 AND "
+    f"{_MAD_Z_OUT} THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
+    "FROM events e JOIN med USING (event_type) JOIN mad USING (event_type) "
+    "GROUP BY e.event_type) "
+    "SELECT n.event_type, n, med AS median_value, mad, n_outliers, "
+    "CAST((n_outliers * 1000000) // n AS BIGINT) AS outlier_ppm "
+    "FROM n JOIN med ON med.event_type = n.event_type "
+    "JOIN mad ON mad.event_type = n.event_type "
+    "JOIN o ON o.event_type = n.event_type ORDER BY n.event_type"
+)
+
+
+@register("events_anomaly_mad", _MAD_SQL)
+def events_anomaly_mad(t: Tables) -> DataFrame:
+    """Robust outlier scan per event type — median/MAD with the
+    Iglewicz–Hoaglin modified z (|0.6745·(x−med)/MAD| > 3.5), the
+    monitor that survives the exact heavy tails that poison
+    events_anomaly_zscore's mean/stddev (one whale inflates sigma and
+    hides every other outlier; the median and MAD don't move).
+
+    Exactness without quantile interpolation: the median is the LOWER
+    median by an integer rule — the smallest value whose doubled
+    cumulative histogram count reaches n — and MAD applies the same
+    rule to |x − med|; both are engine-identical picks of actual data
+    values, never an interpolated float (the cross-engine trap in
+    percentile functions). The z test is one pinned IEEE expression.
+
+    Plan: value histograms per type (map-side combinable, domain-
+    bounded), cumulative windows over those HISTOGRAMS (never the
+    events), two broadcast-size median/MAD relations joined back for
+    one counting pass — the fact table is scanned twice and sorted
+    never. MAD = 0 (a majority-constant type) disables the test for
+    that type rather than dividing by zero."""
+    h = t.events.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n = h.groupBy("event_type").agg(F.sum("c").cast("bigint").alias("n"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.select("event_type", "v", F.sum("c").over(wcum).cast("bigint").alias("cc"))
+    med = (
+        cum.join(n, "event_type")
+        .filter(F.lit(2) * F.col("cc") >= F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("v").alias("med"))
+    )
+    dh = (
+        t.events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", F.abs(F.col("value") - F.col("med")).alias("av"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wdc = (
+        Window.partitionBy("event_type")
+        .orderBy("av")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dcum = dh.select(
+        "event_type", "av", F.sum("c").over(wdc).cast("bigint").alias("cc")
+    )
+    mad = (
+        dcum.join(n, "event_type")
+        .filter(F.lit(2) * F.col("cc") >= F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("av").alias("mad"))
+    )
+    o = (
+        t.events.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when((F.col("mad") > 0) & F.expr(_MAD_Z_OUT), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        n.join(med, "event_type")
+        .join(mad, "event_type")
+        .join(o, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.col("med").alias("median_value"),
+            "mad",
+            "n_outliers",
+            F.expr("CAST((n_outliers * 1000000) div n AS BIGINT)").alias(
+                "outlier_ppm"
+            ),
+        )
+        .orderBy("event_type")
+    )
