@@ -1037,3 +1037,69 @@ def corpus_mix_temperature(t: Tables) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Weighted-sample size and the uniform-hash geometry: the first 13 hex
+#: digits of md5 give a 52-bit integer — exactly representable in a
+#: double, so u = (h + 1) / 16^13 is one correctly-rounded division
+#: into (0, 1] in both engines.
+WEIGHTED_SAMPLE_K = 100
+_ES_U = (
+    "(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) "
+    "AS DOUBLE) + 1) / 4503599627370496"
+)
+#: Efraimidis–Spirakis key ln(u)/w, ln pinned through DECIMAL(18,9)
+#: (libm); larger key = more likely selected (ln(u) is negative, so
+#: dividing by a LARGER weight moves the key toward 0 = larger).
+_ES_KEY = (
+    f"CAST(CAST(ln({_ES_U}) AS DECIMAL(18,9)) AS DOUBLE) "
+    "/ CAST(w AS DOUBLE)"
+)
+
+_WSAMPLE_SQL = (
+    f"WITH tk AS (SELECT doc_id, lang, source, {TOKENS_SQL} AS tk FROM documents), "
+    "wt AS (SELECT doc_id, lang, source, CAST(len(tk) AS BIGINT) AS w FROM tk), "
+    f"k AS (SELECT doc_id, lang, source, w, {_ES_KEY} AS skey FROM wt) "
+    "SELECT doc_id, lang, source, w, skey FROM (SELECT *, row_number() OVER ("
+    "ORDER BY skey DESC, doc_id) AS rn FROM k) "
+    f"WHERE rn <= {WEIGHTED_SAMPLE_K} ORDER BY skey DESC, doc_id"
+)
+
+
+@register("sample_weighted_es", _WSAMPLE_SQL)
+def sample_weighted_es(t: Tables) -> DataFrame:
+    """Weighted sampling without replacement — the Efraimidis–Spirakis
+    one-pass scheme (key = u^(1/w), taken in log space as ln(u)/w) with
+    the randomness derived from md5(doc_id), so the draw is DETERMINISTIC
+    and replayable: the quality-weighted carve-out every training-mix
+    builder needs (here w = token count — longer docs proportionally
+    more likely — swap in any quality score). Inclusion probability is
+    exactly the weighted-without-replacement law; reruns and backfills
+    select the identical sample.
+
+    Exactness: the 52-bit hash prefix is exactly a double, u = (h+1)/2^52
+    is one correctly-rounded division into (0,1], ln pinned through
+    DECIMAL(18,9) (the _IDF_SQL discipline), one exact division by the
+    integer weight. Plan: stateless per-row scoring pushed into the
+    scan, then TakeOrderedAndProject for the top-K — no shuffle beyond
+    the K-row merge at any corpus size, and the scheme is mergeable
+    (union the per-shard top-K, re-rank — the distributed reservoir)."""
+    tk = t.documents.select(
+        "doc_id", "lang", "source", F.size(tokens("text")).cast("bigint").alias("w")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+        ).cast("bigint")
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4503599627370496.0)
+    skey = (
+        F.log(u).cast("decimal(18,9)").cast("double") / F.col("w").cast("double")
+    )
+    k = tk.withColumn("skey", skey)
+    return (
+        k.orderBy(F.desc("skey"), F.asc("doc_id"))
+        .limit(WEIGHTED_SAMPLE_K)
+        .select("doc_id", "lang", "source", "w", "skey")
+    )

@@ -2453,3 +2453,120 @@ def join_asof_snapshot(t: Tables) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+#: Join/partition keys the skew profiler audits: the three cardinality
+#: regimes — few heavy groups (event_type), mid-cardinality natural key
+#: (user_id), wide FK (l_partkey).
+_SKEW_SPECS = (
+    ("events", "event_type"),
+    ("events", "user_id"),
+    ("lineitem", "l_partkey"),
+)
+
+#: Pinned shapes (shared text both engines). The entropy is computed as
+#: -Σ c·ln(p) / n: the pinned DECIMAL(18,9) ln multiplied by the INTEGER
+#: count is exact decimal arithmetic (no double→decimal re-round per
+#: term — that re-round sits on rounding-mode boundaries, measured:
+#: ...68250 rounds half-even in DuckDB, half-up in Spark), the cross-key
+#: sum is associative decimal, and the single /n division happens once
+#: in doubles. Ratio denominator is ln(n_keys), same ln pin.
+_SKEW_P = "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+#: c pinned to DECIMAL(19,0): decimal(18,9) x bigint would need
+#: precision 39 and Spark's 38-cap silently DROPS SCALE to 8
+#: (measured: terms rounded to 8 decimals); 18+19+1 = 38 exactly
+#: keeps scale 9 in both engines.
+_SKEW_TERM = f"CAST(ln({_SKEW_P}) AS DECIMAL(18,9)) * CAST(c AS DECIMAL(19,0))"
+_SKEW_RATIO = (
+    "CASE WHEN n_keys > 1 THEN entropy / "
+    "CAST(CAST(ln(CAST(n_keys AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE) END"
+)
+
+
+def _skew_sql() -> str:
+    parts, outs = [], []
+    for i, (tbl, col) in enumerate(_SKEW_SPECS):
+        parts.append(
+            f"c{i} AS (SELECT CAST({col} AS VARCHAR) AS k, "
+            f"CAST(count(*) AS BIGINT) AS c FROM {tbl} GROUP BY {col}), "
+            f"a{i} AS (SELECT CAST(sum(c) AS BIGINT) AS n, "
+            f"CAST(count(*) AS BIGINT) AS n_keys, "
+            f"CAST(max(c) AS BIGINT) AS top1_cnt FROM c{i}), "
+            f"e{i} AS (SELECT (-CAST(CAST(sum({_SKEW_TERM}) AS VARCHAR) "
+            f"AS DOUBLE)) / CAST(min(n) AS DOUBLE) AS entropy "
+            f"FROM c{i}, a{i}), "
+            f"t{i} AS (SELECT min(k) AS top1_key FROM c{i}, a{i} "
+            f"WHERE c = top1_cnt)"
+        )
+        outs.append(
+            f"SELECT '{tbl}.{col}' AS keyspec, n, n_keys, top1_key, top1_cnt, "
+            "CAST((top1_cnt * 1000000) // n AS BIGINT) AS top1_share_ppm, "
+            f"entropy, {_SKEW_RATIO} AS entropy_ratio "
+            f"FROM a{i}, e{i}, t{i}"
+        )
+    return (
+        "WITH " + ", ".join(parts) + " "
+        + " UNION ALL ".join(outs) + " ORDER BY keyspec"
+    )
+
+
+@register("dq_key_skew_profile", _skew_sql())
+def dq_key_skew_profile(t: Tables) -> DataFrame:
+    """Join-key skew audit — the statistic that decides salting /
+    AQE-skew-split / broadcast BEFORE a 100 TB shuffle is launched, for
+    three cardinality regimes (few heavy groups, mid-cardinality user
+    key, wide FK): row and key counts, the heaviest key and its ppm
+    share, Shannon entropy of the key distribution and its ratio to the
+    uniform maximum ln(n_keys) (ratio → 1 = uniform shuffle, → 0 = one
+    reducer owns the job).
+
+    Exactness for a transcendental-bearing statistic summed over MANY
+    keys: each p·ln(p) term is pinned (ln through DECIMAL(18,9)) and
+    then ROUNDED TO DECIMAL(18,12), so the cross-key sum is exact
+    decimal arithmetic — associative, hence identical on any partition
+    order — the trick that makes an entropy bitwise-oracled without an
+    ordered fold over a vocab-sized list. Plan: one map-side-combinable
+    count per key spec, 1-row aggregates, zero fact-table sorts; the
+    per-key relations are histogram-sized."""
+    rows = []
+    for tbl, col in _SKEW_SPECS:
+        src = getattr(t, tbl)
+        c = src.groupBy(F.col(col).cast("string").alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        a = c.agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("c").cast("bigint").alias("top1_cnt"),
+        )
+        e = c.crossJoin(F.broadcast(a)).agg(
+            (
+                (-F.sum(F.expr(_SKEW_TERM)).cast("double"))
+                / F.min("n").cast("double")
+            ).alias("entropy")
+        )
+        tk = (
+            c.crossJoin(F.broadcast(a))
+            .filter(F.col("c") == F.col("top1_cnt"))
+            .agg(F.min("k").alias("top1_key"))
+        )
+        rows.append(
+            a.crossJoin(F.broadcast(e))
+            .crossJoin(F.broadcast(tk))
+            .select(
+                F.lit(f"{tbl}.{col}").alias("keyspec"),
+                "n",
+                "n_keys",
+                "top1_key",
+                "top1_cnt",
+                F.expr("CAST((top1_cnt * 1000000) div n AS BIGINT)").alias(
+                    "top1_share_ppm"
+                ),
+                "entropy",
+                F.expr(_SKEW_RATIO).alias("entropy_ratio"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("keyspec")
