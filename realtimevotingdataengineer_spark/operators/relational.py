@@ -2531,8 +2531,12 @@ def dq_key_skew_profile(t: Tables) -> DataFrame:
     rows = []
     for tbl, col in _SKEW_SPECS:
         src = getattr(t, tbl)
-        c = src.groupBy(F.col(col).cast("string").alias("k")).agg(
-            F.count(F.lit(1)).cast("bigint").alias("c")
+        # One scan per spec: c has three consumers (totals, entropy,
+        # top-key) — materialize the histogram once.
+        c = (
+            src.groupBy(F.col(col).cast("string").alias("k"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .localCheckpoint(eager=True)
         )
         a = c.agg(
             F.sum("c").cast("bigint").alias("n"),

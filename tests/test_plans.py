@@ -557,3 +557,27 @@ def test_asof_snapshot_union_window_no_join(t):
     assert not re.findall(r"^\s*\(\d+\) \w*Join\w*", plan, re.M), "join leaked in"
     assert "Union" in plan
     assert re.search(r"^\s*\(\d+\) Window", plan, re.M)
+
+
+def test_weighted_sample_single_scan_topk(t):
+    """sample_weighted_es must plan as ONE scan + TakeOrderedAndProject:
+    stateless per-row scoring, zero exchanges — the shape that makes a
+    deterministic weighted draw free at any corpus size."""
+    import re
+
+    plan = formatted_plan(QUERIES["sample_weighted_es"](t))
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"^\s*\(\d+\) Exchange", plan, re.M)
+
+
+def test_spearman_no_fact_sort(t):
+    """profile_spearman_correlations: the midranks come from cumulative
+    windows over VALUE HISTOGRAMS, never a row-level global sort — every
+    Sort node in the plan must sit above a histogram aggregate
+    (equivalently: each window's input passed a HashAggregate), and the
+    hist→fact joins broadcast."""
+    df = QUERIES["profile_spearman_correlations"](t)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    assert broadcast_join_count(df) >= 3
