@@ -1716,3 +1716,330 @@ def sim_mips_srp_topk(t: Tables) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "score")
     )
+
+
+_FILTERED_SQL = (
+    "WITH q AS (SELECT vec_id, label, embedding FROM embeddings "
+    f"WHERE vec_id < {N_QUERIES}), "
+    "scored AS (SELECT q.vec_id AS query_id, q.label AS label, "
+    f"c.vec_id AS neighbor_id, {_COS} AS cosine "
+    "FROM q, embeddings c WHERE q.vec_id <> c.vec_id AND c.label = q.label) "
+    "SELECT query_id, label, neighbor_id, cosine FROM ("
+    "SELECT query_id, label, neighbor_id, cosine, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM scored) "
+    f"WHERE rn <= {TOP_K} ORDER BY query_id, cosine DESC, neighbor_id"
+)
+
+
+@register("sim_filtered_topk", _FILTERED_SQL)
+def sim_filtered_topk(t: Tables) -> DataFrame:
+    """METADATA-FILTERED ANN — top-k restricted to corpus vectors
+    sharing the query's label (the filtered-search mode every vector
+    store ships: 'nearest neighbors WHERE tenant/category matches').
+    Pre-filtering is the correct semantics (filter, then take top-k) —
+    post-filtering an unfiltered top-k under-returns when the filter is
+    selective, the classic filtered-ANN bug.
+
+    Plan: the label predicate applies AT the broadcast join, so a
+    non-matching corpus row is dropped before its 64-term cosine chain
+    ever evaluates (predicate-before-expensive-projection). At 100 TB
+    the corpus is label/tenant-partitioned and the same predicate
+    becomes partition pruning; the IVF/SRP bucketed keys accept the
+    filtered relation unchanged as their scale path."""
+    q = (
+        t.embeddings.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("nrm", norm_expr("embedding", EMB_DIM))
+        .alias("q")
+    )
+    c = (
+        spread(t.embeddings, "vec_id")
+        .withColumn("nrm", norm_expr("embedding", EMB_DIM))
+        .alias("c")
+    )
+    cos = dot_expr("q.embedding", "c.embedding", EMB_DIM) / (
+        F.col("q.nrm") * F.col("c.nrm")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q.vec_id") != F.col("c.vec_id"))
+            & (F.col("c.label") == F.col("q.label")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("q.label").alias("label"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "label", "neighbor_id", "cosine")
+        .orderBy("query_id", F.desc("cosine"), "neighbor_id")
+    )
+
+
+_KNN_CLASSIFY_SQL = (
+    _BF_TOPK_CTE
+    + ", lab AS (SELECT r.query_id, e.label FROM ranked r "
+    f"JOIN embeddings e ON e.vec_id = r.neighbor_id WHERE r.rn <= {TOP_K}), "
+    "votes AS (SELECT query_id, label, CAST(count(*) AS BIGINT) AS v "
+    "FROM lab GROUP BY query_id, label), "
+    "pick AS (SELECT query_id, label AS pred_label, v FROM ("
+    "SELECT query_id, label, v, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY v DESC, label) AS rn FROM votes) WHERE rn = 1) "
+    "SELECT p.query_id, CAST(q.label AS INT) AS true_label, "
+    "CAST(p.pred_label AS INT) AS pred_label, p.v AS votes, "
+    "q.label = p.pred_label AS correct FROM pick p "
+    "JOIN embeddings q ON q.vec_id = p.query_id ORDER BY p.query_id"
+)
+
+
+@register("sim_knn_classify", _KNN_CLASSIFY_SQL)
+def sim_knn_classify(t: Tables) -> DataFrame:
+    """kNN-vote classification — the standard embedding-quality probe
+    (kNN accuracy over the label column): each query vector takes its
+    exact cosine top-K's majority label (tie → smaller label id — a
+    deterministic rule both engines share). Reuses the brute-force
+    ranked CTE verbatim; a label join + one bounded vote aggregate on
+    top. At scale the ranked relation comes from any of the bucketed
+    ANN keys unchanged — classification is a |queries|·K-row
+    post-process regardless of corpus size."""
+    q = (
+        t.embeddings.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("nrm", norm_expr("embedding", EMB_DIM))
+        .alias("q")
+    )
+    c = (
+        spread(t.embeddings, "vec_id")
+        .withColumn("nrm", norm_expr("embedding", EMB_DIM))
+        .alias("c")
+    )
+    cos = dot_expr("q.embedding", "c.embedding", EMB_DIM) / (
+        F.col("q.nrm") * F.col("c.nrm")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.col("c.label").alias("label"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    lab = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= TOP_K
+    )
+    votes = lab.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("label"))
+    pick = (
+        votes.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), F.col("v").alias("votes"))
+    )
+    truth = t.embeddings.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pick.join(F.broadcast(truth), "query_id")
+        .select(
+            "query_id",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("pred_label").cast("int").alias("pred_label"),
+            "votes",
+            (F.col("true_label") == F.col("pred_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+#: MMR re-ranking geometry: relevance/diversity trade-off, candidate
+#: pool size, picks. Literals identical in both engines.
+MMR_LAMBDA, MMR_ONE_MINUS = 0.7, 0.3
+MMR_CAND = 20
+MMR_K = 5
+
+_PAIR_COS = (
+    f"({dot_sql('a.embedding', 'b.embedding', EMB_DIM)}) / "
+    f"(({norm_sql('a.embedding', EMB_DIM)}) * ({norm_sql('b.embedding', EMB_DIM)}))"
+)
+
+
+def _mmr_sql() -> str:
+    parts = [
+        _BF_TOPK_CTE.rstrip()
+        + f", cand AS (SELECT query_id, neighbor_id, cosine FROM ranked "
+        f"WHERE rn <= {MMR_CAND})",
+        "pr AS (SELECT ca.query_id, ca.neighbor_id AS i, cb.neighbor_id AS j, "
+        f"{_PAIR_COS} AS sim FROM cand ca "
+        "JOIN cand cb ON cb.query_id = ca.query_id "
+        "AND cb.neighbor_id <> ca.neighbor_id "
+        "JOIN embeddings a ON a.vec_id = ca.neighbor_id "
+        "JOIN embeddings b ON b.vec_id = cb.neighbor_id)",
+        "sel1 AS (SELECT query_id, neighbor_id, cosine AS rel, cosine AS mmr "
+        "FROM (SELECT query_id, neighbor_id, cosine, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn "
+        "FROM cand) WHERE rn = 1)",
+    ]
+    for i in range(2, MMR_K + 1):
+        sj = " ".join(
+            f"JOIN sel{j} s{j} ON s{j}.query_id = c.query_id "
+            f"AND c.neighbor_id <> s{j}.neighbor_id "
+            f"JOIN pr p{j} ON p{j}.query_id = c.query_id "
+            f"AND p{j}.i = c.neighbor_id AND p{j}.j = s{j}.neighbor_id"
+            for j in range(1, i)
+        )
+        g = ", ".join(f"p{j}.sim" for j in range(1, i))
+        g = f"greatest({g})" if i > 2 else g
+        parts.append(
+            f"m{i} AS (SELECT c.query_id, c.neighbor_id, c.cosine AS rel, "
+            f"{MMR_LAMBDA} * c.cosine - {MMR_ONE_MINUS} * {g} AS mmr "
+            f"FROM cand c {sj}), "
+            f"sel{i} AS (SELECT query_id, neighbor_id, rel, mmr FROM ("
+            "SELECT query_id, neighbor_id, rel, mmr, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY mmr DESC, neighbor_id) AS rn "
+            f"FROM m{i}) WHERE rn = 1)"
+        )
+    outs = " UNION ALL ".join(
+        f"SELECT query_id, CAST({i} AS INT) AS pick, neighbor_id, rel, mmr "
+        f"FROM sel{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return ", ".join(parts) + " " + outs + " ORDER BY query_id, pick"
+
+
+@register("sim_mmr_rerank", _mmr_sql())
+def sim_mmr_rerank(t: Tables) -> DataFrame:
+    """MMR DIVERSITY re-ranking (Carbonell–Goldstein maximal marginal
+    relevance) — the post-retrieval step RAG stacks run so the k
+    passages handed to the model aren't five paraphrases of one source:
+    from the exact top-MMR_CAND candidate pool, greedily pick MMR_K
+    docs maximizing λ·rel(d) − (1−λ)·max_{s∈picked} sim(d, s). Pick 1
+    is pure relevance; every later pick is penalized by its worst-case
+    redundancy against the already-picked set.
+
+    Exactness: relevance and pairwise sims are the pinned cosine
+    chains; each round's score is one fixed λ-expression over them
+    (greatest() of doubles is order-free); ties break on neighbor_id.
+    The greedy recursion is UNROLLED — MMR_K per-query 1-row argmax
+    CTEs — so the oracle runs the identical program.
+
+    Plan: everything after the candidate CTE is bounded by
+    |queries|·MMR_CAND rows — the pairwise-sim relation is the
+    candidate pool self-joined (≤ |q|·K² rows), never the corpus; at
+    100 TB the pool comes from any bucketed ANN key unchanged and the
+    re-rank cost is unchanged — the whole point of rerank-after-
+    retrieve."""
+    q = (
+        t.embeddings.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("nrm", norm_expr("embedding", EMB_DIM))
+        .alias("q")
+    )
+    c = (
+        spread(t.embeddings, "vec_id")
+        .withColumn("nrm", norm_expr("embedding", EMB_DIM))
+        .alias("c")
+    )
+    cos = dot_expr("q.embedding", "c.embedding", EMB_DIM) / (
+        F.col("q.nrm") * F.col("c.nrm")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    cand = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_CAND)
+        .drop("rn")
+        .localCheckpoint(eager=True)  # feeds the pair self-join + K rounds
+    )
+    ea = t.embeddings.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    ).withColumn("a_nrm", norm_expr("a_emb", EMB_DIM))
+    eb = t.embeddings.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    ).withColumn("b_nrm", norm_expr("b_emb", EMB_DIM))
+    pair_cos = dot_expr("a_emb", "b_emb", EMB_DIM) / (
+        F.col("a_nrm") * F.col("b_nrm")
+    )
+    ca = cand.select("query_id", F.col("neighbor_id").alias("i"))
+    cb = cand.select(F.col("query_id").alias("qb"), F.col("neighbor_id").alias("j"))
+    pr = (
+        ca.join(cb, (F.col("qb") == F.col("query_id")) & (F.col("j") != F.col("i")))
+        .join(ea, F.col("a_id") == F.col("i"))
+        .join(eb, F.col("b_id") == F.col("j"))
+        .select("query_id", "i", "j", pair_cos.alias("sim"))
+        .localCheckpoint(eager=True)  # consumed by every round
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    sels = [
+        cand.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cosine").alias("rel"),
+            F.col("cosine").alias("mmr"),
+        )
+    ]
+    for i in range(2, MMR_K + 1):
+        m = cand.alias("c")
+        sim_cols = []
+        for j, s in enumerate(sels, 1):
+            sj = s.select(
+                F.col("query_id").alias(f"sq{j}"), F.col("neighbor_id").alias(f"sn{j}")
+            )
+            m = m.join(
+                F.broadcast(sj),
+                (F.col(f"sq{j}") == F.col("query_id"))
+                & (F.col("neighbor_id") != F.col(f"sn{j}")),
+            )
+            pj = pr.select(
+                F.col("query_id").alias(f"pq{j}"),
+                F.col("i").alias(f"pi{j}"),
+                F.col("j").alias(f"pj{j}"),
+                F.col("sim").alias(f"sim{j}"),
+            )
+            m = m.join(
+                pj,
+                (F.col(f"pq{j}") == F.col("query_id"))
+                & (F.col(f"pi{j}") == F.col("neighbor_id"))
+                & (F.col(f"pj{j}") == F.col(f"sn{j}")),
+            )
+            sim_cols.append(F.col(f"sim{j}"))
+        g = sim_cols[0] if len(sim_cols) == 1 else F.greatest(*sim_cols)
+        wi = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("neighbor_id"))
+        sel = (
+            m.select(
+                "query_id",
+                "neighbor_id",
+                F.col("cosine").alias("rel"),
+                (F.lit(MMR_LAMBDA) * F.col("cosine") - F.lit(MMR_ONE_MINUS) * g).alias(
+                    "mmr"
+                ),
+            )
+            .withColumn("rn", F.row_number().over(wi))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        sels.append(sel)
+    out = None
+    for i, s in enumerate(sels, 1):
+        row = s.select(
+            "query_id", F.lit(i).cast("int").alias("pick"), "neighbor_id", "rel", "mmr"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("query_id", "pick")

@@ -398,6 +398,9 @@ def test_no_forced_broadcast_of_sf_proportional_relations(spark, t):
         "pipeline_hybrid_rrf",
         "search_rank_agreement_ndcg",
         "sim_doc_maxsim_topk",
+        "sim_filtered_topk",
+        "sim_knn_classify",
+        "sim_mmr_rerank",
     ]
     # relations that legitimately keep a hint (SF-invariant):
     # nation/region dims and 1-row scalar aggregates. Count broadcasts
@@ -459,6 +462,13 @@ def test_no_forced_broadcast_of_sf_proportional_relations(spark, t):
         # query-token-size hints only; the corpus trigram stream and the
         # per-token size relation join unhinted.
         "sim_doc_maxsim_topk": 2,
+        # bounded query-side hints (N_QUERIES vectors)
+        "sim_filtered_topk": 1,
+        "sim_knn_classify": 2,
+        # MMR: every hinted side is query-bounded by construction — the
+        # N_QUERIES query vectors, the |q|-row per-round selections, and
+        # joins against the checkpointed ≤|q|·MMR_CAND candidate pool.
+        "sim_mmr_rerank": 26,
     }
     import re
 
