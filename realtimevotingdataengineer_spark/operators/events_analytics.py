@@ -2803,3 +2803,171 @@ def events_anomaly_mad(t: Tables) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Touch events eligible to receive purchase attribution.
+_TOUCH_TYPES = ("click", "view")
+
+_ATTR_SQL = (
+    "WITH s AS (SELECT event_id, user_id, ts, event_type, value, "
+    "max(CASE WHEN event_type IN ('click', 'view') THEN ts END) OVER w AS touch_ts, "
+    "last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END "
+    "IGNORE NULLS) OVER w AS touch_type "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+    "p AS (SELECT touch_type, value, "
+    "CAST(date_diff('second', touch_ts, ts) AS BIGINT) AS delay_sec "
+    "FROM s WHERE event_type = 'purchase' AND touch_type IS NOT NULL) "
+    "SELECT touch_type, CAST(count(*) AS BIGINT) AS n_purchases, "
+    "CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) "
+    "AS attributed_value, "
+    "CAST(sum(delay_sec) AS BIGINT) AS total_delay_sec, "
+    "CAST(sum(delay_sec) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_delay_sec "
+    "FROM p GROUP BY touch_type ORDER BY touch_type"
+)
+
+
+@register("events_attribution_last_touch", _ATTR_SQL)
+def events_attribution_last_touch(t: Tables) -> DataFrame:
+    """LAST-TOUCH revenue attribution — every purchase's value credited
+    to the user's most recent preceding engagement event (click/view),
+    the default model every marketing-analytics stack reports first.
+    Reuses the as-of machinery as an AGGREGATED readout: per touch
+    type, purchases attributed, exact-decimal revenue, and the mean
+    touch→purchase latency (the conversion-lag statistic).
+
+    Plan: ONE (user) partition-sorted window carries both the touch
+    timestamp (running conditional max) and the touch type (running
+    ignore-nulls last of a conditional) — no join, no range scan; then
+    one tiny groupBy over purchases. Exactness: value sums are
+    associative DECIMAL (VARCHAR-routed in the oracle), delays are
+    integer seconds, the mean is one pinned division."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col("event_type").isin(*_TOUCH_TYPES)
+    s = t.events.select(
+        "event_type",
+        "value",
+        "ts",
+        F.max(F.when(is_touch, F.col("ts"))).over(w).alias("touch_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    p = s.filter(
+        (F.col("event_type") == "purchase") & F.col("touch_type").isNotNull()
+    ).select(
+        "touch_type",
+        "value",
+        (F.unix_timestamp("ts") - F.unix_timestamp("touch_ts")).alias("delay_sec"),
+    )
+    return (
+        p.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("attributed_value"),
+            F.sum("delay_sec").cast("bigint").alias("total_delay_sec"),
+            (
+                F.sum("delay_sec").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_delay_sec"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+_GROWTH_SQL = (
+    "WITH ad AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), "
+    "dmax AS (SELECT max(d) AS dm FROM ad), "
+    "lagd AS (SELECT user_id, d, "
+    "lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev, "
+    "lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nxt FROM ad), "
+    "stages AS (SELECT d, "
+    "CASE WHEN prev IS NULL THEN 'new' "
+    "WHEN prev = d - 1 THEN 'retained' ELSE 'resurrected' END AS stage "
+    "FROM lagd), "
+    "churns AS (SELECT d + 1 AS d, 'churned' AS stage FROM lagd, dmax "
+    "WHERE (nxt IS NULL AND d < dm) OR (nxt IS NOT NULL AND nxt > d + 1)), "
+    "u AS (SELECT * FROM stages UNION ALL SELECT * FROM churns) "
+    "SELECT strftime(d, '%Y-%m-%d') AS day, "
+    "CAST(sum(CASE WHEN stage = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new, "
+    "CAST(sum(CASE WHEN stage = 'retained' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_retained, "
+    "CAST(sum(CASE WHEN stage = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_resurrected, "
+    "CAST(sum(CASE WHEN stage = 'churned' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_churned, "
+    "CAST(sum(CASE WHEN stage = 'new' THEN 1 WHEN stage = 'resurrected' THEN 1 "
+    "WHEN stage = 'churned' THEN -1 ELSE 0 END) AS BIGINT) AS net_change "
+    "FROM u GROUP BY d ORDER BY day"
+)
+
+
+@register("events_growth_accounting", _GROWTH_SQL)
+def events_growth_accounting(t: Tables) -> DataFrame:
+    """GROWTH ACCOUNTING (the new / retained / resurrected / churned
+    daily ledger — the identity every DAU/MAU dashboard decomposes
+    into): a user is `new` on their first active day, `retained` when
+    active the day after an active day, `resurrected` when returning
+    across a gap, and `churned` on the day AFTER their activity stops
+    (mid-series gaps and the final drop-off both count; the observation
+    edge is not churn). net_change = new + resurrected − churned is the
+    day-over-day change in the active base — the ledger balances by
+    construction.
+
+    Plan: events collapse to DISTINCT (user, day) once (map-side
+    combinable), ONE user-partitioned window provides both lag and
+    lead, and the ledger is a conditional-sum groupBy over that
+    user-days relation — no self-joins, no spine build; integers end
+    to end."""
+    ad = t.events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dmax = ad.agg(F.max("d").alias("dm"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    lagd = ad.select(
+        "user_id",
+        "d",
+        F.lag("d").over(w).alias("prev"),
+        F.lead("d").over(w).alias("nxt"),
+    )
+    stages = lagd.select(
+        "d",
+        F.when(F.col("prev").isNull(), F.lit("new"))
+        .when(F.col("prev") == F.date_sub(F.col("d"), 1), F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("stage"),
+    )
+    churns = (
+        lagd.crossJoin(F.broadcast(dmax))
+        .filter(
+            (F.col("nxt").isNull() & (F.col("d") < F.col("dm")))
+            | (F.col("nxt").isNotNull() & (F.col("nxt") > F.date_add(F.col("d"), 1)))
+        )
+        .select(F.date_add(F.col("d"), 1).alias("d"), F.lit("churned").alias("stage"))
+    )
+    u = stages.unionByName(churns)
+    cnt = lambda s: F.sum(F.when(F.col("stage") == s, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return (
+        u.groupBy("d")
+        .agg(
+            cnt("new").alias("n_new"),
+            cnt("retained").alias("n_retained"),
+            cnt("resurrected").alias("n_resurrected"),
+            cnt("churned").alias("n_churned"),
+            F.sum(
+                F.when(F.col("stage") == "new", 1)
+                .when(F.col("stage") == "resurrected", 1)
+                .when(F.col("stage") == "churned", -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("net_change"),
+        )
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "n_new",
+                "n_retained", "n_resurrected", "n_churned", "net_change")
+        .orderBy("day")
+    )

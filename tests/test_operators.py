@@ -2014,3 +2014,32 @@ def test_bpe_batched_vs_sequential_divergence_class(t):
     assert len(common) >= BPE_LEARN_ROUNDS - (BPE_BATCH_K - 1)
     for pair in common:
         assert sq[pair] == bq[pair], f"{pair}: committed frequency drifted"
+
+
+def test_growth_accounting_ledger_balances(t):
+    """events_growth_accounting's ledger must satisfy the two growth
+    identities against independently-computed daily actives:
+    actives(d) = new(d) + retained(d) + resurrected(d), and
+    churned(d) = actives(d-1) - retained(d) (everyone active yesterday
+    either retains or churns)."""
+    from pyspark.sql import functions as F
+
+    rows = {r.day: r for r in QUERIES["events_growth_accounting"](t).collect()}
+    actives = {
+        r.day: r.n
+        for r in t.events.select(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "user_id"
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    days = sorted(actives)
+    for d in days:
+        r = rows[d]
+        assert actives[d] == r.n_new + r.n_retained + r.n_resurrected, d
+    for prev, d in zip(days, days[1:]):
+        r = rows[d]
+        assert r.n_churned == actives[prev] - r.n_retained, d
+        assert r.net_change == r.n_new + r.n_resurrected - r.n_churned, d
