@@ -234,3 +234,34 @@ def test_backpressure_bounded_batches(spark, tmp_path):
         "GROUP BY candidate_id, candidate_name, party_affiliation)"
     ).collect()[0][0]
     assert out == 100
+
+
+def test_stream_dedup_exact_matches_batch_groups(spark, sf_dir, tmp_path):
+    """streaming/corpus.py::stream_dedup_exact — the online content
+    filter must agree with the batch dedup pass at the GROUP level: one
+    survivor per normalized-content signature, survivor signature set
+    identical to the batch groups (representatives may differ:
+    first-arrival vs min doc_id — asserted only set-wise on sig)."""
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.sources.tables import load_table
+    from realtimevotingdataengineer_spark.streaming import corpus, sinks
+
+    docs = load_table(spark, sf_dir, "documents")
+    stream_dir = str(tmp_path / "docs_stream")
+    docs.select("doc_id", "text").write.parquet(stream_dir)
+    sdocs = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .parquet(stream_dir)
+    )
+    surv = corpus.stream_dedup_exact(sdocs)
+    q = sinks.write_memory(surv.select("doc_id", "sig"), "doc_dedup", "append")
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM doc_dedup").collect()
+    want_sigs = {
+        r.sig
+        for r in corpus.with_content_signature(docs).select("sig").distinct().collect()
+    }
+    assert len(got) == len(want_sigs)          # one survivor per group
+    assert {r.sig for r in got} == want_sigs   # exactly the batch groups
