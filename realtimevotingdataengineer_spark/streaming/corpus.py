@@ -44,3 +44,19 @@ def stream_dedup_exact(
     if watermark_col is not None:
         return sig.withWatermark(watermark_col, watermark).dropDuplicates(["sig"])
     return sig.dropDuplicates(["sig"])
+
+
+class StreamingTables:
+    """Tables-shaped shim binding ``documents`` to a STREAMING
+    DataFrame, so the registered batch operators — pure
+    DataFrame→DataFrame functions — run UNCHANGED on the ingest stream.
+    Every stateless operator (quality scoring, language ID, Gopher
+    gates, token stats, fingerprints) is streaming-compatible by
+    construction; pytest proves batch ≡ stream row-for-row. Operators
+    with a terminal orderBy or corpus-level aggregation are the ones
+    that genuinely need the batch pass (or a watermarked streaming
+    twin) — the shim makes that boundary explicit instead of implied."""
+
+    def __init__(self, spark, documents: DataFrame):
+        self.spark = spark
+        self.documents = documents

@@ -265,3 +265,35 @@ def test_stream_dedup_exact_matches_batch_groups(spark, sf_dir, tmp_path):
     }
     assert len(got) == len(want_sigs)          # one survivor per group
     assert {r.sig for r in got} == want_sigs   # exactly the batch groups
+
+
+def test_batch_operators_run_unchanged_on_stream(spark, sf_dir, tmp_path):
+    """The registered STATELESS text operators must run UNCHANGED on a
+    streaming documents source via the StreamingTables shim, producing
+    exactly the batch result set — the operator-reuse contract that
+    makes the quality/language gates deployable in the ingest stream
+    without a second implementation."""
+    from realtimevotingdataengineer_spark.operators.text import (
+        text_lang_id,
+        text_quality_score,
+    )
+    from realtimevotingdataengineer_spark.sources.tables import load_table
+    from realtimevotingdataengineer_spark.streaming import corpus, sinks
+
+    docs = load_table(spark, sf_dir, "documents")
+    stream_dir = str(tmp_path / "docs_stream_ops")
+    docs.write.parquet(stream_dir)
+    sdocs = spark.readStream.schema(docs.schema).parquet(stream_dir)
+    st = corpus.StreamingTables(spark, sdocs)
+    for i, (op, key_cols) in enumerate(
+        [(text_quality_score, ("doc_id",)), (text_lang_id, ("doc_id",))]
+    ):
+        out = op(st)
+        assert out.isStreaming
+        name = f"stream_op_{i}"
+        q = sinks.write_memory(out, name, "append")
+        q.processAllAvailable()
+        q.stop()
+        got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        want = {tuple(r) for r in op(corpus.StreamingTables(spark, docs)).collect()}
+        assert got == want, op.__name__
