@@ -114,6 +114,10 @@ def inverted_index(dl: DataFrame) -> DataFrame:
 
 @register("search_bm25_topk", _BM25_SQL)
 def search_bm25_topk(t: Tables) -> DataFrame:
+    return bm25_topk_from(t, doc_lengths(t))
+
+
+def bm25_topk_from(t: Tables, dl: DataFrame) -> DataFrame:
     """BM25 top-10 per keyword query (k1=1.2, b=0.75): classic
     idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), summed over the query's
     matched terms as an ordered fold, ranked per query with doc_id
@@ -127,8 +131,14 @@ def search_bm25_topk(t: Tables) -> DataFrame:
     unboundedly under Heaps' law at 100 TB. Corpus stats are a broadcast
     single row; one (query, doc) aggregation over the matched postings
     only — candidate set is the union of the named posting lists, never
-    the corpus."""
-    dl = doc_lengths(t)
+    the corpus.
+
+    ``bm25_topk_from`` is the parameterized core: the registered key
+    tokenizes for itself; the fusion/eval keys hand in a CHECKPOINTED
+    tokenized relation shared with their dense side, so the corpus is
+    tokenized once per fused query instead of once per subsystem —
+    same program either way, which is what keeps the fused sides
+    hash-identical to this standalone key."""
     terms = inverted_index(dl)
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -341,10 +351,11 @@ def pipeline_hybrid_rrf(t: Tables) -> DataFrame:
     query vectors against one corpus-vector scan (the SRP-bucketed keys
     are the documented 100 TB drop-in); fusion is a full outer join of
     two ≤(|queries|·10)-row rank lists — metadata-sized."""
-    sparse = search_bm25_topk(t).select(
+    dl = doc_lengths(t).localCheckpoint(eager=True)  # one tokenization
+    sparse = bm25_topk_from(t, dl).select(
         "query_id", "doc_id", F.col("rank").alias("r_sparse")
     )
-    dense = dense_keyword_topk(t)
+    dense = dense_keyword_topk(t, dl)
     rrf = F.coalesce(
         F.lit(1.0).cast("double") / (F.lit(RRF_K) + F.col("r_sparse")).cast("double"),
         F.lit(0.0),
@@ -364,7 +375,7 @@ def pipeline_hybrid_rrf(t: Tables) -> DataFrame:
     )
 
 
-def dense_keyword_topk(t: Tables) -> DataFrame:
+def dense_keyword_topk(t: Tables, dl: DataFrame | None = None) -> DataFrame:
     """(query_id, doc_id, r_dense): hashed-TF cosine top-RRF_TOP_K per
     BM25 keyword query — the dense half shared by pipeline_hybrid_rrf
     and search_rank_agreement_ndcg (one definition, cannot drift). The
@@ -404,8 +415,14 @@ def dense_keyword_topk(t: Tables) -> DataFrame:
         .withColumn("nrm", norm_expr("v", HTF_DIM))
         .alias("q")
     )
+    from .text import hashing_tf_vectors_from
+
+    toks = (
+        (dl if dl is not None else doc_lengths(t))
+        .select("doc_id", F.explode("tk").alias("tok"))
+    )
     cv = (
-        hashing_tf_vectors(t)
+        hashing_tf_vectors_from(toks)
         .select("doc_id", F.col("vec").cast("array<double>").alias("v"))
         .withColumn("nrm", norm_expr("v", HTF_DIM))
         .alias("c")
@@ -479,10 +496,11 @@ def search_rank_agreement_ndcg(t: Tables) -> DataFrame:
     both engines. Plan: both rank lists are the bounded retrieval
     outputs (≤ |queries|·10 rows) — the eval join is metadata-sized;
     corpus cost is exactly the two retrieval passes it evaluates."""
-    sparse = search_bm25_topk(t).select(
+    dl = doc_lengths(t).localCheckpoint(eager=True)  # one tokenization
+    sparse = bm25_topk_from(t, dl).select(
         "query_id", "doc_id", F.col("rank").alias("r_sparse")
     )
-    dense = dense_keyword_topk(t)
+    dense = dense_keyword_topk(t, dl)
     rel = dense.select(
         "query_id",
         "doc_id",

@@ -786,6 +786,14 @@ def hashing_tf_vectors(t: Tables) -> DataFrame:
     toks = spread(
         t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id"
     ).select("doc_id", F.explode("tk").alias("tok"))
+    return hashing_tf_vectors_from(toks)
+
+
+def hashing_tf_vectors_from(toks: DataFrame) -> DataFrame:
+    """Parameterized core of :func:`hashing_tf_vectors` over a
+    pre-tokenized (doc_id, tok) stream — lets the fusion keys share one
+    checkpointed tokenization between the posting-list and vector
+    builds (same program, same hashes)."""
     dims = (
         toks.select(
             "doc_id",
