@@ -154,3 +154,79 @@ def test_connected_components_matches_union_find(spark, edges):
     # min-label CC labels every component by its min vertex; union-find
     # with min-root merging yields the same canonical representative
     assert got == expected
+
+
+asof_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user
+        st.integers(min_value=0, max_value=4 * 86400),  # offset sec (0-4 days)
+        st.sampled_from(["purchase", "view"]),
+        st.integers(min_value=-500, max_value=500),  # value cents
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(evs=asof_events_strategy)
+@SET
+def test_asof_snapshot_matches_pandas_merge_asof(spark, evs):
+    """join_asof_snapshot's tagged-union window must agree with pandas
+    merge_asof — THE reference implementation of backward as-of — on
+    random event sets: for every purchase, the matched snapshot
+    timestamp, the carried balance and the carried event count equal
+    pandas' backward match of the same daily snapshot relation."""
+    import pandas as pd
+
+    from realtimevotingdataengineer_spark.operators.relational import (
+        join_asof_snapshot,
+    )
+
+    rows = [
+        (i, u, BASE + dt.timedelta(seconds=off), etype, cents / 100.0)
+        for i, (u, off, etype, cents) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+
+    class _T:  # Tables shim: the key only touches .events
+        events = df
+
+    got = {r.event_id: r for r in join_asof_snapshot(_T).collect()}
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    daily = (
+        pdf.assign(d=pdf.ts.dt.floor("D"))
+        .groupby(["user_id", "d"])
+        .agg(dv=("value", "sum"), dn=("value", "size"))
+        .reset_index()
+        .sort_values(["user_id", "d"])
+    )
+    daily["snap_ts"] = daily.d + pd.Timedelta(days=1)
+    daily["bal"] = daily.groupby("user_id").dv.cumsum()
+    daily["nev"] = daily.groupby("user_id").dn.cumsum()
+    left = (
+        pdf[pdf.event_type == "purchase"]
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    right = daily.sort_values("snap_ts").reset_index(drop=True)
+    merged = pd.merge_asof(
+        left,
+        right[["user_id", "snap_ts", "bal", "nev"]],
+        left_on="ts",
+        right_on="snap_ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    matched = merged[merged.snap_ts.notna()]
+    assert set(got) == set(matched.event_id)
+    for _, m in matched.iterrows():
+        g = got[m.event_id]
+        assert g.snap_ts == m.snap_ts.strftime("%Y-%m-%d %H:%M:%S"), m.event_id
+        assert abs(g.balance_asof - round(m.bal, 4)) < 1e-9, m.event_id
+        assert g.n_events_asof == m.nev, m.event_id
