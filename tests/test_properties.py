@@ -230,3 +230,72 @@ def test_asof_snapshot_matches_pandas_merge_asof(spark, evs):
         assert g.snap_ts == m.snap_ts.strftime("%Y-%m-%d %H:%M:%S"), m.event_id
         assert abs(g.balance_asof - round(m.bal, 4)) < 1e-9, m.event_id
         assert g.n_events_asof == m.nev, m.event_id
+
+
+vectors_strategy = st.lists(
+    st.lists(st.integers(min_value=-5, max_value=5), min_size=64, max_size=64),
+    min_size=8,
+    max_size=14,
+).filter(lambda vs: all(any(x != 0 for x in v) for v in vs))
+
+
+@given(vs=vectors_strategy)
+@SET
+def test_mmr_matches_python_greedy(spark, vs):
+    """sim_mmr_rerank's unrolled selection rounds must reproduce a
+    plain-Python greedy MMR (the textbook algorithm) on random vector
+    sets: same picks in the same order for every query."""
+    import math
+
+    from realtimevotingdataengineer_spark.operators.similarity import (
+        MMR_CAND,
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_ONE_MINUS,
+        N_QUERIES,
+        sim_mmr_rerank,
+    )
+
+    rows = [(i, [float(x) for x in v], i % 3) for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+    class _T:
+        embeddings = df
+
+    got = [
+        (r.query_id, r.pick, r.neighbor_id)
+        for r in sim_mmr_rerank(_T).collect()
+    ]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    want = []
+    emb = {i: v for i, v, _ in rows}
+    for q in range(min(N_QUERIES, len(vs))):
+        cands = sorted(
+            ((cos(emb[q], emb[c]), c) for c in emb if c != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:MMR_CAND]
+        rel = dict((c, s) for s, c in cands)
+        picked = []
+        for pick in range(1, MMR_K + 1):
+            pool = [c for _, c in cands if c not in picked]
+            if not pool:
+                break
+            if not picked:
+                best = pool[0]  # cands already relevance-ordered
+            else:
+                scored = [
+                    (
+                        MMR_LAMBDA * rel[c]
+                        - MMR_ONE_MINUS * max(cos(emb[c], emb[s]) for s in picked),
+                        c,
+                    )
+                    for c in pool
+                ]
+                best = min(scored, key=lambda t: (-t[0], t[1]))[1]
+            picked.append(best)
+            want.append((q, pick, best))
+    assert got == sorted(want)
