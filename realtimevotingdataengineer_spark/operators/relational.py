@@ -1590,6 +1590,13 @@ def profile_correlations(t: Tables) -> DataFrame:
     )
 
 
+#: Columns whose value histograms are DOMAIN-bounded at any SF (50
+#: quantities, 11 discounts) — the only midrank relations allowed a
+#: broadcast hint. l_extendedprice's histogram is fact-sized (Heaps-like
+#: growth with |part|) and must never be hinted.
+_SPEARMAN_BOUNDED = {"l_quantity", "l_discount"}
+
+
 def _spearman_sql() -> str:
     cols = sorted({c for p in _CORR_PAIRS for c in p})
     hists = []
@@ -1646,7 +1653,18 @@ def profile_spearman_correlations(t: Tables) -> DataFrame:
     and the fact table never sorts or shuffles. The correlation itself
     is Pearson's pinned _CORR_FMT shape over exact DECIMAL power sums
     of the midranks (summed past 2^53 → the VARCHAR-routed double cast,
-    the profile_correlations discipline)."""
+    the profile_correlations discipline).
+
+    Honest scale caveat: l_quantity/l_discount histograms are
+    value-DOMAIN-bounded (50/11 rows at any SF) and broadcast by
+    explicit hint; l_extendedprice's distinct count grows ~linearly
+    with the fact table (measured: 583k distinct of 600k rows at
+    sf0.1), so its midrank relation is NEVER hinted — it joins under
+    the threshold/AQE decision (a value-keyed shuffle join at real
+    scale) and its cumulative window is the one genuinely rank-sized
+    sort. That is the price of the EXACT statistic; the 100 TB dial is
+    GK-binned approximate ranks, which collapse every histogram to the
+    bin count."""
     cols = sorted({c for p in _CORR_PAIRS for c in p})
     l = t.lineitem
     joined = l
@@ -1661,7 +1679,8 @@ def profile_spearman_correlations(t: Tables) -> DataFrame:
             .cast("bigint")
             .alias(f"mr2_{c}"),
         )
-        joined = joined.join(F.broadcast(mr), joined[c] == mr["v"]).drop("v")
+        side = F.broadcast(mr) if c in _SPEARMAN_BOUNDED else mr
+        joined = joined.join(side, joined[c] == mr["v"]).drop("v")
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
     for c in cols:
         d = F.col(f"mr2_{c}").cast("decimal(18,0)")

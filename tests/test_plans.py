@@ -401,6 +401,7 @@ def test_no_forced_broadcast_of_sf_proportional_relations(spark, t):
         "sim_filtered_topk",
         "sim_knn_classify",
         "sim_mmr_rerank",
+        "profile_spearman_correlations",
     ]
     # relations that legitimately keep a hint (SF-invariant):
     # nation/region dims and 1-row scalar aggregates. Count broadcasts
@@ -469,6 +470,9 @@ def test_no_forced_broadcast_of_sf_proportional_relations(spark, t):
         # N_QUERIES query vectors, the |q|-row per-round selections, and
         # joins against the checkpointed ≤|q|·MMR_CAND candidate pool.
         "sim_mmr_rerank": 26,
+        # only the domain-bounded quantity/discount midrank histograms;
+        # the fact-sized extendedprice histogram is never hinted.
+        "profile_spearman_correlations": 2,
     }
     import re
 
@@ -580,14 +584,23 @@ def test_weighted_sample_single_scan_topk(t):
     assert not re.search(r"^\s*\(\d+\) Exchange", plan, re.M)
 
 
-def test_spearman_no_fact_sort(t):
-    """profile_spearman_correlations: the midranks come from cumulative
-    windows over VALUE HISTOGRAMS, never a row-level global sort — every
-    Sort node in the plan must sit above a histogram aggregate
-    (equivalently: each window's input passed a HashAggregate), and the
-    hist→fact joins broadcast."""
+def test_spearman_hints_only_domain_bounded_hists(spark, t):
+    """profile_spearman_correlations: midranks come from cumulative
+    windows over VALUE HISTOGRAMS; only the DOMAIN-bounded histograms
+    (quantity: 50, discount: 11) may carry a broadcast hint — the
+    fact-sized l_extendedprice midrank relation (583k distinct of 600k
+    rows at sf0.1, measured) must join under the threshold/AQE
+    decision. With the threshold disabled exactly the 2 hinted
+    histogram joins broadcast."""
+    import re
+
     df = QUERIES["profile_spearman_correlations"](t)
-    plan = formatted_plan(df)
-    assert "Window" in plan
-    assert "SortMergeJoin" not in plan
-    assert broadcast_join_count(df) >= 3
+    assert "Window" in formatted_plan(df)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(QUERIES["profile_spearman_correlations"](t))
+        n = len(re.findall(r"^\s*\(\d+\) Broadcast\w*Join", plan, re.M))
+        assert n == 2, f"expected only the 2 bounded-hist hints, got {n}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
