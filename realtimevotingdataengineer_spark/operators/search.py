@@ -139,11 +139,18 @@ def bm25_topk_from(t: Tables, dl: DataFrame) -> DataFrame:
     tokenized once per fused query instead of once per subsystem —
     same program either way, which is what keeps the fused sides
     hash-identical to this standalone key."""
-    terms = inverted_index(dl)
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
     )
+    return bm25_from_postings(t, inverted_index(dl), stats)
+
+
+def bm25_from_postings(t: Tables, terms: DataFrame, stats: DataFrame) -> DataFrame:
+    """Postings-level BM25 core: everything below the index — shared by
+    the in-memory key and the persisted-index search (build-once /
+    search-many), so the two paths are the same program by
+    construction."""
     qt = t.spark.createDataFrame(
         [(qid, term) for qid, qterms in BM25_QUERIES for term in qterms],
         "query_id string, term string",
@@ -528,3 +535,31 @@ def search_rank_agreement_ndcg(t: Tables) -> DataFrame:
         "dcg",
         (F.col("dcg") / F.expr(_idcg_sql())).alias("ndcg"),
     ).orderBy("query_id")
+
+
+def build_text_index(t: Tables, path: str) -> None:
+    """Persist the keyword-search index: the (doc_id, dl, term, tf)
+    posting table + the 1-row corpus stats. Build-once / search-many —
+    at 100 TB the posting table is a maintained, TERM-BUCKETED corpus
+    artifact refreshed per crawl delta (the one corpus-sized shuffle,
+    paid at build time); every query is then a bounded probe of it,
+    never a corpus scan. (Written as plain parquet locally; bucketBy
+    the term column when writing to a real catalog.)"""
+    dl = doc_lengths(t)
+    inverted_index(dl).write.mode("overwrite").parquet(f"{path}/postings")
+    dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def search_bm25_index(t: Tables, path: str) -> DataFrame:
+    """search_bm25_topk against the PERSISTED index — byte-equal to the
+    in-memory path (asserted in tests). The posting frame is eagerly
+    checkpointed: bm25_from_postings consumes it twice (the df
+    semi-join + the scoring join), and without materialization the
+    index parquet would be scanned twice per query (the search_srp_index
+    discipline)."""
+    terms = t.spark.read.parquet(f"{path}/postings").localCheckpoint(eager=True)
+    stats = t.spark.read.parquet(f"{path}/stats")
+    return bm25_from_postings(t, terms, stats)

@@ -2043,3 +2043,20 @@ def test_growth_accounting_ledger_balances(t):
         r = rows[d]
         assert r.n_churned == actives[prev] - r.n_retained, d
         assert r.net_change == r.n_new + r.n_resurrected - r.n_churned, d
+
+
+def test_bm25_persisted_index_equals_inmemory(t, tmp_path):
+    """The persisted-index BM25 path (build_text_index →
+    search_bm25_index) must reproduce search_bm25_topk byte-for-byte —
+    same postings program above a stored artifact instead of a live
+    tokenization."""
+    from realtimevotingdataengineer_spark.operators.search import (
+        build_text_index,
+        search_bm25_index,
+    )
+
+    path = str(tmp_path / "text_index")
+    build_text_index(t, path)
+    stored = [tuple(r) for r in search_bm25_index(t, path).collect()]
+    live = [tuple(r) for r in QUERIES["search_bm25_topk"](t).collect()]
+    assert stored == live
