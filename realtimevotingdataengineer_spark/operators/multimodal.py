@@ -458,3 +458,163 @@ def mm_dedup_chunked(t: Tables) -> DataFrame:
         .filter(F.col("containment") >= MM_CHUNK_THETA)
         .orderBy("doc_a", "doc_b")
     )
+
+
+#: Perceptual-hash geometry: 64 strided "pixel" samples → 64-bit aHash,
+#: 4×16-bit bands for the LSH candidate join, Hamming radius for the
+#: near-dup verdict.
+PHASH_BITS = 64
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 16
+PHASH_HAMMING = 10
+
+
+def _phash_pos(i: int, idiv: str) -> str:
+    """1-based strided sample position i over an n_chars-byte payload —
+    the downscale step of aHash (64 evenly spaced pixels), identical
+    integer arithmetic in both engines (integer division spells `//` in
+    DuckDB and `div` in Spark SQL — the only dialect split)."""
+    return f"(1 + CAST(({i} * n_chars) {idiv} {PHASH_BITS} AS BIGINT))"
+
+
+def _phash_px(i: int, idiv: str = "//") -> str:
+    return f"ascii(substr(text, CAST({_phash_pos(i, idiv)} AS INT), 1))"
+
+
+def _phash_sql_cte() -> str:
+    """CTE chain ending in ph(doc_id, lo, hi): the average-hash packed
+    as two 32-bit halves (the simhash64 convention — bit 63 in a signed
+    BIGINT is unrepresentable as 1<<63) — bit i set iff pixel i >= the
+    64-pixel mean, compared in integer space (64·px >= Σpx — no
+    division, exact in both engines)."""
+    px_sum = " + ".join(f"px{i}" for i in range(PHASH_BITS))
+    px_cols = ", ".join(f"{_phash_px(i)} AS px{i}" for i in range(PHASH_BITS))
+    half = PHASH_BITS // 2
+    lo = " + ".join(
+        f"(CASE WHEN {PHASH_BITS} * px{i} >= s THEN CAST({1 << i} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for i in range(half)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN {PHASH_BITS} * px{i + half} >= s THEN CAST({1 << i} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for i in range(half)
+    )
+    return (
+        f"WITH px AS (SELECT doc_id, {px_cols} FROM documents WHERE n_chars >= 1), "
+        f"ps AS (SELECT *, {px_sum} AS s FROM px), "
+        f"ph AS (SELECT doc_id, CAST({lo} AS BIGINT) AS lo, "
+        f"CAST({hi} AS BIGINT) AS hi FROM ps)"
+    )
+
+
+_PHASH_SQL = (
+    _phash_sql_cte() + ", "
+    "bands AS (SELECT doc_id, lo, hi, b.j AS j, "
+    f"(CASE WHEN b.j < 2 THEN lo >> (b.j * {PHASH_BAND_BITS}) "
+    f"ELSE hi >> ((b.j - 2) * {PHASH_BAND_BITS}) END) "
+    f"& {(1 << PHASH_BAND_BITS) - 1} AS bv "
+    f"FROM ph, (SELECT unnest(range({PHASH_BANDS})) AS j) b), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, "
+    "a.lo AS la, a.hi AS qa, c.lo AS lb, c.hi AS qb FROM bands a JOIN bands c "
+    "ON a.j = c.j AND a.bv = c.bv AND a.doc_id < c.doc_id) "
+    "SELECT doc_a, doc_b, CAST(bit_count(CAST(xor(la, lb) AS BIGINT)) "
+    "+ bit_count(CAST(xor(qa, qb) AS BIGINT)) AS INT) AS hamming "
+    "FROM cand WHERE bit_count(CAST(xor(la, lb) AS BIGINT)) "
+    f"+ bit_count(CAST(xor(qa, qb) AS BIGINT)) <= {PHASH_HAMMING} "
+    "ORDER BY doc_a, doc_b"
+)
+
+
+@register("mm_dedup_phash", _PHASH_SQL)
+def mm_dedup_phash(t: Tables) -> DataFrame:
+    """PERCEPTUAL near-dup for media payloads — the average-hash (aHash)
+    pipeline every image-dedup stack starts with: downscale (64 evenly
+    strided byte samples standing in for the stubbed pixel decode),
+    threshold each sample against the payload mean (in integer space:
+    64·px >= Σpx, no division), pack the 64-bit hash as two 32-bit
+    halves (bit 63 of a signed BIGINT is unrepresentable as 1<<63 —
+    the simhash64 convention), and find pairs within PHASH_HAMMING=10
+    bits (the standard aHash similarity threshold) via banded Hamming
+    LSH over 4×16-bit bands. Pigeonhole gives EXACT recall for radius
+    < 4 (any such pair must share one untouched band); 4–10 bits is
+    the LSH recall dial — candidates only among band-colliders, the
+    same trade every banded near-dup key in this repo documents, and
+    both engines run the identical program so the oracle still matches
+    bitwise. Exact dedup (mm_dedup_exact) misses a re-encoded
+    or slightly-corrupted copy; chunk dedup (mm_dedup_chunked) needs
+    byte-identical runs; aHash survives both.
+
+    Plan: the hash is ONE narrow whole-stage-codegen map (64 integer
+    samples per payload — no Python, the decode stub being JVM-
+    expressible here); candidates come from the banded equi-join, never
+    an O(n²) comparison; the Hamming verdict runs only on band-
+    colliding pairs. At 100 TB: identical posture to dedup_simhash —
+    uniform md5-free bands are the skew watch-item (constant payloads
+    collapse into one band bucket), AQE skew-split covers the reduce."""
+    n = F.col("n_chars")
+    px = [
+        F.expr(_phash_px(i, "div")).alias(f"px{i}") for i in range(PHASH_BITS)
+    ]
+    base = t.documents.filter(n >= 1).select("doc_id", "text", "n_chars")
+    ps = base.select("doc_id", *px)
+    s = None
+    for i in range(PHASH_BITS):
+        c = F.col(f"px{i}")
+        s = c if s is None else s + c
+    ps = ps.withColumn("s", s)
+    half = PHASH_BITS // 2
+    lo = hi = None
+    for i in range(half):
+        ok_lo = F.lit(PHASH_BITS) * F.col(f"px{i}") >= F.col("s")
+        ok_hi = F.lit(PHASH_BITS) * F.col(f"px{i + half}") >= F.col("s")
+        tlo = F.when(ok_lo, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        thi = F.when(ok_hi, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        lo = tlo if lo is None else lo + tlo
+        hi = thi if hi is None else hi + thi
+    ph = ps.select("doc_id", lo.alias("lo"), hi.alias("hi"))
+    js = t.spark.range(PHASH_BANDS).select(F.col("id").cast("int").alias("j"))
+    bands = ph.crossJoin(F.broadcast(js)).select(
+        "doc_id",
+        "lo",
+        "hi",
+        "j",
+        F.expr(
+            f"(CASE WHEN j < 2 THEN shiftright(lo, j * {PHASH_BAND_BITS}) "
+            f"ELSE shiftright(hi, (j - 2) * {PHASH_BAND_BITS}) END) "
+            f"& {(1 << PHASH_BAND_BITS) - 1}"
+        ).alias("bv"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lo").alias("la"),
+        F.col("hi").alias("qa"),
+        "j",
+        "bv",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lo").alias("lb"),
+        F.col("hi").alias("qb"),
+        "j",
+        "bv",
+    )
+    cand = (
+        a.join(b, ["j", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "la", "qa", "lb", "qb")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+        + F.bit_count(F.col("qa").bitwiseXOR(F.col("qb")))
+    ).cast("int")
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
