@@ -508,7 +508,9 @@ def _phash_sql_cte() -> str:
     )
 
 
-_PHASH_SQL = (
+#: Chain ending in pairs(doc_a, doc_b, hamming) — shared by the pair
+#: report and the group rollup (one definition, cannot drift).
+_PHASH_PAIR_CTES = (
     _phash_sql_cte() + ", "
     "bands AS (SELECT doc_id, lo, hi, b.j AS j, "
     f"(CASE WHEN b.j < 2 THEN lo >> (b.j * {PHASH_BAND_BITS}) "
@@ -517,12 +519,30 @@ _PHASH_SQL = (
     f"FROM ph, (SELECT unnest(range({PHASH_BANDS})) AS j) b), "
     "cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, "
     "a.lo AS la, a.hi AS qa, c.lo AS lb, c.hi AS qb FROM bands a JOIN bands c "
-    "ON a.j = c.j AND a.bv = c.bv AND a.doc_id < c.doc_id) "
-    "SELECT doc_a, doc_b, CAST(bit_count(CAST(xor(la, lb) AS BIGINT)) "
+    "ON a.j = c.j AND a.bv = c.bv AND a.doc_id < c.doc_id), "
+    "pairs AS (SELECT doc_a, doc_b, "
+    "CAST(bit_count(CAST(xor(la, lb) AS BIGINT)) "
     "+ bit_count(CAST(xor(qa, qb) AS BIGINT)) AS INT) AS hamming "
     "FROM cand WHERE bit_count(CAST(xor(la, lb) AS BIGINT)) "
-    f"+ bit_count(CAST(xor(qa, qb) AS BIGINT)) <= {PHASH_HAMMING} "
-    "ORDER BY doc_a, doc_b"
+    f"+ bit_count(CAST(xor(qa, qb) AS BIGINT)) <= {PHASH_HAMMING})"
+)
+
+_PHASH_SQL = (
+    _PHASH_PAIR_CTES
+    + " SELECT doc_a, doc_b, hamming FROM pairs ORDER BY doc_a, doc_b"
+)
+
+_PHASH_GROUPS_SQL = (
+    "WITH RECURSIVE "
+    + _PHASH_PAIR_CTES[5:]  # strip "WITH "
+    + ", sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+    "UNION SELECT doc_b, doc_a FROM pairs), "
+    "reach(a, b) AS (SELECT a, b FROM sym "
+    "UNION SELECT reach.a, sym.b FROM reach JOIN sym ON reach.b = sym.a), "
+    "clus AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id "
+    "FROM reach GROUP BY a) "
+    "SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members "
+    "FROM clus GROUP BY cluster_id ORDER BY cluster_id"
 )
 
 
@@ -617,4 +637,26 @@ def mm_dedup_phash(t: Tables) -> DataFrame:
         cand.select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= PHASH_HAMMING)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@register("mm_phash_groups", _PHASH_GROUPS_SQL)
+def mm_phash_groups(t: Tables) -> DataFrame:
+    """Perceptual-dup GROUPS: connected components over the
+    mm_dedup_phash pair graph, reported as (canonical id = component
+    min, member count) per multi-member component — the dedup
+    deliverable (which copies collapse together), one level above the
+    raw pair list. Spark side is the shared pointer-jumping
+    connected_components (O(log diameter) co-partitioned joins); the
+    oracle states the same fixpoint as a recursive transitive closure
+    over the identical pairs CTE (fine at oracle SF, not the cluster
+    plan)."""
+    from .dedup import connected_components
+
+    edges = mm_dedup_phash(t).select("doc_a", "doc_b")
+    labels, _ = connected_components(edges)
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy("cluster_id")
     )
