@@ -591,3 +591,75 @@ def q22_global_sales_opportunity(t: Tables) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+#: Refresh-function slices (deterministic stand-ins for TPC-H's
+#: refresh files): RF2 deletes orderkeys ≡ 0 mod RF_DEL_MOD, RF1
+#: inserts a shifted copy of orderkeys ≡ 0 mod RF_INS_MOD.
+RF_DEL_MOD, RF_INS_MOD = 997, 991
+
+_RF_SQL = (
+    "WITH mx AS (SELECT max(o_orderkey) + 1 AS off FROM orders), "
+    f"del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % {RF_DEL_MOD} = 0), "
+    "ins AS (SELECT o.o_orderkey + mx.off AS o_orderkey, o_custkey, "
+    "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority "
+    f"FROM orders o, mx WHERE o.o_orderkey % {RF_INS_MOD} = 0), "
+    "kept AS (SELECT o.* FROM orders o LEFT JOIN del d "
+    "ON o.o_orderkey = d.o_orderkey WHERE d.o_orderkey IS NULL), "
+    "aft AS (SELECT * FROM kept UNION ALL SELECT * FROM ins) "
+    "SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_before, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM del) AS n_deleted, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM ins) AS n_inserted, "
+    "CAST(count(*) AS BIGINT) AS n_after, "
+    "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) "
+    "AS total_after FROM aft"
+)
+
+
+@register("orders_refresh_rf1_rf2", _RF_SQL)
+def orders_refresh_rf1_rf2(t: Tables) -> DataFrame:
+    """TPC-H's refresh functions, completing the benchmark's shape
+    beyond the 22 queries: RF2 deletes a deterministic orderkey slice
+    (≡ 0 mod 997 — the stand-in for the delete file), RF1 inserts a
+    key-shifted copy of another slice (≡ 0 mod 991, keys offset past
+    max — the insert file), and the audit row proves the ledger:
+    n_after = n_before − n_deleted + n_inserted plus the exact-decimal
+    price checksum of the refreshed table.
+
+    Plan — the maintenance shape, not a rewrite: the delete is a
+    LEFT ANTI join on the key (broadcastable delete set at real refresh
+    sizes; at 100 TB this is the MERGE DELETE half of
+    batch_merge_upsert), the insert a narrow key-shift map unioned in,
+    and the audit one map-side-combinable aggregate over the result.
+    Nothing sorts; the fact table is scanned twice (once kept, once
+    audit) — a real implementation writes `aft` out and audits the
+    write, same plan."""
+    mx = t.orders.agg((F.max("o_orderkey") + 1).alias("off"))
+    dele = t.orders.filter(F.col("o_orderkey") % RF_DEL_MOD == 0).select("o_orderkey")
+    ins = (
+        t.orders.filter(F.col("o_orderkey") % RF_INS_MOD == 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("o_orderkey") + F.col("off")).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+    kept = t.orders.join(dele, "o_orderkey", "left_anti")
+    aft = kept.unionByName(ins)
+    n_before = t.orders.agg(F.count(F.lit(1)).cast("bigint").alias("n_before"))
+    n_deleted = dele.agg(F.count(F.lit(1)).cast("bigint").alias("n_deleted"))
+    n_inserted = ins.agg(F.count(F.lit(1)).cast("bigint").alias("n_inserted"))
+    audit = aft.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after"),
+        F.sum(dec("o_totalprice", 18, 2)).cast("double").alias("total_after"),
+    )
+    return (
+        n_before.crossJoin(F.broadcast(n_deleted))
+        .crossJoin(F.broadcast(n_inserted))
+        .crossJoin(F.broadcast(audit))
+        .select("n_before", "n_deleted", "n_inserted", "n_after", "total_after")
+    )
