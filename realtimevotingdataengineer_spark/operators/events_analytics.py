@@ -2971,3 +2971,75 @@ def events_growth_accounting(t: Tables) -> DataFrame:
                 "n_retained", "n_resurrected", "n_churned", "net_change")
         .orderBy("day")
     )
+
+
+#: Quantile picks for the conversion-lag distribution (percent points,
+#: lower-quantile integer rule — engine-identical data values).
+_LAG_PCTS = (25, 50, 75, 90)
+
+_LAG_SQL = (
+    "WITH su AS (SELECT user_id, min(ts) AS signup_ts FROM events "
+    "WHERE event_type = 'signup' GROUP BY user_id), "
+    "lag_ AS (SELECT CAST(date_diff('second', su.signup_ts, e.ts) AS BIGINT) "
+    "AS lag_sec FROM events e JOIN su ON su.user_id = e.user_id "
+    "WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts), "
+    "h AS (SELECT lag_sec, CAST(count(*) AS BIGINT) AS c FROM lag_ "
+    "GROUP BY lag_sec), "
+    "n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h), "
+    "cum AS (SELECT lag_sec, CAST(sum(c) OVER (ORDER BY lag_sec) AS BIGINT) "
+    "AS cc FROM h) "
+    "SELECT n.n, "
+    + ", ".join(
+        f"(SELECT min(lag_sec) FROM cum, n WHERE 100 * cc >= {p} * n) AS p{p}_sec"
+        for p in _LAG_PCTS
+    )
+    + ", (SELECT max(lag_sec) FROM lag_) AS max_sec FROM n"
+)
+
+
+@register("events_conversion_lag_quantiles", _LAG_SQL)
+def events_conversion_lag_quantiles(t: Tables) -> DataFrame:
+    """Signup→purchase CONVERSION-LAG distribution — the activation
+    statistic growth teams read next to the funnel: p25/p50/p75/p90 and
+    max of the seconds between a user's first signup and each
+    subsequent purchase. Quantiles use the LOWER-quantile integer rule
+    (smallest lag whose scaled cumulative histogram count reaches the
+    percent point) — engine-identical picks of actual data values, the
+    events_anomaly_mad discipline, never an interpolated float.
+
+    Plan: one per-user min (map-side combinable), one broadcastable
+    signup join, then cumulative windows over the LAG HISTOGRAM (never
+    the events); the quantile picks are 1-row aggregates."""
+    su = t.events.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    lag = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .select(
+            (F.unix_timestamp("ts") - F.unix_timestamp("signup_ts")).alias("lag_sec")
+        )
+    )
+    h = (
+        lag.groupBy("lag_sec")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)  # histogram feeds n + cum + picks
+    )
+    n = h.agg(F.sum("c").cast("bigint").alias("n"))
+    w = Window.orderBy("lag_sec").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = h.select("lag_sec", F.sum("c").over(w).cast("bigint").alias("cc"))
+    out = n
+    for p in _LAG_PCTS:
+        pick = (
+            cum.crossJoin(F.broadcast(n.select(F.col("n").alias("_n"))))
+            .filter(F.lit(100) * F.col("cc") >= F.lit(p) * F.col("_n"))
+            .agg(F.min("lag_sec").alias(f"p{p}_sec"))
+        )
+        out = out.crossJoin(F.broadcast(pick))
+    mx = h.agg(F.max("lag_sec").alias("max_sec"))
+    return out.crossJoin(F.broadcast(mx)).select(
+        "n", *[f"p{p}_sec" for p in _LAG_PCTS], "max_sec"
+    )
