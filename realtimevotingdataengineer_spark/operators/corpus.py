@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import TOKENS_SQL, ngram_cte_sql, spread, tokens
+from ..functions import TOKENS_SQL, ngram_cte_sql, normalize_text, spread, tokens
 from ..registry import register
 from ..sources.tables import Tables
 
@@ -1102,4 +1102,52 @@ def sample_weighted_es(t: Tables) -> DataFrame:
         k.orderBy(F.desc("skey"), F.asc("doc_id"))
         .limit(WEIGHTED_SAMPLE_K)
         .select("doc_id", "lang", "source", "w", "skey")
+    )
+
+
+_DUP_RATE_SQL = (
+    "WITH sig AS (SELECT doc_id, source, "
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS sig "
+    "FROM documents), "
+    "canon AS (SELECT sig, min(doc_id) AS keeper FROM sig GROUP BY sig), "
+    "marked AS (SELECT s.source, "
+    "CASE WHEN s.doc_id = c.keeper THEN 0 ELSE 1 END AS is_dup "
+    "FROM sig s JOIN canon c ON c.sig = s.sig) "
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(is_dup) AS BIGINT) AS n_dup_docs, "
+    "CAST((sum(is_dup) * 1000000) // count(*) AS BIGINT) AS dup_ppm "
+    "FROM marked GROUP BY source ORDER BY source"
+)
+
+
+@register("corpus_dup_rate_by_source", _DUP_RATE_SQL)
+def corpus_dup_rate_by_source(t: Tables) -> DataFrame:
+    """Duplicate-rate diagnostics PER SOURCE — the curation dashboard
+    number that decides which crawl feeds are worth their storage: for
+    each source, how many docs are non-canonical members of an exact
+    content group (the docs dedup_exact would drop), as count and ppm.
+    A source with a high dup rate is re-crawling itself; a pair of
+    sources sharing groups is mirroring each other.
+
+    Plan: the signature groupBy is the dedup_exact shuffle; the keeper
+    join is co-partitioned on the signature; the per-source rollup is
+    map-side combinable. Integers end to end."""
+    sig = t.documents.select(
+        "doc_id", "source", F.md5(normalize_text(F.col("text"))).alias("sig")
+    )
+    canon = sig.groupBy("sig").agg(F.min("doc_id").alias("keeper"))
+    marked = sig.join(canon, "sig").select(
+        "source",
+        F.when(F.col("doc_id") == F.col("keeper"), 0).otherwise(1).alias("is_dup"),
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("n_dup_docs"),
+            F.expr("CAST((sum(is_dup) * 1000000) div count(*) AS BIGINT)").alias(
+                "dup_ppm"
+            ),
+        )
+        .orderBy("source")
     )
