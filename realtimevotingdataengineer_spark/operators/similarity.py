@@ -2034,6 +2034,11 @@ def sim_mmr_rerank(t: Tables) -> DataFrame:
             .withColumn("rn", F.row_number().over(wi))
             .filter(F.col("rn") == 1)
             .drop("rn")
+            # eager: round i+1 joins EVERY earlier selection — without
+            # materialization each later round re-expands the whole
+            # prior-round subtree (measured: 84 exchanges for ≤100-row
+            # relations at K=5).
+            .localCheckpoint(eager=True)
         )
         sels.append(sel)
     out = None
