@@ -96,6 +96,9 @@ HEADLINE = [
     "text_bpe_learn_merges_batched",
     "pipeline_hybrid_rrf",
     "sim_doc_maxsim_topk",
+    # late round 8: perceptual near-dup (the media-payload banded-LSH
+    # family) — one rep so its sf-scaling is measured
+    "mm_dedup_phash",
 ]
 
 

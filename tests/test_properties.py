@@ -299,3 +299,68 @@ def test_mmr_matches_python_greedy(spark, vs):
             picked.append(best)
             want.append((q, pick, best))
     assert got == sorted(want)
+
+
+values_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),                      # event type
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+    ),
+    min_size=4,
+    max_size=60,
+)
+
+
+@given(vals=values_strategy)
+@SET
+def test_mad_integer_rule_matches_python_reference(spark, vals):
+    """events_anomaly_mad's lower-median/MAD integer rule must match a
+    direct Python implementation of the same rule (smallest value whose
+    doubled cumulative count reaches n) on random value sets, including
+    the outlier count under the modified-z test."""
+    from realtimevotingdataengineer_spark.operators.events_analytics import (
+        events_anomaly_mad,
+    )
+
+    rows = [
+        (i, et, BASE + dt.timedelta(seconds=i), 7, float(v), "{}")
+        for i, (et, v) in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, event_type string, ts timestamp, user_id long, "
+        "value double, props string",
+    )
+
+    class _T:
+        events = df
+
+    got = {r.event_type: r for r in events_anomaly_mad(_T).collect()}
+
+    def lower_median(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        cum = 0
+        from collections import Counter
+
+        for v, c in sorted(Counter(xs).items()):
+            cum += c
+            if 2 * cum >= n:
+                return v
+
+    from collections import defaultdict
+
+    by_type = defaultdict(list)
+    for et, v in vals:
+        by_type[et].append(float(v))
+    for et, xs in by_type.items():
+        med = lower_median(xs)
+        mad = lower_median([abs(x - med) for x in xs])
+        n_out = (
+            sum(1 for x in xs if abs(0.6745 * (x - med) / mad) > 3.5) if mad > 0 else 0
+        )
+        g = got[et]
+        assert g.median_value == med, et
+        assert g.mad == mad, et
+        assert g.n_outliers == n_out, et
+        assert g.n == len(xs), et
