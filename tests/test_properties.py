@@ -364,3 +364,65 @@ def test_mad_integer_rule_matches_python_reference(spark, vals):
         assert g.mad == mad, et
         assert g.n_outliers == n_out, et
         assert g.n == len(xs), et
+
+
+activity_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),   # user
+        st.integers(min_value=0, max_value=9),   # day offset
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(act=activity_strategy)
+@SET
+def test_growth_accounting_identities_on_random_activity(spark, act):
+    """events_growth_accounting's ledger identities must hold for ANY
+    activity pattern, not just the fixture: per day,
+    actives = new + retained + resurrected and
+    churned = actives(prev day) − retained; users churn exactly once
+    per gap and never at the observation edge."""
+    from realtimevotingdataengineer_spark.operators.events_analytics import (
+        events_growth_accounting,
+    )
+
+    rows = [
+        (i, "view", BASE + dt.timedelta(days=d, seconds=i), u, 1.0, "{}")
+        for i, (u, d) in enumerate(act)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, event_type string, ts timestamp, user_id long, "
+        "value double, props string",
+    )
+
+    class _T:
+        events = df
+
+    ledger = {r.day: r for r in events_growth_accounting(_T).collect()}
+    from collections import defaultdict
+
+    days_by_user = defaultdict(set)
+    for u, d in act:
+        days_by_user[u].add(d)
+    actives = defaultdict(set)
+    for u, ds in days_by_user.items():
+        for d in ds:
+            actives[d].add(u)
+    all_days = sorted(actives)
+    fmt = lambda d: (BASE + dt.timedelta(days=d)).strftime("%Y-%m-%d")  # noqa: E731
+    for d in all_days:
+        r = ledger[fmt(d)]
+        assert len(actives[d]) == r.n_new + r.n_retained + r.n_resurrected, d
+    for d in all_days:
+        r = ledger.get(fmt(d + 1))
+        churned_here = (r.n_churned if r is not None else 0)
+        retained_next = (r.n_retained if r is not None else 0)
+        if d == max(all_days):
+            # observation edge: the final actives never churn — no
+            # ledger row exists past the last active day at all
+            assert fmt(d + 1) not in ledger
+        else:
+            assert churned_here == len(actives[d]) - retained_next, d
