@@ -101,9 +101,19 @@ def graph_pagerank_knn(t: Tables) -> DataFrame:
         summed = contrib.groupBy("dst_id").agg(
             F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x).alias("s")
         )
-        rank = nodes.join(summed, nodes.vec_id == summed.dst_id, "left").select(
-            "vec_id",
-            (F.lit(PR_BASE) + F.lit(PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))).alias("r"),
+        rank = (
+            nodes.join(summed, nodes.vec_id == summed.dst_id, "left")
+            .select(
+                "vec_id",
+                (
+                    F.lit(PR_BASE) + F.lit(PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+            # eager: round i+1's contributions join THIS round's ranks —
+            # without materialization each round re-expands the whole
+            # prior-round subtree (the sim_mmr_rerank disease; plan
+            # budget pinned by tests/test_plans.py).
+            .localCheckpoint(eager=True)
         )
     return rank.select("vec_id", F.col("r").alias("pagerank")).orderBy("vec_id")
 
@@ -176,6 +186,9 @@ def graph_label_propagation(t: Tables) -> DataFrame:
         labels = (
             labels.join(top, "vec_id", "left")
             .select("vec_id", F.coalesce("new_label", "label").alias("label"))
+            # eager: each round reads the prior round's labels — keep the
+            # per-round plan flat instead of depth-compounding.
+            .localCheckpoint(eager=True)
         )
     return labels.orderBy("vec_id")
 
@@ -252,10 +265,13 @@ BFS_ITERS = 3
 
 
 def _bfs_iter_sql(i: int) -> str:
-    """One BFS relaxation: dist[v] = min(dist[v], min over in-neighbors
-    (dist[u] + 1)) — synchronous Bellman-Ford on unit weights."""
+    """One BFS relaxation round, MATERIALIZED: dist[v] = min(dist[v],
+    min over in-neighbors (dist[u] + 1)) — synchronous Bellman-Ford on
+    unit weights. Each round reads the prior one TWICE, so a plain CTE
+    chain inlines 2^rounds-fold in DuckDB (measured: 15.7s → 1.1s at
+    sf0.01 for 3 rounds once pinned; the round-7 BPE lesson)."""
     return (
-        f"d{i} AS (SELECT n.vec_id, least(coalesce(p.dist, {10**9}), "
+        f"d{i} AS MATERIALIZED (SELECT n.vec_id, least(coalesce(p.dist, {10**9}), "
         f"coalesce(m.reach, {10**9})) AS dist "
         f"FROM nodes n LEFT JOIN d{i - 1} p ON p.vec_id = n.vec_id "
         "LEFT JOIN (SELECT u.b AS vec_id, min(pd.dist) + 1 AS reach "
@@ -266,10 +282,11 @@ def _bfs_iter_sql(i: int) -> str:
 
 _BFS_SQL = (
     _KNN_EDGES_CTES + ", "
-    "und AS (SELECT src_id AS a, dst_id AS b FROM knn "
+    "und AS MATERIALIZED (SELECT src_id AS a, dst_id AS b FROM knn "
     "UNION SELECT dst_id, src_id FROM knn), "
-    "nodes AS (SELECT vec_id FROM embeddings), "
-    "d0 AS (SELECT vec_id, CASE WHEN vec_id = (SELECT min(vec_id) FROM embeddings) "
+    "nodes AS MATERIALIZED (SELECT vec_id FROM embeddings), "
+    "d0 AS MATERIALIZED (SELECT vec_id, "
+    "CASE WHEN vec_id = (SELECT min(vec_id) FROM embeddings) "
     f"THEN 0 ELSE {10**9} END AS dist FROM nodes), "
     + ", ".join(_bfs_iter_sql(i) for i in range(1, BFS_ITERS + 1))
     + " SELECT vec_id, CAST(dist AS BIGINT) AS dist "
@@ -288,8 +305,10 @@ def graph_bfs_distance(t: Tables) -> DataFrame:
 
     Scale shape per round: one edges⨝distances join + one min-agg keyed
     by the neighbor — the identical co-partitionable pair as
-    PageRank/LPA; the INF sentinel keeps the relation dense so no round
-    grows the plan."""
+    PageRank/LPA; each round's dist is eagerly checkpointed so the plan
+    stays flat per round (without it the plan doubles per iteration —
+    the prior dist is read twice). See graph_bfs_distance_deep for the
+    frontier-sparse formulation at real iteration depths."""
     INF = 10**9
     edges = sim_knn_graph(t).select("src_id", "dst_id").localCheckpoint(eager=True)
     und = (
@@ -325,10 +344,99 @@ def graph_bfs_distance(t: Tables) -> DataFrame:
                     F.coalesce(F.col("reach"), F.lit(INF)),
                 ).alias("dist"),
             )
+            # eager: each round reads the prior dist TWICE (reach + the
+            # outer join), so the un-materialized plan DOUBLES per round
+            # (measured round 8: 30 scans / 26 exchanges / 13 SMJ at
+            # just BFS_ITERS=3). Checkpointing makes depth linear-cost.
+            .localCheckpoint(eager=True)
         )
     return (
         dist.filter(F.col("dist") < INF)
         .select("vec_id", F.col("dist").cast("bigint").alias("dist"))
+        .orderBy("vec_id")
+    )
+
+
+#: Deep-BFS frontier rounds — a realistic convergence depth, runnable
+#: only because the per-round state is checkpointed and the per-round
+#: join is |frontier|-sized (the textbook Pregel optimization).
+DEEP_BFS_ITERS = 8
+
+
+# The deep oracle stays DENSE Bellman-Ford (same per-round SQL as the
+# 3-round key, 8 rounds) — equality with the sparse frontier engine
+# formulation IS the check that the frontier rewrite preserves BFS
+# semantics.
+_BFS_DEEP_SQL = (
+    _KNN_EDGES_CTES + ", "
+    "und AS MATERIALIZED (SELECT src_id AS a, dst_id AS b FROM knn "
+    "UNION SELECT dst_id, src_id FROM knn), "
+    "nodes AS MATERIALIZED (SELECT vec_id FROM embeddings), "
+    "d0 AS MATERIALIZED (SELECT vec_id, "
+    "CASE WHEN vec_id = (SELECT min(vec_id) FROM embeddings) "
+    f"THEN 0 ELSE {10**9} END AS dist FROM nodes), "
+    + ", ".join(_bfs_iter_sql(i) for i in range(1, DEEP_BFS_ITERS + 1))
+    + " SELECT vec_id, CAST(dist AS BIGINT) AS dist "
+    f"FROM d{DEEP_BFS_ITERS} WHERE dist < {10**9} ORDER BY vec_id"
+)
+
+
+@register("graph_bfs_distance_deep", _BFS_DEEP_SQL)
+def graph_bfs_distance_deep(t: Tables) -> DataFrame:
+    """Frontier-sparse BFS to DEEP_BFS_ITERS hops from the min-vec_id
+    seed over the symmetrized k-NN graph — the at-depth formulation of
+    graph_bfs_distance. Instead of carrying a dense |nodes|-sized dist
+    relation through every round (fine at 3 hops, wasteful at 8+), the
+    state is the SPARSE reached set plus the current frontier: each
+    round joins edges against only the nodes discovered last round, so
+    per-round shuffle volume is |frontier|·fanout, not |nodes|·fanout,
+    and rounds past the graph's diameter are (empty-frontier) no-ops.
+
+    Plan hygiene at depth: both the reached set and the frontier are
+    eagerly checkpointed per round, so plan size is constant per round
+    and total work is linear in depth — the property the dense 3-round
+    key's budget test pins. The early-exit probe is one isEmpty() on an
+    already-materialized (checkpointed) frontier — no extra job.
+
+    The oracle is the DENSE Bellman-Ford unrolled 8 rounds (CTEs
+    materialized — DuckDB would otherwise inline the
+    read-twice-per-round chain 2^8-fold): dense relaxation and sparse
+    frontier expansion provably compute the same level sets on unit
+    weights, and the hash check enforces exactly that equivalence."""
+    edges = sim_knn_graph(t).select("src_id", "dst_id").localCheckpoint(eager=True)
+    und = (
+        edges.select(F.col("src_id").alias("a"), F.col("dst_id").alias("b"))
+        .union(edges.select(F.col("dst_id").alias("a"), F.col("src_id").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round
+    )
+    # Sparse seed: the 1-row min-vec_id aggregate (derived, not
+    # hard-coded — the round-4 oracle-blindness rule).
+    reached = (
+        t.embeddings.agg(F.min("vec_id").alias("vec_id"))
+        .select("vec_id", F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = reached
+    for i in range(1, DEEP_BFS_ITERS + 1):
+        if frontier.isEmpty():  # past the diameter: remaining rounds no-op
+            break
+        # |frontier|-sized probe side; und is the big fixed side. The
+        # neighbor set is distinct'd BEFORE the anti-join so the
+        # anti-join probe is ≤|new frontier| rows, not frontier·fanout.
+        neigh = (
+            und.join(frontier.select(F.col("vec_id").alias("a")), "a")
+            .select(F.col("b").alias("vec_id"))
+            .distinct()
+        )
+        frontier = (
+            neigh.join(reached, "vec_id", "left_anti")
+            .select("vec_id", F.lit(i).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        reached = reached.unionByName(frontier).localCheckpoint(eager=True)
+    return (
+        reached.select("vec_id", F.col("dist").cast("bigint").alias("dist"))
         .orderBy("vec_id")
     )
 

@@ -604,3 +604,28 @@ def test_spearman_hints_only_domain_bounded_hists(spark, t):
         assert n == 2, f"expected only the 2 bounded-hist hints, got {n}"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_iterative_graph_state_checkpointed_plan_flat(t):
+    """The iterative graph family must eagerly checkpoint its per-round
+    state (rank/labels/dist) so the RETURNED plan is a constant-size
+    read of the last round's materialization, not a depth-compounding
+    lineage re-expansion. Round 8 measured the regression this pins:
+    un-checkpointed BFS re-expanded to 30 scans / 26 exchanges / 13
+    sort-merge joins at just 3 iterations (doubling per round — the
+    prior dist is read twice). Budget: ≤2 exchanges (the final orderBy
+    range partition), zero sort-merge joins, zero parquet re-scans."""
+    import re
+
+    for key in (
+        "graph_bfs_distance",
+        "graph_pagerank_knn",
+        "graph_label_propagation",
+        "graph_bfs_distance_deep",
+    ):
+        plan = formatted_plan(QUERIES[key](t))
+        exch = len(re.findall(r"^\s*\(\d+\) Exchange", plan, re.M))
+        smj = len(re.findall(r"^\s*\(\d+\) SortMergeJoin", plan, re.M))
+        assert exch <= 2, f"{key}: {exch} exchanges — per-round state not checkpointed?"
+        assert smj == 0, f"{key}: {smj} SMJ in the returned plan"
+        assert "Scan parquet" not in plan, f"{key}: parquet re-scan past the checkpoint"
