@@ -2540,11 +2540,12 @@ def dq_key_skew_profile(t: Tables) -> DataFrame:
     reducer owns the job).
 
     Exactness for a transcendental-bearing statistic summed over MANY
-    keys: each p·ln(p) term is pinned (ln through DECIMAL(18,9)) and
-    then ROUNDED TO DECIMAL(18,12), so the cross-key sum is exact
-    decimal arithmetic — associative, hence identical on any partition
-    order — the trick that makes an entropy bitwise-oracled without an
-    ordered fold over a vocab-sized list. Plan: one map-side-combinable
+    keys: each term pins ln(p) through DECIMAL(18,9) and multiplies by
+    the exact DECIMAL(19,0) count (scale stays 9 — Spark's 38-digit
+    precision cap rules out a wider product), so the cross-key sum is
+    exact decimal arithmetic — associative, hence identical on any
+    partition order — the trick that makes an entropy bitwise-oracled
+    without an ordered fold over a vocab-sized list. Plan: one map-side-combinable
     count per key spec, 1-row aggregates, zero fact-table sorts; the
     per-key relations are histogram-sized."""
     rows = []

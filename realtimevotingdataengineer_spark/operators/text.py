@@ -2035,7 +2035,24 @@ def _bpe_batched_sql(rounds: int, k: int, cand: int) -> str:
     (rank <= ``cand`` candidate pool), then k unrolled greedy selections
     each take the lowest-ranked pair symbol-disjoint from every earlier
     selection of the same round, and the round's whole batch is applied
-    to the vocabulary in one replace chain."""
+    to the vocabulary in one replace chain.
+
+    Empty-selection tolerance (the round-8 ADVICE catch): on a
+    symbol-skewed corpus the top-``cand`` pool can yield FEWER than k
+    mutually disjoint pairs, leaving some s{r}_{i} empty — the engine
+    (_bpe_learn_batched) just commits a shorter batch and renumbers
+    merge_rank contiguously. The oracle must do the same, so (a) the
+    vocabulary replace chain uses scalar subqueries with a
+    never-occurring sentinel pattern (chr(31): raw words exclude
+    control chars and placeholder codes stop at rounds·k < 31) instead
+    of a cross join that would empty w{r}; (b) each expansion CTE e{g}
+    is anchored to a one-row VALUES via LEFT JOIN so an empty selection
+    expands to '' (its placeholder never entered the vocabulary, so the
+    downstream replace is a no-op) rather than emptying every CTE that
+    references it; (c) the final union renumbers merge_rank with
+    row_number() over the global selection order, matching the engine's
+    contiguous numbering. Pinned by the symbol-skew property test."""
+    assert rounds * k < 31, "placeholder codes must stay below the chr(31) sentinel"
     parts = [
         f"tkz AS (SELECT {_TOKENS_SQL} AS tk FROM documents), "
         "w0 AS MATERIALIZED (SELECT u.word AS sw, CAST(count(*) AS BIGINT) "
@@ -2077,20 +2094,23 @@ def _bpe_batched_sql(rounds: int, k: int, cand: int) -> str:
                 )
             g += 1
             parts.append(
-                f"e{g} AS MATERIALIZED (SELECT {_bpe_expand_sql('mp', pg)} "
-                f"AS x{g} FROM {name}{efrom})"
+                f"e{g} AS MATERIALIZED (SELECT coalesce(m.v, '') AS x{g} "
+                "FROM (VALUES (1)) a(one) LEFT JOIN "
+                f"(SELECT {_bpe_expand_sql('mp', pg)} AS v FROM {name}{efrom}) m "
+                "ON TRUE)"
             )
             sel.append((g, name, pg))
             names.append(name)
-        repl, froms = "sw", ""
-        for j, (gg, nm, _) in enumerate([s for s in sel if s[1].startswith(f"s{r}_")], 1):
-            repl = f"replace({repl}, u{j}.mp, chr({gg}))"
-            froms += f", {nm} u{j}"
+        repl = "sw"
+        for gg, nm, _ in [s for s in sel if s[1].startswith(f"s{r}_")]:
+            repl = (
+                f"replace({repl}, coalesce((SELECT mp FROM {nm}), chr(31)), chr({gg}))"
+            )
         parts.append(
-            f"w{r} AS MATERIALIZED (SELECT {repl} AS sw, wc FROM w{r-1}{froms})"
+            f"w{r} AS MATERIALIZED (SELECT {repl} AS sw, wc FROM w{r-1})"
         )
     outs = [
-        f"SELECT CAST({gg} AS BIGINT) AS merge_rank, "
+        f"SELECT CAST({gg} AS BIGINT) AS g_idx, "
         f"{_bpe_expand_sql('substring(mp, 1, 1)', pg)} AS sym_left, "
         f"{_bpe_expand_sql('substring(mp, 2, 1)', pg)} AS sym_right, "
         f"{_bpe_expand_sql('mp', pg)} AS merged, freq FROM {nm}"
@@ -2098,8 +2118,11 @@ def _bpe_batched_sql(rounds: int, k: int, cand: int) -> str:
         for gg, nm, pg in sel
     ]
     return (
-        "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(outs)
-        + " ORDER BY merge_rank"
+        "WITH " + ", ".join(parts)
+        + " SELECT CAST(row_number() OVER (ORDER BY g_idx) AS BIGINT) AS merge_rank, "
+        "sym_left, sym_right, merged, freq FROM ("
+        + " UNION ALL ".join(outs)
+        + ") ORDER BY merge_rank"
     )
 
 

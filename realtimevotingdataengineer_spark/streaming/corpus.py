@@ -31,18 +31,30 @@ def stream_dedup_exact(
 ) -> DataFrame:
     """First-arrival-wins exact content dedup on a document stream:
     one survivor per normalized-content signature. With an event-time
-    column, state is GC'd past the watermark (duplicates are assumed to
-    arrive close together — re-crawls of an unchanged page); without
-    one, state grows with DISTINCT content (md5 keys only — 16 bytes a
-    document, the trade a backfill replay accepts).
+    column the watermark branch uses dropDuplicatesWithinWatermark, so
+    state rows ARE evicted once the watermark passes them — plain
+    ``dropDuplicates(['sig'])`` under a watermark would keep state
+    forever, because Spark only GCs dedup state when the event-time
+    column is part of the dedup key subset (the round-8 ADVICE catch).
+    The semantic trade is explicit: duplicates are only suppressed when
+    they arrive within the watermark delay of each other (re-crawls of
+    an unchanged page cluster in time); without an event-time column,
+    suppression is exact forever and state grows with DISTINCT content
+    (md5 keys only — 16 bytes a document, the trade a backfill replay
+    accepts).
 
     Batch-equivalence contract (pytest): the survivor SIGNATURE SET is
     exactly dedup_exact's group set — streaming picks first-arrival
     where batch picks min doc_id, so the chosen representative may
-    differ, never the groups."""
+    differ, never the groups. The watermark branch additionally has a
+    state-eviction pytest: a duplicate arriving AFTER the watermark has
+    passed its first occurrence survives (proof the state row was
+    dropped, i.e. state is time-bounded, not distinct-content-bounded)."""
     sig = with_content_signature(docs)
     if watermark_col is not None:
-        return sig.withWatermark(watermark_col, watermark).dropDuplicates(["sig"])
+        return sig.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(
+            ["sig"]
+        )
     return sig.dropDuplicates(["sig"])
 
 

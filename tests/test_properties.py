@@ -426,3 +426,58 @@ def test_growth_accounting_identities_on_random_activity(spark, act):
             assert fmt(d + 1) not in ledger
         else:
             assert churned_here == len(actives[d]) - retained_next, d
+
+
+bpe_skew_docs = st.lists(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(docs=bpe_skew_docs)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_batched_oracle_tolerates_skewed_vocab(spark, docs):
+    """Engine ≡ oracle for batched BPE on SYMBOL-SKEWED corpora — the
+    degenerate class the round-8 ADVICE flagged: over a 2-letter
+    alphabet every top pair shares a symbol, so a round's candidate
+    pool routinely yields FEWER than k mutually disjoint pairs. The
+    engine commits a shorter batch and renumbers merge_rank
+    contiguously; the unrolled SQL oracle must produce the identical
+    row set (empty selection CTEs must neither empty the vocabulary
+    via the replace chain nor leave merge_rank gaps)."""
+    import duckdb
+    import pandas as pd
+
+    from realtimevotingdataengineer_spark.operators.text import (
+        BPE_BATCH_CAND,
+        BPE_BATCH_K,
+        BPE_BATCH_ROUNDS,
+        _bpe_batched_sql,
+        _bpe_learn_batched,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+
+    class _T:
+        documents = sdf
+
+    got = _bpe_learn_batched(_T, BPE_BATCH_ROUNDS, BPE_BATCH_K, BPE_BATCH_CAND)
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    want = con.execute(
+        _bpe_batched_sql(BPE_BATCH_ROUNDS, BPE_BATCH_K, BPE_BATCH_CAND)
+    ).fetchall()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -297,3 +297,54 @@ def test_batch_operators_run_unchanged_on_stream(spark, sf_dir, tmp_path):
         got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
         want = {tuple(r) for r in op(corpus.StreamingTables(spark, docs)).collect()}
         assert got == want, op.__name__
+
+
+def test_stream_dedup_exact_watermark_evicts_state(spark, tmp_path):
+    """stream_dedup_exact's watermark branch must be TIME-bounded, not
+    distinct-content-bounded: a duplicate inside the watermark delay is
+    suppressed, but once the watermark passes a signature's first
+    occurrence its state row is evicted, so a far-later re-crawl of the
+    SAME content is re-emitted. This is exactly the behavior plain
+    dropDuplicates(['sig']) under a watermark does NOT have (it never
+    GCs state when the event-time column isn't in the key subset — the
+    round-8 ADVICE catch this test pins)."""
+    import datetime as dt
+
+    from realtimevotingdataengineer_spark.streaming import corpus, sinks
+
+    stream_dir = tmp_path / "docs_wm_stream"
+    stream_dir.mkdir()
+    schema = "doc_id bigint, text string, ts timestamp"
+
+    def emit(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(stream_dir / name)
+        )
+
+    T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    sdocs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir) + "/*")
+    )
+    surv = corpus.stream_dedup_exact(sdocs, watermark_col="ts", watermark="10 minutes")
+    # batch 1: first occurrence + an in-delay duplicate → one survivor
+    emit("b1", [(1, "same text", T0), (2, "same text", T0 + dt.timedelta(minutes=1))])
+    q = sinks.write_memory(surv.select("doc_id", "sig"), "doc_dedup_wm", "append")
+    q.processAllAvailable()
+    # batch 2: unrelated late doc advances the watermark to 11:50,
+    # far past the sig's eviction point (10:00 + 10 min)
+    emit("b2", [(3, "other text", T0 + dt.timedelta(hours=2))])
+    q.processAllAvailable()
+    # batch 3: the same content again — state evicted, so it SURVIVES
+    emit("b3", [(4, "same text", T0 + dt.timedelta(hours=2))])
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT doc_id, sig FROM doc_dedup_wm").collect()
+    assert {r.doc_id for r in got} == {1, 3, 4}
+    sig_counts = {}
+    for r in got:
+        sig_counts[r.sig] = sig_counts.get(r.sig, 0) + 1
+    # the duplicated content's signature appears twice: pre- and
+    # post-eviction — the proof state is time-bounded
+    assert sorted(sig_counts.values()) == [1, 2]
