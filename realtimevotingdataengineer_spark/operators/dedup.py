@@ -371,18 +371,11 @@ def _minhash_doc_kernel(batches):
         yield pd.DataFrame({"doc_id": ids, "sh": shs, "mh": mhs})
 
 
-def minhash_parts(t: Tables):
-    """(sh, sig, cand): the shared MinHash pipeline — distinct-trigram
-    shingle arrays, the k per-doc minhash components, and the LSH
-    candidate pairs. Used by dedup_minhash_lsh (exact-Jaccard verify),
-    dedup_minhash_estimate (estimator calibration) and
-    dedup_incremental_minhash (delta-vs-base refresh).
-
-    Round 6: shingling + signatures come from the _minhash_doc_kernel
-    Arrow pass (bitwise-identical to the HOF chain it replaced — the
-    registered oracles did not change); the band/candidate join stays
-    declarative DataFrame code. Eager localCheckpoint materializes the
-    kernel output once for its four downstream consumers."""
+def minhash_doc_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh, mh) via the Arrow kernel — a plain DF→DF wrapper
+    (no Tables, no spread/checkpoint policy) so the STREAMING gate's
+    foreachBatch can run the identical shingle→signature kernel on a
+    micro-batch and stay bitwise-consistent with the batch keys."""
     from pyspark.sql.types import (
         ArrayType,
         LongType,
@@ -398,21 +391,72 @@ def minhash_parts(t: Tables):
             StructField("mh", ArrayType(StringType())),
         ]
     )
-    per_doc = (
-        spread(t.documents.select("doc_id", "text"), "doc_id")
-        .mapInPandas(_minhash_doc_kernel, out_schema)
-        .localCheckpoint(eager=True)
-    )
-    sh = per_doc.select("doc_id", "sh")
-    sig = per_doc.select(
-        "doc_id", F.posexplode("mh").alias("i", "mh")
-    )
-    bands = sig.groupBy("doc_id", F.floor(F.col("i") / 2).cast("int").alias("band")).agg(
+    return docs.select("doc_id", "text").mapInPandas(_minhash_doc_kernel, out_schema)
+
+
+def minhash_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bv): the MINHASH_K/2 banded signature rows from
+    the exploded (doc_id, i, mh) component frame — the one banding rule
+    every MinHash consumer (batch LSH, incremental refresh, streaming
+    gate, persisted index) must share, or their candidate sets silently
+    diverge."""
+    return sig.groupBy(
+        "doc_id", F.floor(F.col("i") / 2).cast("int").alias("band")
+    ).agg(
         F.concat(
             F.max(F.when(F.col("i") % 2 == 0, F.col("mh"))),
             F.max(F.when(F.col("i") % 2 == 1, F.col("mh"))),
         ).alias("bv")
     )
+
+
+def minhash_verified_pairs(
+    cand: DataFrame,
+    sh: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    sh_b: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard verify of an LSH candidate pair list:
+    (a, b, jaccard) for pairs ≥ LSH_THETA. Shared by the batch keys and
+    the streaming gate so 'near-dup' means ONE thing repo-wide. Pass
+    ``sh_b`` when the two sides live in different relations (streaming:
+    batch shingles vs the persisted index) so neither is scanned for
+    ids it cannot contain."""
+    sa = sh.select(F.col("doc_id").alias(a), F.col("sh").alias("sh_a"))
+    sb = (sh_b if sh_b is not None else sh).select(
+        F.col("doc_id").alias(b), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(sa, a)
+        .join(sb, b)
+        .select(a, b, jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= LSH_THETA)
+    )
+
+
+def minhash_parts(t: Tables):
+    """(sh, sig, cand): the shared MinHash pipeline — distinct-trigram
+    shingle arrays, the k per-doc minhash components, and the LSH
+    candidate pairs. Used by dedup_minhash_lsh (exact-Jaccard verify),
+    dedup_minhash_estimate (estimator calibration) and
+    dedup_incremental_minhash (delta-vs-base refresh).
+
+    Round 6: shingling + signatures come from the _minhash_doc_kernel
+    Arrow pass (bitwise-identical to the HOF chain it replaced — the
+    registered oracles did not change); the band/candidate join stays
+    declarative DataFrame code. Eager localCheckpoint materializes the
+    kernel output once for its four downstream consumers."""
+    per_doc = minhash_doc_signatures(
+        spread(t.documents.select("doc_id", "text"), "doc_id")
+    ).localCheckpoint(eager=True)
+    sh = per_doc.select("doc_id", "sh")
+    sig = per_doc.select(
+        "doc_id", F.posexplode("mh").alias("i", "mh")
+    )
+    bands = minhash_bands(sig)
     ba = bands.alias("ba")
     bb = bands.alias("bb")
     cand = (
@@ -1890,14 +1934,7 @@ def dedup_incremental_minhash(t: Tables) -> DataFrame:
     semantics. The split id derives from max(doc_id) in both engines
     (no hard-coded fixture id)."""
     sh, sig, _ = minhash_parts(t)
-    bands = sig.groupBy(
-        "doc_id", F.floor(F.col("i") / 2).cast("int").alias("band")
-    ).agg(
-        F.concat(
-            F.max(F.when(F.col("i") % 2 == 0, F.col("mh"))),
-            F.max(F.when(F.col("i") % 2 == 1, F.col("mh"))),
-        ).alias("bv")
-    )
+    bands = minhash_bands(sig)
     cut = t.documents.agg(
         F.expr(f"(max(doc_id) + 1) * {INCR_NUM} div {INCR_DEN}").alias("c")
     )
@@ -1914,16 +1951,8 @@ def dedup_incremental_minhash(t: Tables) -> DataFrame:
         )
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_base"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
-    return (
-        cand.join(sa, "doc_new")
-        .join(sb, "doc_base")
-        .select("doc_new", "doc_base", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= LSH_THETA)
-        .orderBy("doc_new", "doc_base")
+    return minhash_verified_pairs(cand, sh, "doc_new", "doc_base").orderBy(
+        "doc_new", "doc_base"
     )
 
 

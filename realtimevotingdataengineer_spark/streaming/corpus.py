@@ -58,6 +58,160 @@ def stream_dedup_exact(
     return sig.dropDuplicates(["sig"])
 
 
+def build_minhash_index(docs: DataFrame, path: str) -> None:
+    """Persist the near-dup signature index for a (base) corpus:
+    ``{path}/bands`` — the (doc_id, band, bv) LSH rows the candidate
+    join probes — and ``{path}/shingles`` — the (doc_id, sh) trigram
+    sets the exact-Jaccard verify reads. Build-once / stream-forever:
+    at 100 TB the index is a maintained corpus artifact (signature
+    bytes, never text), refreshed by the gate itself as survivors are
+    admitted — the same artifact-lifecycle posture as the SRP/IVF
+    vector indexes (operators/dedup.py::build_srp_index)."""
+    from ..operators.dedup import minhash_bands, minhash_doc_signatures
+
+    per_doc = minhash_doc_signatures(docs).localCheckpoint(eager=True)
+    sig = per_doc.select("doc_id", F.posexplode("mh").alias("i", "mh"))
+    minhash_bands(sig).write.mode("overwrite").parquet(f"{path}/bands")
+    per_doc.select("doc_id", "sh").write.mode("overwrite").parquet(f"{path}/shingles")
+
+
+def _minhash_gate_batch(
+    batch: DataFrame, index_path: str, survivors_path: str
+) -> None:
+    """One micro-batch through the online near-dup gate (the foreachBatch
+    body of stream_dedup_minhash):
+
+    1. the Arrow kernel computes the batch's shingles + signatures
+       (identical bitwise contract as every batch MinHash key);
+    2. candidates vs the PERSISTED index: index bands ⨝ broadcast(batch
+       bands) — the batch side is the small side by construction, so
+       the corpus-sized index is never shuffled, only scanned;
+    3. candidates within the batch: the usual a<b band self-join
+       (batch-sized, trivially small);
+    4. both candidate sets are verified with the shared exact-Jaccard
+       rule (minhash_verified_pairs — 'near-dup' means one thing
+       repo-wide), then a driver-side greedy over the batch's ids in
+       ascending order keeps a doc unless it near-dups the index or an
+       already-kept doc of the same batch. The collected relations are
+       batch-bounded (flag set ≤ |batch|, pair list ≤ |batch| choose 2
+       post-LSH), never corpus-bounded;
+    5. survivors' rows are appended to the survivor sink and their
+       bands + shingles appended to the index, so later batches (and
+       restarts) dedup against them — first-arrival-wins across the
+       whole stream.
+
+    State growth is survivor-signature-bounded: a duplicate-heavy crawl
+    appends nothing for the duplicates. Exactly-once caveat: parquet
+    appends from foreachBatch are at-least-once under retries; a
+    production deployment keys the appends by (batch_id, doc_id) and
+    dedups on read, or lands them in a transactional table format."""
+    from ..operators.dedup import (
+        minhash_bands,
+        minhash_doc_signatures,
+        minhash_verified_pairs,
+    )
+
+    spark = batch.sparkSession
+    per_doc = minhash_doc_signatures(batch).localCheckpoint(eager=True)
+    if per_doc.isEmpty():
+        return
+    sig = per_doc.select("doc_id", F.posexplode("mh").alias("i", "mh"))
+    new_bands = minhash_bands(sig).localCheckpoint(eager=True)
+    new_sh = per_doc.select("doc_id", "sh")
+    idx_bands = spark.read.parquet(f"{index_path}/bands")
+    idx_sh = spark.read.parquet(f"{index_path}/shingles")
+    nb = new_bands.select(
+        F.col("doc_id").alias("doc_new"), "band", "bv"
+    )
+    cand_idx = (
+        idx_bands.join(
+            F.broadcast(nb),
+            (idx_bands.band == nb.band) & (idx_bands.bv == nb.bv),
+        )
+        .select("doc_new", F.col("doc_id").alias("doc_base"))
+        .distinct()
+    )
+    # verify vs index: batch shingles on side a, index shingles side b
+    flagged = {
+        r.doc_new
+        for r in minhash_verified_pairs(
+            cand_idx, new_sh, "doc_new", "doc_base", sh_b=idx_sh
+        )
+        .select("doc_new")
+        .distinct()
+        .collect()
+    }
+    ba, bb = new_bands.alias("ba"), new_bands.alias("bb")
+    cand_in = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bv") == F.col("bb.bv"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    in_pairs = [
+        (r.doc_a, r.doc_b)
+        for r in minhash_verified_pairs(cand_in, new_sh).collect()
+    ]
+    nbrs: dict = {}
+    for a, b in in_pairs:
+        nbrs.setdefault(b, set()).add(a)
+    kept: set = set()
+    for doc_id in sorted(r.doc_id for r in per_doc.select("doc_id").collect()):
+        if doc_id in flagged or (nbrs.get(doc_id, set()) & kept):
+            continue
+        kept.add(doc_id)
+    if not kept:
+        return
+    surv_ids = spark.createDataFrame(
+        [(i,) for i in sorted(kept)], "doc_id bigint"
+    )
+    surv = batch.join(F.broadcast(surv_ids), "doc_id")
+    surv.write.mode("append").parquet(survivors_path)
+    new_bands.join(F.broadcast(surv_ids), "doc_id").write.mode("append").parquet(
+        f"{index_path}/bands"
+    )
+    new_sh.join(F.broadcast(surv_ids), "doc_id").write.mode("append").parquet(
+        f"{index_path}/shingles"
+    )
+
+
+def stream_dedup_minhash(
+    docs: DataFrame,
+    index_path: str,
+    survivors_path: str,
+    checkpoint_path: str,
+    processing_time: str | None = None,
+):
+    """ONLINE near-dup gate on a document stream — the streaming half of
+    the batch MinHash-LSH family, and the piece a 100 TB/day crawl
+    ingest actually runs: every micro-batch is deduped against a
+    persisted signature index (seeded by build_minhash_index over the
+    existing corpus) AND within itself, survivors flow to the sink and
+    their signatures join the index so later arrivals dedup against
+    them. First-arrival-wins at θ = LSH_THETA, same kernel, banding and
+    exact-Jaccard verify as the batch keys — pytest proves the streamed
+    survivor set equals the batch incremental/LSH pass's greedy
+    survivor set on the same docs.
+
+    Returns the started StreamingQuery (foreachBatch; call
+    processAllAvailable()/stop() or awaitTermination()). Pass
+    ``processing_time`` (e.g. '5 seconds') to batch arrivals up — the
+    gate pays a fixed per-batch cost (index probe + greedy + appends),
+    so larger micro-batches amortize it."""
+    w = docs.writeStream.outputMode("append").option(
+        "checkpointLocation", checkpoint_path
+    )
+    if processing_time is not None:
+        w = w.trigger(processingTime=processing_time)
+    return w.foreachBatch(
+        lambda b, _id: _minhash_gate_batch(b, index_path, survivors_path)
+    ).start()
+
+
 class StreamingTables:
     """Tables-shaped shim binding ``documents`` to a STREAMING
     DataFrame, so the registered batch operators — pure

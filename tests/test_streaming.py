@@ -348,3 +348,104 @@ def test_stream_dedup_exact_watermark_evicts_state(spark, tmp_path):
     # the duplicated content's signature appears twice: pre- and
     # post-eviction — the proof state is time-bounded
     assert sorted(sig_counts.values()) == [1, 2]
+
+
+def test_stream_dedup_minhash_matches_batch_greedy(spark, sf_dir, tmp_path):
+    """The ONLINE MinHash gate must equal the batch pass on the same
+    docs: seed the signature index with the first 80% of the id range
+    (dedup_incremental_minhash's own split), stream the remaining 20%
+    in id order, and compare the streamed survivor set against the
+    greedy first-arrival-wins filter computed from the BATCH keys'
+    verified pair lists (delta-vs-base from dedup_incremental_minhash,
+    delta-vs-delta from dedup_minhash_lsh). Same kernel, banding, and
+    exact-Jaccard verify on both sides — so any divergence is a wiring
+    bug, not a semantics choice. The delta is split so the fixture's
+    within-delta near-dup pair lands in ONE batch, exercising the
+    within-batch self-join path alongside the index path."""
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.registry import QUERIES
+    from realtimevotingdataengineer_spark.sources.tables import Tables, load_table
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    t = Tables(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    cut = (mx + 1) * 4 // 5
+    base = docs.filter(F.col("doc_id") < cut)
+    delta_ids = sorted(
+        r.doc_id for r in docs.filter(F.col("doc_id") >= cut).collect()
+    )
+    idx = str(tmp_path / "mh_index")
+    corpus.build_minhash_index(base, idx)
+
+    stream_dir = tmp_path / "delta_stream"
+    stream_dir.mkdir()
+    surv_path = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+    sdocs = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .parquet(str(stream_dir) + "/*")
+    )
+    q = corpus.stream_dedup_minhash(sdocs, idx, surv_path, ckpt)
+    split = cut + (mx + 1 - cut) * 7 // 10  # keeps the (474,498)-style pair together
+    for name, lo, hi in [("b1", cut, split), ("b2", split, mx + 1)]:
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(str(stream_dir / name))
+        q.processAllAvailable()
+    q.stop()
+    streamed = {r.doc_id for r in spark.read.parquet(surv_path).collect()}
+
+    base_pairs = {
+        r.doc_new for r in QUERIES["dedup_incremental_minhash"](t).collect()
+    }
+    delta_pairs = [
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_lsh"](t).collect()
+        if r.doc_a >= cut and r.doc_b >= cut
+    ]
+    kept: set = set()
+    for d in delta_ids:
+        if d in base_pairs or any(b == d and a in kept for a, b in delta_pairs):
+            continue
+        kept.add(d)
+    assert streamed == kept
+    assert len(kept) < len(delta_ids)  # the gate actually dropped docs
+
+
+def test_stream_dedup_minhash_cross_batch_survivor_indexed(spark, tmp_path):
+    """Survivor signatures must join the index BETWEEN batches: a doc
+    whose only near-dup is a SURVIVOR from an earlier micro-batch (not
+    in the seeded base index) must still be dropped — the
+    first-arrival-wins contract across the whole stream, which only
+    holds if the gate appends survivor bands+shingles before the next
+    batch runs."""
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    uniq1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    uniq2 = "completely different content about distributed query engines and shuffles"
+    idx = str(tmp_path / "idx")
+    # empty base corpus — everything interesting arrives on the stream
+    corpus.build_minhash_index(
+        spark.createDataFrame([], "doc_id bigint, text string"), idx
+    )
+    stream_dir = tmp_path / "s"
+    stream_dir.mkdir()
+    surv_path = str(tmp_path / "sv")
+    sdocs = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .parquet(str(stream_dir) + "/*")
+    )
+    q = corpus.stream_dedup_minhash(sdocs, idx, surv_path, str(tmp_path / "ck"))
+    batches = [
+        ("b1", [(1, uniq1), (2, uniq1)]),       # within-batch dup: keep 1, drop 2
+        ("b2", [(3, uniq1), (4, uniq2)]),       # 3 dups batch-1 SURVIVOR 1; 4 fresh
+    ]
+    for name, rows in batches:
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.parquet(str(stream_dir / name))
+        q.processAllAvailable()
+    q.stop()
+    assert {r.doc_id for r in spark.read.parquet(surv_path).collect()} == {1, 4}
