@@ -99,6 +99,12 @@ HEADLINE = [
     # late round 8: perceptual near-dup (the media-payload banded-LSH
     # family) — one rep so its sf-scaling is measured
     "mm_dedup_phash",
+    # round-9 additions: MMR over the bucketed SRP pool (the rerank
+    # construct-cost fix — its timing vs sim_mips_srp_topk above is the
+    # claim), and the 8-round frontier-sparse BFS (the iteration-dial
+    # key: flat per-round cost post-checkpoint is measured here)
+    "sim_mmr_rerank_srp",
+    "graph_bfs_distance_deep",
 ]
 
 
@@ -155,6 +161,7 @@ def bench_stream(spark) -> float:
 
 
 def main() -> None:
+    load_start = list(os.getloadavg())
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
@@ -240,6 +247,11 @@ def main() -> None:
         "construct": construct,
         "execute": execute,
         "sf": sf_val,
+        # Host-drift normalizer (round-8 verdict ask #4): the box's load
+        # BEFORE and AFTER the run, so a judge can separate code
+        # regressions from shared-host contention without archaeology.
+        "load_avg_end": list(os.getloadavg()),
+        "load_avg_start": load_start,
     }
     if errors:
         record["errors"] = errors

@@ -1788,7 +1788,7 @@ def sim_srp_multiprobe_topk(t: Tables) -> DataFrame:
 
 
 def _srp_search_from_sigs(
-    t: Tables, sigs: DataFrame, probe_bits: int = 0
+    t: Tables, sigs: DataFrame, probe_bits: int = 0, k: int | None = None
 ) -> DataFrame:
     """The search half of sim_srp_topk against a signature table from
     ANY provenance — the fresh Arrow-kernel pass (sim_srp_topk) or the
@@ -1796,8 +1796,13 @@ def _srp_search_from_sigs(
     With ``probe_bits`` > 0 the (bounded) query side also probes every
     Hamming-1 perturbation of each band value's low ``probe_bits`` bits
     — LSH MULTIPROBE: recall of extra hash tables at the cost of a few
-    more bucket lookups, with the corpus side untouched."""
+    more bucket lookups, with the corpus side untouched. ``k`` widens
+    the per-query cut past TOP_K (sim_mmr_rerank_srp retrieves an
+    MMR_CAND-row rerank pool)."""
     from .similarity import EMB_DIM, N_QUERIES, TOP_K
+
+    if k is None:
+        k = TOP_K
 
     bands = sigs.select(
         "vec_id",
@@ -1866,7 +1871,7 @@ def _srp_search_from_sigs(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
+        .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine")
     )
 
@@ -1894,6 +1899,86 @@ def search_srp_index(t: Tables, path: str) -> DataFrame:
     (round-7 ADVICE)."""
     sigs = t.spark.read.parquet(f"{path}/signatures").localCheckpoint(eager=True)
     return _srp_search_from_sigs(t, sigs)
+
+
+def _mmr_srp_pool_sql() -> str:
+    """Leading WITH text ending in ``cand(query_id, neighbor_id,
+    cosine)`` = the SRP-MULTIPROBE top-MMR_CAND retrieval — the pool
+    CTE _mmr_sql composes its unrolled greedy tail onto. Same band/
+    probe/re-rank text as _srp_topk_sql(probe_bits=SRP_BAND_BITS),
+    cut at MMR_CAND instead of TOP_K; internal CTEs renamed (bcand/
+    pscored) so the MMR tail's names stay free."""
+    from .similarity import EMB_DIM, MMR_CAND, N_QUERIES
+
+    duck_sig = _srp_duck_sig()
+    cos = (
+        f"({dot_sql('ea.embedding', 'eb.embedding', EMB_DIM)}) / "
+        f"(({norm_sql('ea.embedding', EMB_DIM)}) * "
+        f"({norm_sql('eb.embedding', EMB_DIM)}))"
+    )
+    probe_list = ", ".join(
+        ["bv"] + [f"xor(bv, {1 << b})" for b in range(SRP_BAND_BITS)]
+    )
+    return (
+        f"WITH s AS (SELECT vec_id, {duck_sig} AS sig FROM embeddings), "
+        "bands AS MATERIALIZED (SELECT vec_id, u.j AS band, "
+        f"(sig >> ({SRP_BAND_BITS} * u.j)) & {(1 << SRP_BAND_BITS) - 1} AS bv "
+        f"FROM s, (SELECT unnest(range(0, {SRP_BANDS})) AS j) u), "
+        f"qb AS (SELECT vec_id, band, bv FROM bands WHERE vec_id < {N_QUERIES}), "
+        f"q AS (SELECT vec_id, band, u.pv AS bv FROM qb, "
+        f"LATERAL unnest([{probe_list}]) AS u(pv)), "
+        "bcand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id "
+        "FROM q JOIN bands c ON q.band = c.band AND q.bv = c.bv "
+        "AND c.vec_id <> q.vec_id), "
+        f"pscored AS (SELECT query_id, neighbor_id, {cos} AS cosine FROM bcand "
+        "JOIN embeddings ea ON ea.vec_id = query_id "
+        "JOIN embeddings eb ON eb.vec_id = neighbor_id), "
+        # AS MATERIALIZED on bands + cand: the MMR tail references cand
+        # once per round and DuckDB inlines plain CTEs per reference —
+        # without it the WHOLE corpus-wide SRP retrieval re-expands
+        # K+1 times (measured: 202s -> oracle side dominated; the
+        # NOTES.md BPE/BFS gotcha again).
+        "cand AS MATERIALIZED (SELECT query_id, neighbor_id, cosine FROM ("
+        "SELECT query_id, neighbor_id, cosine, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn "
+        f"FROM pscored) WHERE rn <= {MMR_CAND})"
+    )
+
+
+def _mmr_srp_sql() -> str:
+    from .similarity import _mmr_sql
+
+    return _mmr_sql(pool=_mmr_srp_pool_sql())
+
+
+@register("sim_mmr_rerank_srp", _mmr_srp_sql())
+def sim_mmr_rerank_srp(t: Tables) -> DataFrame:
+    """MMR diversity re-rank over the BUCKETED pool — the rerank-after-
+    retrieve composition a serving stack actually deploys: the
+    candidate pool is the SRP-multiprobe top-MMR_CAND (one narrow
+    signature map + one (band, bv) shuffle + exact cosine on colliders
+    only), and the greedy λ-tradeoff rounds are the identical
+    _mmr_over_pool program sim_mmr_rerank runs. This closes the
+    round-8 verdict's construct-cost item: sim_mmr_rerank's exact pool
+    pays a corpus×queries brute-force scan that exists only to feed
+    ≤|q|·MMR_CAND-row rounds; here the pool construction tracks
+    sim_srp_multiprobe_topk's cost instead, which is the 100 TB shape
+    (the rerank stage is pool-bounded either way — swapping retrieval
+    changes NOTHING downstream, the whole point of the composition).
+    Deterministic end to end (md5 hyperplanes, pinned cosine chains,
+    unrolled greedy), so even the composed two-stage key carries a full
+    bitwise oracle; pytest measures the SRP pool's overlap with the
+    exact pool and pins rerank-stage equality between the two keys on
+    their shared pool prefix."""
+    from .similarity import MMR_CAND, _mmr_over_pool, srp_band_signatures
+
+    sigs = srp_band_signatures(
+        spread(t.embeddings, "vec_id"), "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+    ).localCheckpoint(eager=True)
+    cand = _srp_search_from_sigs(
+        t, sigs, probe_bits=SRP_BAND_BITS, k=MMR_CAND
+    ).localCheckpoint(eager=True)
+    return _mmr_over_pool(t, cand)
 
 
 #: Incremental-dedup split: docs with id >= (max_id+1)*4/5 play the

@@ -1873,9 +1873,17 @@ _PAIR_COS = (
 )
 
 
-def _mmr_sql() -> str:
+def _mmr_sql(pool: str | None = None) -> str:
+    """The unrolled greedy-MMR oracle over a candidate pool. ``pool``
+    is the full leading WITH text ending in a CTE
+    ``cand(query_id, neighbor_id, cosine)``; default is the exact
+    brute-force top-MMR_CAND (sim_mmr_rerank). sim_mmr_rerank_srp
+    passes the SRP-multiprobe pool so the rerank stage's oracle is the
+    IDENTICAL text over a different retrieval CTE."""
     parts = [
-        _BF_TOPK_CTE.rstrip()
+        pool
+        if pool is not None
+        else _BF_TOPK_CTE.rstrip()
         + f", cand AS (SELECT query_id, neighbor_id, cosine FROM ranked "
         f"WHERE rn <= {MMR_CAND})",
         "pr AS (SELECT ca.query_id, ca.neighbor_id AS i, cb.neighbor_id AS j, "
@@ -1966,6 +1974,15 @@ def sim_mmr_rerank(t: Tables) -> DataFrame:
         .drop("rn")
         .localCheckpoint(eager=True)  # feeds the pair self-join + K rounds
     )
+    return _mmr_over_pool(t, cand)
+
+
+def _mmr_over_pool(t: Tables, cand: DataFrame) -> DataFrame:
+    """The greedy MMR rounds over an ALREADY-MATERIALIZED candidate
+    pool ``cand(query_id, neighbor_id, cosine)`` (caller checkpoints —
+    the pool feeds the pair self-join plus every round). Shared by
+    sim_mmr_rerank (exact pool) and sim_mmr_rerank_srp (bucketed-ANN
+    pool) so the rerank semantics exist exactly once."""
     ea = t.embeddings.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
     ).withColumn("a_nrm", norm_expr("a_emb", EMB_DIM))

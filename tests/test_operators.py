@@ -347,6 +347,98 @@ def test_srp_topk_recall_vs_bruteforce(t):
     assert len(exact & srp) / len(exact) >= 0.3
 
 
+def test_mmr_srp_pool_overlap_and_rerank_equality(t):
+    """sim_mmr_rerank_srp = the SAME greedy rounds over the bucketed
+    pool. Two claims: (1) the SRP-multiprobe top-MMR_CAND pool recovers
+    most of the exact pool (measured 0.95–1.0 per query at sf0.01, all
+    pools full-size); (2) for every query whose SRP pool SET equals the
+    exact pool set, the two keys' picks are IDENTICAL in order — the
+    rerank stage is pool-determined, so equal pools force equal output
+    (at sf0.01: 4 of 5 queries). Together these pin the verdict-6
+    claim: swapping retrieval under the rerank changes nothing
+    downstream."""
+    from realtimevotingdataengineer_spark.functions import spread
+    from realtimevotingdataengineer_spark.operators.dedup import (
+        SRP_BAND_BITS,
+        SRP_BANDS,
+        _srp_search_from_sigs,
+    )
+    from realtimevotingdataengineer_spark.operators.similarity import (
+        MMR_CAND,
+        srp_band_signatures,
+    )
+
+    sigs = srp_band_signatures(
+        spread(t.embeddings, "vec_id"), "vec_id", "embedding",
+        SRP_BAND_BITS, SRP_BANDS,
+    ).localCheckpoint(eager=True)
+    srp_pool: dict = {}
+    for r in _srp_search_from_sigs(
+        t, sigs, probe_bits=SRP_BAND_BITS, k=MMR_CAND
+    ).collect():
+        srp_pool.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    exact = [r.asDict() for r in QUERIES["sim_mmr_rerank"](t).collect()]
+    # exact pool per query = pick-1's relevance order source; rebuild it
+    # from the registered exact key's candidate rule: top-MMR_CAND by
+    # the same pinned cosine — cheapest here via the brute-force ranked
+    # key widened by rn, so reuse the srp overlap floor on the keys'
+    # own pools instead of reimplementing: pool floor per query.
+    exact_pool: dict = {}
+    from pyspark.sql import Window
+
+    from realtimevotingdataengineer_spark.operators.similarity import (
+        EMB_DIM,
+        N_QUERIES,
+    )
+    from realtimevotingdataengineer_spark.functions import dot_expr, norm_expr
+    from pyspark.sql import functions as F
+
+    q = (
+        t.embeddings.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("nrm", norm_expr("embedding", EMB_DIM))
+        .alias("q")
+    )
+    c = t.embeddings.withColumn("nrm", norm_expr("embedding", EMB_DIM)).alias("c")
+    cos = dot_expr("q.embedding", "c.embedding", EMB_DIM) / (
+        F.col("q.nrm") * F.col("c.nrm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    rows = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_CAND)
+        .collect()
+    )
+    for r in rows:
+        exact_pool.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    overlaps = [
+        len(srp_pool.get(qid, set()) & pool) / len(pool)
+        for qid, pool in exact_pool.items()
+    ]
+    assert min(overlaps) >= 0.5 and sum(overlaps) / len(overlaps) >= 0.8, overlaps
+
+    srp_out = [r.asDict() for r in QUERIES["sim_mmr_rerank_srp"](t).collect()]
+    equal_qids = {
+        qid for qid, pool in exact_pool.items() if srp_pool.get(qid) == pool
+    }
+    assert equal_qids, "no query had identical pools — floor regression"
+    for qid in equal_qids:
+        a = [r for r in exact if r["query_id"] == qid]
+        b = [r for r in srp_out if r["query_id"] == qid]
+        assert a == b, f"rerank diverged on equal pool for query {qid}"
+
+
 def test_ivf_recall_vs_bruteforce(t):
     """IVF probes one bucket — recall@10 against exact top-10 should be
     positive (sanity that bucketing is not nonsense) though below 1."""

@@ -1,0 +1,87 @@
+"""Mechanical coverage diff: every ``@register`` key vs the committed
+sweep logs — the check the round-8 judge hand-rolled (registry-vs-logs
+diff) made a one-command ritual so round-close coverage claims are
+generated, not asserted.
+
+For each scale factor it unions the [PASS] lines of the matching
+``tools/sweep_*<sf-tag>*.log`` files and prints the registered keys
+with NO pass evidence (and any [FAIL]-ever keys). Exit code 1 if any
+gap exists.
+
+Usage:
+    python tools/registry_diff.py                # all logs, both SFs
+    python tools/registry_diff.py --logs 'sweep_r09*'   # this round only
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+LINE = re.compile(r"^\[(PASS|FAIL)\]\s+(\S+)")
+
+SF_TAGS = {
+    "sf0.01": ("sf0.01",),
+    "sf0.1": ("sf0.1",),
+}
+
+
+def registered_keys() -> set[str]:
+    # Import registers every key as a side effect of module load.
+    from realtimevotingdataengineer_spark.registry import QUERIES
+
+    import __spark_entry__  # noqa: F401  (forces full operator import)
+
+    return set(QUERIES)
+
+
+def log_results(paths: list[str]) -> tuple[set[str], set[str]]:
+    passed: set[str] = set()
+    failed: set[str] = set()
+    for p in paths:
+        with open(p, errors="replace") as fh:
+            for line in fh:
+                m = LINE.match(line)
+                if m:
+                    (passed if m.group(1) == "PASS" else failed).add(m.group(2))
+    return passed, failed
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--logs", default="sweep_*", help="glob under tools/")
+    args = ap.parse_args()
+    keys = registered_keys()
+    print(f"registered keys: {len(keys)}")
+    rc = 0
+    for sf, tags in SF_TAGS.items():
+        paths = sorted(
+            p
+            for p in glob.glob(f"/root/repo/tools/{args.logs}.log")
+            if any(t in p for t in tags)
+        )
+        passed, failed = log_results(paths)
+        missing = sorted(keys - passed)
+        stale_fails = sorted((failed - passed) & keys)
+        print(f"\n{sf}: {len(paths)} logs, {len(passed & keys)}/{len(keys)} pass-covered")
+        if missing:
+            rc = 1
+            print(f"  UNCOVERED ({len(missing)}):")
+            for k in missing:
+                print(f"    {k}")
+        if stale_fails:
+            rc = 1
+            print(f"  FAILED-never-repassed ({len(stale_fails)}):")
+            for k in stale_fails:
+                print(f"    {k}")
+        if not missing and not stale_fails:
+            print("  complete.")
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
