@@ -571,7 +571,12 @@ def mm_dedup_phash(t: Tables) -> DataFrame:
     an O(n²) comparison; the Hamming verdict runs only on band-
     colliding pairs. At 100 TB: identical posture to dedup_simhash —
     uniform md5-free bands are the skew watch-item (constant payloads
-    collapse into one band bucket), AQE skew-split covers the reduce."""
+    collapse into one band bucket), AQE skew-split covers the reduce
+    for the boilerplate-dominated case (demonstrated end-to-end in
+    tests/test_plans.py::test_phash_boilerplate_skew_cover: skew=true
+    in the executed band-join plan, output exact); the degenerate
+    ALL-constant corpus defeats median-relative skew detection and
+    needs the simhash family's sub-banding gate instead."""
     n = F.col("n_chars")
     px = [
         F.expr(_phash_px(i, "div")).alias(f"px{i}") for i in range(PHASH_BITS)

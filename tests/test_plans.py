@@ -187,6 +187,69 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.set(k, v)
 
 
+def test_phash_boilerplate_skew_cover(spark):
+    """mm_dedup_phash's documented skew risk, DEMONSTRATED with its
+    documented cover (round-8 verdict #7): a boilerplate-dominated
+    corpus (one payload on 90% of docs — the hot-image crawl case)
+    collapses the dominant mass into ONE (j, bv) bucket per band, the
+    band self-join's worst case. With broadcast off (the 100 TB
+    regime: neither side fits) and test-scaled AQE thresholds, the
+    executed plan must mark the band join skew=true — the cover the
+    operator docstring asserts — while the output stays exact: all
+    C(k, 2) boilerplate pairs at hamming 0. (A FULLY constant corpus
+    is the one case AQE can NOT rescue: every bucket is equally huge,
+    so no partition exceeds factor×median — that regime needs the
+    sub-banding gate the simhash family documents.)"""
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.operators.multimodal import (
+        mm_dedup_phash,
+    )
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        n, k = 2000, 1800  # ids < k carry the boilerplate payload
+        payload = "the same pixel payload every single time " * 4
+        varied = F.concat(
+            *[F.sha2(F.concat(F.col("id").cast("string"), F.lit(i)), 256)
+              for i in range(3)]
+        )
+        text = F.when(F.col("id") < k, F.lit(payload)).otherwise(varied)
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            text.alias("text"),
+            F.length(text).cast("long").alias("n_chars"),
+        )
+
+        class _T:
+            documents = docs
+
+        _T.spark = spark
+        pairs = mm_dedup_phash(_T)
+        rows = pairs.collect()
+        hot = [r for r in rows if r.doc_a < k and r.doc_b < k and r.hamming == 0]
+        assert len(hot) >= k * (k - 1) // 2  # ==, plus any varied-text 0-dups
+        final_plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_skew_salted_join_spreads_hot_keys(t):
     """join_skew_salted must take the shuffle path (no broadcast — the
     whole point is the both-sides-big regime) and partition the exchange
