@@ -2543,3 +2543,174 @@ def sim_doc_maxsim_topk(t: Tables) -> DataFrame:
                 "maxsim", "n_terms_matched")
         .orderBy("query_id", "rank")
     )
+
+
+#: WordPiece-style greedy tokenizer: vocab size, max subword length,
+#: and the max-input-chars-per-word UNK cutoff (HuggingFace WordPiece's
+#: max_input_chars_per_word rule, scaled to the fixture's word lengths).
+WP_V, WP_MAXLEN, WP_UNK_LEN = 200, 4, 24
+
+
+def _wp_sql() -> str:
+    """Oracle: vocab = the top-WP_V substrings (lengths 2..WP_MAXLEN)
+    of the corpus's distinct words weighted by occurrence count, ties
+    broken (total DESC, gram ASC); segmentation = a set-based
+    WITH RECURSIVE cursor sweep — each recursion step consumes the
+    LONGEST vocab gram at the cursor (bounds-guarded so a short tail
+    never matches at a longer probe), else one char; words longer than
+    WP_UNK_LEN are a single UNK token. Depth ≤ WP_UNK_LEN, rows =
+    total tokens over DISTINCT words — corpus volume never enters the
+    recursion. Every CTE the recursion re-reads is MATERIALIZED (the
+    repo-standard DuckDB inlining guard)."""
+    gram_union = " UNION ALL ".join(
+        f"SELECT substr(word, CAST(s.i AS INT), {L}) AS gram, wc "
+        f"FROM w, LATERAL unnest(range(1, len(word) - {L} + 2)) AS s(i) "
+        f"WHERE len(word) >= {L}"
+        for L in range(2, WP_MAXLEN + 1)
+    )
+    ml_case = "CASE " + " ".join(
+        f"WHEN pos + {L - 1} <= l AND substr(word, pos, {L}) IN "
+        f"(SELECT gram FROM vocab) THEN {L}"
+        for L in range(WP_MAXLEN, 1, -1)
+    ) + " ELSE 1 END"
+    return (
+        f"WITH RECURSIVE tk AS (SELECT source, {_TOKENS_SQL} AS tk FROM documents), "
+        "sw AS MATERIALIZED (SELECT source, u.word, CAST(count(*) AS BIGINT) AS wc "
+        "FROM tk, LATERAL unnest(tk) AS u(word) "
+        "WHERE u.word <> '' AND NOT regexp_matches(u.word, '[\\x00-\\x1f]') "
+        "GROUP BY source, u.word), "
+        "w AS MATERIALIZED (SELECT word, CAST(sum(wc) AS BIGINT) AS wc, "
+        "CAST(len(word) AS INT) AS l FROM sw GROUP BY word), "
+        "vocab AS MATERIALIZED (SELECT gram FROM ("
+        f"SELECT gram, sum(wc) AS total FROM ({gram_union}) GROUP BY gram) "
+        "QUALIFY row_number() OVER (ORDER BY total DESC, gram) <= "
+        f"{WP_V}), "
+        f"seg AS (SELECT word, l, 1 AS pos FROM w WHERE l <= {WP_UNK_LEN} "
+        "UNION ALL "
+        f"SELECT word, l, pos + ({ml_case}) AS pos FROM seg WHERE pos <= l), "
+        "wtok AS (SELECT word, CAST(count(*) AS BIGINT) AS n_tok FROM seg "
+        "WHERE pos <= l GROUP BY word "
+        f"UNION ALL SELECT word, 1 FROM w WHERE l > {WP_UNK_LEN}) "
+        "SELECT source, "
+        "CAST(count(*) AS BIGINT) AS n_distinct_words, "
+        "CAST(sum(wc) AS BIGINT) AS n_word_occurrences, "
+        "CAST(sum(wc * n_tok) AS BIGINT) AS n_wp_tokens, "
+        "CAST(sum(wc * n_tok) * 1000000 // sum(wc) AS BIGINT) AS tokens_per_word_ppm "
+        "FROM sw JOIN wtok USING (word) GROUP BY source ORDER BY source"
+    )
+
+
+@register("text_wordpiece_apply", _wp_sql())
+def text_wordpiece_apply(t: Tables) -> DataFrame:
+    """GREEDY LONGEST-MATCH-FIRST subword tokenization (the WordPiece /
+    maximal-munch algorithm) — the OTHER production segmentation next
+    to the BPE family's merge-replay: instead of replaying a learned
+    merge sequence, segmentation walks each word left to right taking
+    the longest vocabulary subword at the cursor (single chars as the
+    fallback, whole-word UNK past WP_UNK_LEN chars — HuggingFace
+    WordPiece's max_input_chars_per_word rule). Vocabulary = the
+    top-WP_V corpus substrings of length 2..WP_MAXLEN by occurrence-
+    weighted frequency, deterministic ties (count DESC, gram ASC).
+    Per-source fertility in integer ppm, same contract as
+    text_bpe_fertility so the two tokenizers' fertilities compare
+    directly.
+
+    Plan (the production tokenizer shape): corpus volume is touched by
+    exactly ONE map-side-combinable (source, word) count; the gram
+    census and segmentation run over DISTINCT words only. The learned
+    vocab is WP_V rows — collected (bounded by the constant, the same
+    driver-side budget as the BPE trainers' per-round argmax) and
+    closed over by one Arrow kernel that segments each distinct word
+    in pure Python against a frozenset — the broadcast-small-vocab +
+    narrow-kernel pattern every real tokenizer deployment uses; at
+    100 TB the kernel still sees only |distinct words| rows. The
+    oracle runs the identical greedy program as a set-based recursive
+    cursor sweep."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    sw = (
+        spread(t.documents.select("source", tokens("text").alias("tk")))
+        .select("source", F.explode("tk").alias("word"))
+        .filter(_bpe_word_ok("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+        .localCheckpoint(eager=True)  # feeds gram census AND final join
+    )
+    w = sw.groupBy("word").agg(F.sum("wc").cast("bigint").alias("wc"))
+    def _sub_at(n: int):
+        # one-arg lambda REQUIRED: F.transform hands a 2-arg lambda
+        # (element, index) — a default-arg capture would be clobbered
+        # by the index.
+        return lambda i: F.col("word").substr(i, F.lit(n))
+
+    grams = None
+    for L in range(2, WP_MAXLEN + 1):
+        gl = w.filter(F.length("word") >= L).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - L + 1), _sub_at(L)
+                )
+            ).alias("gram"),
+            "wc",
+        )
+        grams = gl if grams is None else grams.unionByName(gl)
+    wv = Window.orderBy(F.desc("total"), F.asc("gram"))
+    vocab_rows = (
+        grams.groupBy("gram")
+        .agg(F.sum("wc").alias("total"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= WP_V)
+        .select("gram")
+        .collect()
+    )
+    vocab = frozenset(r.gram for r in vocab_rows)
+
+    out_schema = StructType(
+        [StructField("word", StringType()), StructField("n_tok", LongType())]
+    )
+
+    def seg_kernel(batches):
+        for pdf in batches:
+            ns = []
+            for word in pdf["word"]:
+                if len(word) > WP_UNK_LEN:
+                    ns.append(1)
+                    continue
+                pos, n = 0, 0
+                while pos < len(word):
+                    step = 1
+                    for L in range(WP_MAXLEN, 1, -1):
+                        if pos + L <= len(word) and word[pos : pos + L] in vocab:
+                            step = L
+                            break
+                    pos += step
+                    n += 1
+                ns.append(n)
+            yield pd.DataFrame({"word": pdf["word"], "n_tok": ns})
+
+    wtok = w.select("word").mapInPandas(seg_kernel, out_schema)
+    agg = (
+        sw.join(wtok, "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_words"),
+            F.sum("wc").cast("bigint").alias("n_word_occurrences"),
+            F.sum(F.col("wc") * F.col("n_tok")).cast("bigint").alias("n_wp_tokens"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_distinct_words",
+        "n_word_occurrences",
+        "n_wp_tokens",
+        F.expr("CAST((n_wp_tokens * 1000000) div n_word_occurrences AS BIGINT)").alias(
+            "tokens_per_word_ppm"
+        ),
+    ).orderBy("source")

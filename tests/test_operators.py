@@ -2152,3 +2152,33 @@ def test_bm25_persisted_index_equals_inmemory(t, tmp_path):
     stored = [tuple(r) for r in search_bm25_index(t, path).collect()]
     live = [tuple(r) for r in QUERIES["search_bm25_topk"](t).collect()]
     assert stored == live
+
+
+def test_wordpiece_greedy_unk_and_bounds(spark):
+    """text_wordpiece_apply's three rules on a hand-computable corpus:
+    maximal munch ('abcde' with every substring in vocab → abcd + e =
+    2 tokens, proving the longest probe wins AND the bounds guard
+    keeps the 1-char tail from matching a longer probe), the UNK rule
+    (a 25-char word > WP_UNK_LEN → exactly 1 token), and occurrence
+    weighting (ppm = floor(5e6/3))."""
+    from realtimevotingdataengineer_spark.operators.text import (
+        text_wordpiece_apply,
+    )
+
+    long_word = "x" * 25
+    docs = spark.createDataFrame(
+        [(1, "a", "abcde abcde"), (2, "a", long_word)],
+        "doc_id long, source string, text string",
+    )
+
+    class _T:
+        documents = docs
+
+    rows = text_wordpiece_apply(_T).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.source == "a"
+    assert r.n_distinct_words == 2
+    assert r.n_word_occurrences == 3
+    assert r.n_wp_tokens == 2 * 2 + 1  # abcde→(abcd,e) twice, UNK once
+    assert r.tokens_per_word_ppm == 5_000_000 // 3
