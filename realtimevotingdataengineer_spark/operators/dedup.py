@@ -1787,22 +1787,17 @@ def sim_srp_multiprobe_topk(t: Tables) -> DataFrame:
     return _srp_search_from_sigs(t, sigs, probe_bits=SRP_BAND_BITS)
 
 
-def _srp_search_from_sigs(
-    t: Tables, sigs: DataFrame, probe_bits: int = 0, k: int | None = None
-) -> DataFrame:
-    """The search half of sim_srp_topk against a signature table from
-    ANY provenance — the fresh Arrow-kernel pass (sim_srp_topk) or the
-    persisted index (search_srp_index). Byte-identical either way.
+def _srp_scored(t: Tables, sigs: DataFrame, probe_bits: int = 0) -> DataFrame:
+    """Every SRP band-collider per query, exact-cosine scored:
+    (query_id, neighbor_id, cosine) with NO rank cut — the shared
+    retrieval core under the top-k keys (_srp_search_from_sigs) and
+    the filter-BEFORE-rank consumers (sim_hard_negatives, where a
+    post-cut filter would let positives crowd negatives out of k).
     With ``probe_bits`` > 0 the (bounded) query side also probes every
     Hamming-1 perturbation of each band value's low ``probe_bits`` bits
     — LSH MULTIPROBE: recall of extra hash tables at the cost of a few
-    more bucket lookups, with the corpus side untouched. ``k`` widens
-    the per-query cut past TOP_K (sim_mmr_rerank_srp retrieves an
-    MMR_CAND-row rerank pool)."""
-    from .similarity import EMB_DIM, N_QUERIES, TOP_K
-
-    if k is None:
-        k = TOP_K
+    more bucket lookups, with the corpus side untouched."""
+    from .similarity import EMB_DIM, N_QUERIES
 
     bands = sigs.select(
         "vec_id",
@@ -1863,11 +1858,26 @@ def _srp_search_from_sigs(
         F.col("nrm").alias("nrm_c"),
     )
     cos = dot_expr("emb_q", "emb_c", EMB_DIM) / (F.col("nrm_q") * F.col("nrm_c"))
-    scored = (
+    return (
         cand.join(F.broadcast(ea), "query_id")
         .join(eb, "neighbor_id")
         .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
+
+
+def _srp_search_from_sigs(
+    t: Tables, sigs: DataFrame, probe_bits: int = 0, k: int | None = None
+) -> DataFrame:
+    """The search half of sim_srp_topk against a signature table from
+    ANY provenance — the fresh Arrow-kernel pass (sim_srp_topk) or the
+    persisted index (search_srp_index). Byte-identical either way.
+    ``k`` widens the per-query cut past TOP_K (sim_mmr_rerank_srp
+    retrieves an MMR_CAND-row rerank pool)."""
+    from .similarity import TOP_K
+
+    if k is None:
+        k = TOP_K
+    scored = _srp_scored(t, sigs, probe_bits)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -1899,6 +1909,78 @@ def search_srp_index(t: Tables, path: str) -> DataFrame:
     (round-7 ADVICE)."""
     sigs = t.spark.read.parquet(f"{path}/signatures").localCheckpoint(eager=True)
     return _srp_search_from_sigs(t, sigs)
+
+
+#: Hard negatives per anchor for contrastive training.
+HN_K = 5
+
+
+def _hard_neg_sql() -> str:
+    from .similarity import EMB_DIM, N_QUERIES
+
+    duck_sig = _srp_duck_sig()
+    cos = (
+        f"({dot_sql('ea.embedding', 'eb.embedding', EMB_DIM)}) / "
+        f"(({norm_sql('ea.embedding', EMB_DIM)}) * "
+        f"({norm_sql('eb.embedding', EMB_DIM)}))"
+    )
+    probe_list = ", ".join(
+        ["bv"] + [f"xor(bv, {1 << b})" for b in range(SRP_BAND_BITS)]
+    )
+    return (
+        f"WITH s AS (SELECT vec_id, {duck_sig} AS sig FROM embeddings), "
+        "bands AS MATERIALIZED (SELECT vec_id, u.j AS band, "
+        f"(sig >> ({SRP_BAND_BITS} * u.j)) & {(1 << SRP_BAND_BITS) - 1} AS bv "
+        f"FROM s, (SELECT unnest(range(0, {SRP_BANDS})) AS j) u), "
+        f"qb AS (SELECT vec_id, band, bv FROM bands WHERE vec_id < {N_QUERIES}), "
+        f"q AS (SELECT vec_id, band, u.pv AS bv FROM qb, "
+        f"LATERAL unnest([{probe_list}]) AS u(pv)), "
+        "bcand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id "
+        "FROM q JOIN bands c ON q.band = c.band AND q.bv = c.bv "
+        "AND c.vec_id <> q.vec_id), "
+        f"scored AS (SELECT query_id, neighbor_id, {cos} AS cosine FROM bcand "
+        "JOIN embeddings ea ON ea.vec_id = query_id "
+        "JOIN embeddings eb ON eb.vec_id = neighbor_id) "
+        "SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ("
+        "SELECT query_id, neighbor_id, cosine, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
+        f"FROM scored WHERE cosine < {COSINE_THETA}) "
+        f"WHERE rank <= {HN_K} ORDER BY query_id, rank"
+    )
+
+
+@register("sim_hard_negatives", _hard_neg_sql())
+def sim_hard_negatives(t: Tables) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive embedding training — the
+    training-data prep step behind every dense retriever (DPR/ANCE
+    style): per anchor, the HN_K most-similar corpus vectors that are
+    NOT near-duplicates — cosine as high as possible but strictly
+    below the repo's embedding dup threshold COSINE_THETA (above it a
+    'negative' is a mislabeled positive and actively poisons the
+    loss). The exclusion filter runs BEFORE the rank cut on the full
+    SRP-multiprobe collider set — a post-cut filter over a top-k pool
+    would let the anchor's duplicates crowd real negatives out of k
+    (the reason this key consumes _srp_scored, not the top-k wrapper).
+
+    Scale shape: identical to sim_srp_multiprobe_topk — the angle-
+    concentrated SRP buckets are exactly where hard negatives live, so
+    the index IS the miner; one narrow signature map, one (band, bv)
+    shuffle, exact cosine on colliders only, nothing corpus×corpus.
+    Deterministic end to end → full bitwise oracle."""
+    from .similarity import srp_band_signatures
+
+    sigs = srp_band_signatures(
+        spread(t.embeddings, "vec_id"), "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+    ).localCheckpoint(eager=True)
+    scored = _srp_scored(t, sigs, probe_bits=SRP_BAND_BITS)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.filter(F.col("cosine") < COSINE_THETA)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= HN_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
 
 
 def _mmr_srp_pool_sql() -> str:

@@ -2182,3 +2182,58 @@ def test_wordpiece_greedy_unk_and_bounds(spark):
     assert r.n_word_occurrences == 3
     assert r.n_wp_tokens == 2 * 2 + 1  # abcde→(abcd,e) twice, UNK once
     assert r.tokens_per_word_ppm == 5_000_000 // 3
+
+
+def test_hard_negatives_exclude_dups_filter_before_rank(spark):
+    """sim_hard_negatives' two contracts on a synthetic corpus where an
+    anchor has MORE near-duplicates than the top-k cut leaves room for:
+    (1) no duplicate (cosine ≥ COSINE_THETA) ever appears as a
+    'negative' — a mislabeled positive poisons a contrastive loss; (2)
+    filter-BEFORE-rank is load-bearing: the anchor's 6 exact copies
+    fill the plain top-10, so a post-cut filter yields only 4
+    negatives while the key still returns the full HN_K=5."""
+    from realtimevotingdataengineer_spark.functions import spread
+    from realtimevotingdataengineer_spark.operators.dedup import (
+        COSINE_THETA,
+        HN_K,
+        SRP_BAND_BITS,
+        SRP_BANDS,
+        _srp_search_from_sigs,
+        sim_hard_negatives,
+    )
+    from realtimevotingdataengineer_spark.operators.similarity import (
+        srp_band_signatures,
+    )
+
+    def vec(seed):
+        x, out = seed * 2654435761 % (2**32), []
+        for _ in range(64):
+            x = (x * 1664525 + 1013904223) % (2**32)
+            out.append(float((x >> 16) % 11) - 5.0)
+        return out
+
+    rows = [(i, vec(1000 + i)) for i in range(5)]  # anchors 0..4
+    rows += [(5 + j, vec(1000)) for j in range(6)]  # 6 exact copies of anchor 0
+    rows += [(k, vec(k)) for k in range(11, 120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    class _T:
+        embeddings = df
+
+    out = sim_hard_negatives(_T).collect()
+    dups = set(range(5, 11))
+    q0 = [r for r in out if r.query_id == 0]
+    assert len(q0) == HN_K
+    assert all(r.neighbor_id not in dups for r in q0)
+    assert all(r.cosine < COSINE_THETA for r in out)
+    assert [r.rank for r in q0] == list(range(1, HN_K + 1))
+
+    sigs = srp_band_signatures(
+        spread(df, "vec_id"), "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+    ).localCheckpoint(eager=True)
+    post_cut = [
+        r
+        for r in _srp_search_from_sigs(_T, sigs, probe_bits=SRP_BAND_BITS).collect()
+        if r.query_id == 0 and r.cosine < COSINE_THETA
+    ]
+    assert len(post_cut) < HN_K  # the crowding the key exists to avoid
