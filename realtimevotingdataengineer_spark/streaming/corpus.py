@@ -226,3 +226,66 @@ class StreamingTables:
     def __init__(self, spark, documents: DataFrame):
         self.spark = spark
         self.documents = documents
+
+
+def stream_sample_bottomk(
+    docs: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    k: int | None = None,
+):
+    """STREAMING fixed-k stratified sampling — the online twin of
+    operators/corpus.py::sample_fixed_k_stratified, same "fk:" salted
+    md5, same per-source bottom-k rule. Bottom-k of a deterministic
+    hash is a commutative, idempotent monoid (merge = union → re-rank
+    → cut), so the maintained sample is ORDER-INVARIANT: however the
+    stream interleaves arrivals, the final state equals the batch key
+    run over the union of everything seen — the reproducible-eval-set
+    property a 100 TB crawl needs from an online sampler (a classic
+    reservoir is RNG-order-dependent; this is not).
+
+    State = the current winners only: ≤ k × |strata| rows of
+    (source, doc_id, h), overwritten each micro-batch — never
+    corpus-bounded. The merged frame is eagerly localCheckpointed
+    before the overwrite so the job never reads the parquet it is
+    replacing. Returns the started StreamingQuery; the state parquet
+    at ``state_path`` IS the sample (rank recomputable from h)."""
+    from ..operators.corpus import SAMPLE_FIXED_K
+
+    if k is None:
+        k = SAMPLE_FIXED_K
+
+    def merge_batch(batch: DataFrame, _batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch.sparkSession
+        new = batch.select(
+            "source",
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit("fk"), F.col("doc_id").cast("string"), F.col("source")
+                )
+            ).alias("h"),
+        )
+        try:
+            prev = spark.read.parquet(state_path).select("source", "doc_id", "h")
+            merged = prev.unionByName(new)
+        except Exception:  # first batch: no state yet
+            merged = new
+        rk = F.row_number().over(
+            Window.partitionBy("source").orderBy(F.col("h"), F.col("doc_id"))
+        )
+        out = (
+            merged.withColumn("rk", rk)
+            .filter(F.col("rk") <= k)
+            .localCheckpoint(eager=True)  # materialize BEFORE overwriting the input files
+        )
+        out.write.mode("overwrite").parquet(state_path)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(merge_batch)
+        .start()
+    )

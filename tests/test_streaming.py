@@ -449,3 +449,47 @@ def test_stream_dedup_minhash_cross_batch_survivor_indexed(spark, tmp_path):
         q.processAllAvailable()
     q.stop()
     assert {r.doc_id for r in spark.read.parquet(surv_path).collect()} == {1, 4}
+
+
+def test_stream_sample_bottomk_equals_batch_any_order(spark, sf_dir, tmp_path):
+    """The streamed fixed-k sample must equal the BATCH key's output on
+    the same docs regardless of arrival order — bottom-k of a salted
+    hash is a commutative monoid, so two different 3-batch interleavings
+    (id-ordered vs reversed) must both land on exactly
+    sample_fixed_k_stratified's (source, doc_id) set."""
+    from pyspark.sql import functions as F
+
+    import realtimevotingdataengineer_spark.operators  # noqa: F401 (registers keys)
+    from realtimevotingdataengineer_spark.registry import QUERIES
+    from realtimevotingdataengineer_spark.sources.tables import Tables, load_table
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    t = Tables(spark, sf_dir)
+    want = {
+        (r.source, r.doc_id)
+        for r in QUERIES["sample_fixed_k_stratified"](t).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    cuts = [0, (mx + 1) // 3, 2 * (mx + 1) // 3, mx + 1]
+
+    for order, tag in [(range(3), "fwd"), (reversed(range(3)), "rev")]:
+        stream_dir = tmp_path / f"in_{tag}"
+        stream_dir.mkdir()
+        state = str(tmp_path / f"state_{tag}")
+        sdocs = spark.readStream.schema("doc_id bigint, source string").parquet(
+            str(stream_dir) + "/*"
+        )
+        q = corpus.stream_sample_bottomk(
+            sdocs, state, str(tmp_path / f"ck_{tag}")
+        )
+        for n, i in enumerate(order):
+            docs.filter(
+                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+            ).coalesce(1).write.parquet(str(stream_dir / f"b{n}"))
+            q.processAllAvailable()
+        q.stop()
+        got = {
+            (r.source, r.doc_id) for r in spark.read.parquet(state).collect()
+        }
+        assert got == want, tag
