@@ -1151,3 +1151,105 @@ def corpus_dup_rate_by_source(t: Tables) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Length-bucketed dynamic batching: docs per batch, and the power-of-2
+#: bucket ladder (docs above the top rung share the overflow bucket).
+BATCH_DOCS = 8
+BATCH_BUCKETS = [8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+BATCH_OVERFLOW = 8192
+
+
+def _len_bucket_case(col: str) -> str:
+    """Identical CASE text in both engines: smallest ladder rung ≥ the
+    token count (overflow rung above the top)."""
+    whens = " ".join(
+        f"WHEN {col} <= {b} THEN {b}" for b in BATCH_BUCKETS
+    )
+    return f"CASE {whens} ELSE {BATCH_OVERFLOW} END"
+
+
+_BATCH_LEN_SQL = (
+    f"WITH tk AS (SELECT doc_id, CAST(len({TOKENS_SQL}) AS BIGINT) AS n_tokens "
+    "FROM documents), "
+    f"b AS (SELECT doc_id, n_tokens, {_len_bucket_case('n_tokens')} AS bucket, "
+    "row_number() OVER (PARTITION BY "
+    f"{_len_bucket_case('n_tokens')} ORDER BY n_tokens DESC, doc_id) AS rn "
+    "FROM tk), "
+    f"g AS (SELECT bucket, (rn - 1) // {BATCH_DOCS} AS batch_id, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(max(n_tokens) AS BIGINT) AS batch_max, "
+    "CAST(sum(n_tokens) AS BIGINT) AS batch_tokens "
+    "FROM b GROUP BY bucket, batch_id) "
+    "SELECT CAST(bucket AS BIGINT) AS bucket, "
+    "CAST(count(*) AS BIGINT) AS n_batches, "
+    "CAST(sum(n_docs) AS BIGINT) AS n_docs, "
+    "CAST(sum(batch_max * n_docs) AS BIGINT) AS padded_tokens, "
+    "CAST(sum(batch_tokens) AS BIGINT) AS real_tokens, "
+    "CAST((sum(batch_max * n_docs) - sum(batch_tokens)) * 1000000 "
+    "// sum(batch_max * n_docs) AS BIGINT) AS padding_waste_ppm "
+    "FROM g GROUP BY bucket ORDER BY bucket"
+)
+
+
+@register("corpus_batch_by_length", _BATCH_LEN_SQL)
+def corpus_batch_by_length(t: Tables) -> DataFrame:
+    """LENGTH-BUCKETED DYNAMIC BATCHING with padding-waste accounting —
+    the batching layer every sequence-training stack runs between the
+    corpus and the GPUs: group docs into power-of-2 length buckets,
+    fill fixed-size batches longest-first within each bucket (so batch
+    peers have near-equal lengths), pad each batch to ITS OWN max, and
+    report per-bucket padded vs real tokens as integer ppm — the
+    number that decides whether the bucket ladder needs another rung
+    (uniform-length padding wastes 30-60%; this shows the bucketed
+    figure). All-integer arithmetic, exact oracle.
+
+    Scale shape: one map-side-combinable token-count pass over the
+    corpus; the only shuffle is the per-bucket rank. Window parallelism
+    equals the rung count here — at 100 TB the rank partitions by
+    (bucket, shard) exactly as corpus_pack_sequences_sharded does for
+    its prefix sum, trading global batch numbering inside a bucket for
+    shard-local numbering (batch QUALITY is unchanged: peers still come
+    from the same rung)."""
+    tk = t.documents.select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    bucket = F.expr(_len_bucket_case("n_tokens"))
+    rn = F.row_number().over(
+        Window.partitionBy("bucket").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    )
+    b = tk.withColumn("bucket", bucket).withColumn("rn", rn)
+    g = (
+        b.withColumn(
+            "batch_id", F.expr(f"CAST((rn - 1) div {BATCH_DOCS} AS BIGINT)")
+        )
+        .groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("n_tokens").cast("bigint").alias("batch_max"),
+            F.sum("n_tokens").cast("bigint").alias("batch_tokens"),
+        )
+    )
+    return (
+        g.groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum(F.col("batch_max") * F.col("n_docs"))
+            .cast("bigint")
+            .alias("padded_tokens"),
+            F.sum("batch_tokens").cast("bigint").alias("real_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_batches",
+            "n_docs",
+            "padded_tokens",
+            "real_tokens",
+            F.expr(
+                "CAST(((padded_tokens - real_tokens) * 1000000) div padded_tokens "
+                "AS BIGINT)"
+            ).alias("padding_waste_ppm"),
+        )
+        .orderBy("bucket")
+    )

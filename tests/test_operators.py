@@ -2237,3 +2237,31 @@ def test_hard_negatives_exclude_dups_filter_before_rank(spark):
         if r.query_id == 0 and r.cosine < COSINE_THETA
     ]
     assert len(post_cut) < HN_K  # the crowding the key exists to avoid
+
+
+def test_batch_by_length_padding_accounting(spark):
+    """corpus_batch_by_length on a hand-computable corpus: ten docs in
+    the 8-token rung (eight full-length, two short) → batch 0 is eight
+    equal-length docs with ZERO padding, batch 1 pads [5, 3] to its own
+    max (not the rung ceiling), and the ppm is the exact integer
+    floor."""
+    from realtimevotingdataengineer_spark.operators.corpus import (
+        corpus_batch_by_length,
+    )
+
+    lens = [8] * 8 + [5, 3]
+    docs = spark.createDataFrame(
+        [(i, "w " * n) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+
+    class _T:
+        documents = docs
+
+    rows = corpus_batch_by_length(_T).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.bucket, r.n_batches, r.n_docs) == (8, 2, 10)
+    assert r.padded_tokens == 8 * 8 + 2 * 5  # batch1 pads to ITS max (5), not 8
+    assert r.real_tokens == sum(lens)
+    assert r.padding_waste_ppm == (74 - 72) * 1_000_000 // 74
