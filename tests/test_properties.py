@@ -481,3 +481,93 @@ def test_bpe_batched_oracle_tolerates_skewed_vocab(spark, docs):
         _bpe_batched_sql(BPE_BATCH_ROUNDS, BPE_BATCH_K, BPE_BATCH_CAND)
     ).fetchall()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+words_strategy = st.lists(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=8),
+        min_size=1,
+        max_size=10,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(ws=words_strategy)
+@SET
+def test_wordpiece_matches_python_reference(spark, ws):
+    """text_wordpiece_apply must reproduce a plain-Python
+    implementation of the whole program (occurrence-weighted gram
+    census → top-V vocab with (count DESC, gram ASC) ties → maximal
+    munch) on random small-alphabet corpora — the 3-char alphabet
+    makes gram collisions and tie-breaks common."""
+    import collections
+    import re
+
+    from realtimevotingdataengineer_spark.operators.text import (
+        WP_MAXLEN,
+        WP_UNK_LEN,
+        WP_V,
+        text_wordpiece_apply,
+    )
+
+    docs = [
+        (i, f"s{i % 2}", " ".join(wlist)) for i, wlist in enumerate(ws)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+
+    class _T:
+        documents = df
+
+    got = {
+        r.source: (
+            r.n_distinct_words,
+            r.n_word_occurrences,
+            r.n_wp_tokens,
+            r.tokens_per_word_ppm,
+        )
+        for r in text_wordpiece_apply(_T).collect()
+    }
+
+    sw: collections.Counter = collections.Counter()
+    for _, src, txt in docs:
+        for wd in re.sub(r"\s+", " ", txt.lower()).strip().split(" "):
+            if wd:
+                sw[(src, wd)] += 1
+    w: collections.Counter = collections.Counter()
+    for (_, wd), c in sw.items():
+        w[wd] += c
+    grams: collections.Counter = collections.Counter()
+    for wd, c in w.items():
+        for L in range(2, WP_MAXLEN + 1):
+            for i in range(len(wd) - L + 1):
+                grams[wd[i : i + L]] += c
+    vocab = {
+        g
+        for g, _ in sorted(grams.items(), key=lambda kv: (-kv[1], kv[0]))[:WP_V]
+    }
+
+    def ntok(wd: str) -> int:
+        if len(wd) > WP_UNK_LEN:
+            return 1
+        pos = n = 0
+        while pos < len(wd):
+            step = 1
+            for L in range(WP_MAXLEN, 1, -1):
+                if pos + L <= len(wd) and wd[pos : pos + L] in vocab:
+                    step = L
+                    break
+            pos += step
+            n += 1
+        return n
+
+    want: dict = {}
+    for (src, wd), c in sw.items():
+        d = want.setdefault(src, [0, 0, 0])
+        d[0] += 1
+        d[1] += c
+        d[2] += c * ntok(wd)
+    assert got == {
+        src: (a, b, c, c * 1_000_000 // b) for src, (a, b, c) in want.items()
+    }
