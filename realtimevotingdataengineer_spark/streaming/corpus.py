@@ -58,6 +58,23 @@ def stream_dedup_exact(
     return sig.dropDuplicates(["sig"])
 
 
+def _greedy_admit(ids, flagged, in_pairs) -> set:
+    """First-arrival-wins over one micro-batch: walk ids ASCENDING,
+    admit unless the id near-dups the persisted index (``flagged``) or
+    an already-admitted id of the same batch (``in_pairs``, a < b).
+    Shared by every streaming near-dup gate so 'who survives' is one
+    rule. All inputs are batch-bounded by construction."""
+    nbrs: dict = {}
+    for a, b in in_pairs:
+        nbrs.setdefault(b, set()).add(a)
+    kept: set = set()
+    for i in sorted(ids):
+        if i in flagged or (nbrs.get(i, set()) & kept):
+            continue
+        kept.add(i)
+    return kept
+
+
 def build_minhash_index(docs: DataFrame, path: str) -> None:
     """Persist the near-dup signature index for a (base) corpus:
     ``{path}/bands`` — the (doc_id, band, bv) LSH rows the candidate
@@ -156,14 +173,9 @@ def _minhash_gate_batch(
         (r.doc_a, r.doc_b)
         for r in minhash_verified_pairs(cand_in, new_sh).collect()
     ]
-    nbrs: dict = {}
-    for a, b in in_pairs:
-        nbrs.setdefault(b, set()).add(a)
-    kept: set = set()
-    for doc_id in sorted(r.doc_id for r in per_doc.select("doc_id").collect()):
-        if doc_id in flagged or (nbrs.get(doc_id, set()) & kept):
-            continue
-        kept.add(doc_id)
+    kept = _greedy_admit(
+        (r.doc_id for r in per_doc.select("doc_id").collect()), flagged, in_pairs
+    )
     if not kept:
         return
     surv_ids = spark.createDataFrame(
@@ -209,6 +221,169 @@ def stream_dedup_minhash(
         w = w.trigger(processingTime=processing_time)
     return w.foreachBatch(
         lambda b, _id: _minhash_gate_batch(b, index_path, survivors_path)
+    ).start()
+
+
+def build_srp_stream_index(vecs: DataFrame, path: str) -> None:
+    """Persist the EMBEDDING near-dup index for a base corpus:
+    ``{path}/bands`` — (vec_id, band, bv) random-hyperplane LSH rows —
+    and ``{path}/vectors`` — (vec_id, embedding) for the exact-cosine
+    verify. The vector-stream twin of build_minhash_index; same
+    build-once / stream-forever artifact lifecycle."""
+    from ..operators.dedup import SRP_BAND_BITS, SRP_BANDS
+    from ..operators.similarity import srp_band_signatures
+
+    sigs = srp_band_signatures(
+        vecs, "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+    ).localCheckpoint(eager=True)
+    bands = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), F.col(f"bv{j}").alias("bv"))
+                    for j in range(SRP_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    bands.write.mode("overwrite").parquet(f"{path}/bands")
+    vecs.select("vec_id", "embedding").write.mode("overwrite").parquet(
+        f"{path}/vectors"
+    )
+
+
+def _srp_gate_batch(batch: DataFrame, index_path: str, survivors_path: str) -> None:
+    """One micro-batch through the online EMBEDDING near-dup gate —
+    the vector twin of _minhash_gate_batch, same five steps with the
+    MinHash pieces swapped for SRP: (1) the Arrow kernel computes the
+    batch's 32-bit sign signatures, (2) candidates vs the persisted
+    band index (index ⨝ broadcast(batch bands) — the corpus-sized side
+    is scanned, never shuffled), (3) within-batch band self-join,
+    (4) exact order-pinned cosine ≥ COSINE_THETA verifies both
+    candidate sets (the repo's ONE embedding dup rule), the shared
+    greedy admits first arrivals, (5) survivors' rows + bands +
+    vectors are appended so later batches dedup against them. Same
+    at-least-once append caveat as the MinHash gate."""
+    from ..functions import dot_expr, norm_expr
+    from ..operators.dedup import SRP_BAND_BITS, SRP_BANDS, COSINE_THETA
+    from ..operators.similarity import EMB_DIM, srp_band_signatures
+
+    spark = batch.sparkSession
+    vecs = batch.select("vec_id", "embedding").localCheckpoint(eager=True)
+    if vecs.isEmpty():
+        return
+    sigs = srp_band_signatures(
+        vecs, "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+    ).localCheckpoint(eager=True)
+    new_bands = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), F.col(f"bv{j}").alias("bv"))
+                    for j in range(SRP_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "vec_id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+    ).localCheckpoint(eager=True)
+    idx_bands = spark.read.parquet(f"{index_path}/bands")
+    idx_vecs = spark.read.parquet(f"{index_path}/vectors")
+    nb = new_bands.select(F.col("vec_id").alias("vec_new"), "band", "bv")
+    cand_idx = (
+        idx_bands.join(
+            F.broadcast(nb),
+            (idx_bands.band == nb.band) & (idx_bands.bv == nb.bv),
+        )
+        .select("vec_new", F.col("vec_id").alias("vec_base"))
+        .distinct()
+    )
+    va = vecs.select(
+        F.col("vec_id").alias("vec_new"), F.col("embedding").alias("ea")
+    ).withColumn("na", norm_expr("ea", EMB_DIM))
+    vb = idx_vecs.select(
+        F.col("vec_id").alias("vec_base"), F.col("embedding").alias("eb")
+    ).withColumn("nb", norm_expr("eb", EMB_DIM))
+    cos_idx = dot_expr("ea", "eb", EMB_DIM) / (F.col("na") * F.col("nb"))
+    flagged = {
+        r.vec_new
+        for r in cand_idx.join(F.broadcast(va), "vec_new")
+        .join(vb, "vec_base")
+        .select("vec_new", cos_idx.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_THETA)
+        .select("vec_new")
+        .distinct()
+        .collect()
+    }
+    ba, bb = new_bands.alias("ba"), new_bands.alias("bb")
+    cand_in = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bv") == F.col("bb.bv"))
+            & (F.col("ba.vec_id") < F.col("bb.vec_id")),
+        )
+        .select(F.col("ba.vec_id").alias("vec_a"), F.col("bb.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    wa = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    ).withColumn("na", norm_expr("ea", EMB_DIM))
+    wb = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    ).withColumn("nb", norm_expr("eb", EMB_DIM))
+    cos_in = dot_expr("ea", "eb", EMB_DIM) / (F.col("na") * F.col("nb"))
+    in_pairs = [
+        (r.vec_a, r.vec_b)
+        for r in cand_in.join(wa, "vec_a")
+        .join(wb, "vec_b")
+        .select("vec_a", "vec_b", cos_in.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_THETA)
+        .collect()
+    ]
+    kept = _greedy_admit(
+        (r.vec_id for r in vecs.select("vec_id").collect()), flagged, in_pairs
+    )
+    if not kept:
+        return
+    surv_ids = spark.createDataFrame([(i,) for i in sorted(kept)], "vec_id bigint")
+    batch.join(F.broadcast(surv_ids), "vec_id").write.mode("append").parquet(
+        survivors_path
+    )
+    new_bands.join(F.broadcast(surv_ids), "vec_id").write.mode("append").parquet(
+        f"{index_path}/bands"
+    )
+    vecs.join(F.broadcast(surv_ids), "vec_id").write.mode("append").parquet(
+        f"{index_path}/vectors"
+    )
+
+
+def stream_dedup_srp(
+    vecs: DataFrame,
+    index_path: str,
+    survivors_path: str,
+    checkpoint_path: str,
+    processing_time: str | None = None,
+):
+    """ONLINE embedding near-dup gate on a vector stream — the
+    streaming half of the dedup_embedding_srp family, completing the
+    gate pair (text → stream_dedup_minhash, vectors → this): every
+    micro-batch is deduped against a persisted SRP band index AND
+    within itself at the repo's COSINE_THETA with the exact pinned
+    cosine, survivors flow to the sink and their bands + vectors join
+    the index. First-arrival-wins across the whole stream; same
+    banding, signatures and verify as the batch keys, so the pytest
+    equality against the batch pair list is semantic, not
+    approximate."""
+    w = vecs.writeStream.outputMode("append").option(
+        "checkpointLocation", checkpoint_path
+    )
+    if processing_time is not None:
+        w = w.trigger(processingTime=processing_time)
+    return w.foreachBatch(
+        lambda b, _id: _srp_gate_batch(b, index_path, survivors_path)
     ).start()
 
 

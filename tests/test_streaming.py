@@ -493,3 +493,56 @@ def test_stream_sample_bottomk_equals_batch_any_order(spark, sf_dir, tmp_path):
             (r.source, r.doc_id) for r in spark.read.parquet(state).collect()
         }
         assert got == want, tag
+
+
+def test_stream_dedup_srp_matches_batch_greedy(spark, sf_dir, tmp_path):
+    """The ONLINE embedding near-dup gate must equal the batch pass:
+    seed the SRP index with the first 80% of the vec_id range, stream
+    the remaining 20% in two batches (split so the fixture's
+    within-delta pair lands in ONE batch, exercising the self-join path
+    next to the index path), and compare the streamed survivor set
+    against the shared greedy applied to dedup_embedding_srp's verified
+    pair list. Same bands, signatures, cosine and threshold on both
+    sides — divergence is a wiring bug, not a semantics choice."""
+    from pyspark.sql import functions as F
+
+    import realtimevotingdataengineer_spark.operators  # noqa: F401
+    from realtimevotingdataengineer_spark.registry import QUERIES
+    from realtimevotingdataengineer_spark.sources.tables import Tables, load_table
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    t = Tables(spark, sf_dir)
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mx = vecs.agg(F.max("vec_id")).collect()[0][0]
+    cut = (mx + 1) * 4 // 5
+    base = vecs.filter(F.col("vec_id") < cut)
+    delta_ids = sorted(
+        r.vec_id for r in vecs.filter(F.col("vec_id") >= cut).collect()
+    )
+    idx = str(tmp_path / "srp_index")
+    corpus.build_srp_stream_index(base, idx)
+
+    stream_dir = tmp_path / "delta_stream"
+    stream_dir.mkdir()
+    surv_path = str(tmp_path / "survivors")
+    svecs = spark.readStream.schema(
+        vecs.schema
+    ).parquet(str(stream_dir) + "/*")
+    q = corpus.stream_dedup_srp(svecs, idx, surv_path, str(tmp_path / "ckpt"))
+    split = cut + (mx + 1 - cut) // 10  # keeps the within-delta pair together
+    for name, lo, hi in [("b1", cut, split), ("b2", split, mx + 1)]:
+        vecs.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.parquet(str(stream_dir / name))
+        q.processAllAvailable()
+    q.stop()
+    streamed = {r.vec_id for r in spark.read.parquet(surv_path).collect()}
+
+    pairs = [
+        (r.vec_a, r.vec_b) for r in QUERIES["dedup_embedding_srp"](t).collect()
+    ]
+    flagged = {b for a, b in pairs if a < cut <= b}
+    delta_pairs = [(a, b) for a, b in pairs if a >= cut]
+    want = corpus._greedy_admit(delta_ids, flagged, delta_pairs)
+    assert streamed == want
+    assert len(want) < len(delta_ids)  # the gate actually dropped vectors
