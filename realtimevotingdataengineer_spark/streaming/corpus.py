@@ -1,13 +1,19 @@
-"""Streaming corpus ingestion: content-level dedup on the document
-stream — the online half of operators/dedup.py's batch families.
+"""Streaming corpus ingestion: the online halves of the batch curation
+families — exact content dedup (stream_dedup_exact), MinHash-LSH
+near-dup (stream_dedup_minhash), embedding near-dup (stream_dedup_srp)
+and order-invariant fixed-k sampling (stream_sample_bottomk).
 
-A 100 TB/day crawl ingest cannot afford a nightly batch dedup pass over
-the accumulated corpus; the content-signature filter has to run IN the
-ingest stream, with state bounded by the signature cardinality (not
-corpus bytes — state stores the md5, never the text). This module keeps
-the same source-agnostic contract as streaming/pipeline.py: the
-functions accept any streaming (or batch) DataFrame with a ``text``
-column, so tests drive them from a file-backed stream and production
+A 100 TB/day crawl ingest cannot afford a nightly batch pass over the
+accumulated corpus; the gates have to run IN the ingest stream, with
+state bounded by signature/winner cardinality (never corpus bytes —
+state stores md5 keys, band rows or k winners, never the text). The
+near-dup gates keep a PERSISTED index that survivors' signatures join,
+so later arrivals dedup against everything admitted so far —
+first-arrival-wins across the whole stream, and the batch keys' exact
+verify rules are imported, not re-implemented, so 'near-dup' means one
+thing repo-wide. This module keeps the same source-agnostic contract as
+streaming/pipeline.py: the functions accept any streaming (or batch)
+DataFrame, so tests drive them from a file-backed stream and production
 points them at the Kafka/landing-zone source.
 """
 
