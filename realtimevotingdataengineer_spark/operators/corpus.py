@@ -1253,3 +1253,76 @@ def corpus_batch_by_length(t: Tables) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+#: Curriculum phases: equal-depth quality quartiles (easy -> hard).
+CURRICULUM_PHASES = 4
+
+
+def _curriculum_sql() -> str:
+    """Quality ordinal = integer stopword-hit ppm (the repo's en
+    lexicon via the shared _hits_sql), so the curriculum ordering is
+    all-integer — no cross-engine float-ordering hazard in the ntile."""
+    from .text import LEXICONS, _hits_sql
+
+    return (
+        f"WITH tk AS (SELECT doc_id, {TOKENS_SQL} AS tk FROM documents), "
+        "q AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, "
+        f"CAST({_hits_sql(LEXICONS['en'])} * 1000000 // len(tk) AS BIGINT) "
+        "AS quality_ppm FROM tk), "
+        f"p AS (SELECT doc_id, n_tokens, quality_ppm, ntile({CURRICULUM_PHASES}) "
+        "OVER (ORDER BY quality_ppm DESC, doc_id) AS phase FROM q) "
+        "SELECT CAST(phase AS BIGINT) AS phase, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, "
+        "CAST(max(quality_ppm) AS BIGINT) AS max_quality_ppm, "
+        "CAST(min(quality_ppm) AS BIGINT) AS min_quality_ppm "
+        "FROM p GROUP BY phase ORDER BY phase"
+    )
+
+
+@register("corpus_curriculum_phases", _curriculum_sql())
+def corpus_curriculum_phases(t: Tables) -> DataFrame:
+    """CURRICULUM STAGING for pretraining: rank the corpus easy-first
+    by an integer quality ordinal (stopword-hit ppm — fluent prose
+    scores high, boilerplate/code-ish text low; the same en lexicon as
+    text_quality_score) and cut it into CURRICULUM_PHASES equal-depth
+    phases with ntile — the schedule a curriculum-learning run feeds
+    (phase 1 first, hard tail last). Per-phase doc/token budgets and
+    the quality band in integer ppm; deterministic ties on doc_id, so
+    both engines assign identical phases.
+
+    Scale shape: one corpus pass for the ordinal; the global ntile is
+    one total-order window — at 100 TB the phase boundaries come from
+    an approx-quantile pass over quality_ppm instead (phase = which
+    boundary bucket, embarrassingly parallel), same downstream
+    contract; the exact global window here keeps the oracle
+    one-to-one with the textbook semantics."""
+    from .text import LEXICONS, _hits
+
+    tk = t.documents.select("doc_id", tokens("text").alias("tk"))
+    q = tk.select(
+        "doc_id",
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        (_hits(F.col("tk"), LEXICONS["en"]).cast("bigint") * 1000000).alias(
+            "hits_sc"
+        ),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("CAST(hits_sc div n_tokens AS BIGINT)").alias("quality_ppm"),
+    )
+    phase = F.ntile(CURRICULUM_PHASES).over(
+        Window.orderBy(F.desc("quality_ppm"), F.asc("doc_id"))
+    )
+    return (
+        q.withColumn("phase", phase.cast("bigint"))
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.max("quality_ppm").cast("bigint").alias("max_quality_ppm"),
+            F.min("quality_ppm").cast("bigint").alias("min_quality_ppm"),
+        )
+        .orderBy("phase")
+    )

@@ -2714,3 +2714,71 @@ def text_wordpiece_apply(t: Tables) -> DataFrame:
             "tokens_per_word_ppm"
         ),
     ).orderBy("source")
+
+
+def _wp_vocab_sql() -> str:
+    """The vocab CTE of _wp_sql, registered standalone: (rank, gram,
+    total) for the top-WP_V substrings — the queryable tokenizer
+    artifact (what ships to the serving stack; text_wordpiece_apply
+    consumes exactly this relation)."""
+    gram_union = " UNION ALL ".join(
+        f"SELECT substr(word, CAST(s.i AS INT), {L}) AS gram, wc "
+        f"FROM w, LATERAL unnest(range(1, len(word) - {L} + 2)) AS s(i) "
+        f"WHERE len(word) >= {L}"
+        for L in range(2, WP_MAXLEN + 1)
+    )
+    return (
+        f"WITH tk AS (SELECT {_TOKENS_SQL} AS tk FROM documents), "
+        "w AS MATERIALIZED (SELECT u.word, CAST(count(*) AS BIGINT) AS wc "
+        "FROM tk, LATERAL unnest(tk) AS u(word) "
+        "WHERE u.word <> '' AND NOT regexp_matches(u.word, '[\\x00-\\x1f]') "
+        "GROUP BY u.word), "
+        "g AS (SELECT gram, CAST(sum(wc) AS BIGINT) AS total FROM "
+        f"({gram_union}) GROUP BY gram) "
+        "SELECT CAST(row_number() OVER (ORDER BY total DESC, gram) AS BIGINT) "
+        "AS rank, gram, total FROM g "
+        f"QUALIFY rank <= {WP_V} ORDER BY rank"
+    )
+
+
+@register("text_wordpiece_vocab", _wp_vocab_sql())
+def text_wordpiece_vocab(t: Tables) -> DataFrame:
+    """The LEARNED WordPiece vocabulary as a first-class relation:
+    (rank, gram, total) — the artifact a tokenizer deployment ships
+    (text_wordpiece_apply collects exactly this top-WP_V set into its
+    kernel). Occurrence-weighted substring census over DISTINCT words,
+    deterministic ties (total DESC, gram ASC). One corpus-volume
+    count + a distinct-word gram explode + one top-V rank; at 100 TB
+    the census is map-side-combinable and the rank is a single
+    TakeOrdered-sized cut (V rows)."""
+    sw = (
+        spread(t.documents.select(tokens("text").alias("tk")))
+        .select(F.explode("tk").alias("word"))
+        .filter(_bpe_word_ok("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+    )
+
+    def _sub_at(n: int):
+        return lambda i: F.col("word").substr(i, F.lit(n))
+
+    grams = None
+    for L in range(2, WP_MAXLEN + 1):
+        gl = sw.filter(F.length("word") >= L).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - L + 1), _sub_at(L)
+                )
+            ).alias("gram"),
+            "wc",
+        )
+        grams = gl if grams is None else grams.unionByName(gl)
+    wv = Window.orderBy(F.desc("total"), F.asc("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.sum("wc").cast("bigint").alias("total"))
+        .withColumn("rank", F.row_number().over(wv).cast("bigint"))
+        .filter(F.col("rank") <= WP_V)
+        .select("rank", "gram", "total")
+        .orderBy("rank")
+    )
