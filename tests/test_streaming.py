@@ -546,3 +546,95 @@ def test_stream_dedup_srp_matches_batch_greedy(spark, sf_dir, tmp_path):
     want = corpus._greedy_admit(delta_ids, flagged, delta_pairs)
     assert streamed == want
     assert len(want) < len(delta_ids)  # the gate actually dropped vectors
+
+
+def test_stream_gates_survive_restart(spark, sf_dir, tmp_path):
+    """Recovery evidence: stop the query between micro-batches and start
+    a NEW query on the same checkpoint + state paths. Both stateful
+    streaming surfaces must come back exactly: (a) stream_sample_bottomk
+    resumes from its winners parquet and still equals the batch key;
+    (b) stream_dedup_minhash resumes against the survivor-extended index
+    and still equals the single-run greedy — the restart inserts no
+    duplicates and drops no survivors (checkpoint offsets skip the
+    processed batch; state lives in the index/state parquet, not the
+    dead query)."""
+    from pyspark.sql import functions as F
+
+    import realtimevotingdataengineer_spark.operators  # noqa: F401
+    from realtimevotingdataengineer_spark.registry import QUERIES
+    from realtimevotingdataengineer_spark.sources.tables import Tables, load_table
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    t = Tables(spark, sf_dir)
+
+    # (a) bottom-k sampler across a restart
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    state, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+    sdocs = spark.readStream.schema("doc_id bigint, source string").parquet(
+        str(stream_dir) + "/*"
+    )
+    q = corpus.stream_sample_bottomk(sdocs, state, ck)
+    docs.filter(F.col("doc_id") < (mx + 1) // 2).coalesce(1).write.parquet(
+        str(stream_dir / "b0")
+    )
+    q.processAllAvailable()
+    q.stop()
+    # NEW query, same checkpoint: batch b0 must not replay
+    sdocs2 = spark.readStream.schema("doc_id bigint, source string").parquet(
+        str(stream_dir) + "/*"
+    )
+    q2 = corpus.stream_sample_bottomk(sdocs2, state, ck)
+    docs.filter(F.col("doc_id") >= (mx + 1) // 2).coalesce(1).write.parquet(
+        str(stream_dir / "b1")
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got = {(r.source, r.doc_id) for r in spark.read.parquet(state).collect()}
+    want = {
+        (r.source, r.doc_id)
+        for r in QUERIES["sample_fixed_k_stratified"](t).collect()
+    }
+    assert got == want
+
+    # (b) minhash near-dup gate across a restart
+    dtexts = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = (mx + 1) * 4 // 5
+    idx = str(tmp_path / "mh_idx")
+    corpus.build_minhash_index(dtexts.filter(F.col("doc_id") < cut), idx)
+    sdir2 = tmp_path / "in2"
+    sdir2.mkdir()
+    surv, ck2 = str(tmp_path / "surv"), str(tmp_path / "ck2")
+    split = cut + (mx + 1 - cut) * 7 // 10
+    mk = lambda: spark.readStream.schema("doc_id bigint, text string").parquet(  # noqa: E731
+        str(sdir2) + "/*"
+    )
+    q3 = corpus.stream_dedup_minhash(mk(), idx, surv, ck2)
+    dtexts.filter(
+        (F.col("doc_id") >= cut) & (F.col("doc_id") < split)
+    ).coalesce(1).write.parquet(str(sdir2 / "b0"))
+    q3.processAllAvailable()
+    q3.stop()
+    q4 = corpus.stream_dedup_minhash(mk(), idx, surv, ck2)
+    dtexts.filter(F.col("doc_id") >= split).coalesce(1).write.parquet(
+        str(sdir2 / "b1")
+    )
+    q4.processAllAvailable()
+    q4.stop()
+    streamed = sorted(r.doc_id for r in spark.read.parquet(surv).collect())
+    assert len(streamed) == len(set(streamed))  # no duplicate appends
+    base_flagged = {
+        r.doc_new for r in QUERIES["dedup_incremental_minhash"](t).collect()
+    }
+    delta_pairs = [
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_lsh"](t).collect()
+        if r.doc_a >= cut
+    ]
+    delta_ids = sorted(
+        r.doc_id for r in dtexts.filter(F.col("doc_id") >= cut).collect()
+    )
+    want_surv = corpus._greedy_admit(delta_ids, base_flagged, delta_pairs)
+    assert set(streamed) == want_surv
