@@ -2782,3 +2782,197 @@ def text_wordpiece_vocab(t: Tables) -> DataFrame:
         .select("rank", "gram", "total")
         .orderBy("rank")
     )
+
+
+#: Viterbi decode ordinal packing: key = n_tokens·VIT_HUGE + (VIT_HUGE-1
+#: − score). Minimizing the key minimizes tokens, then maximizes the
+#: gram-frequency score; both decode back exactly. Score is bounded by
+#: (corpus word occurrences × WP_UNK_LEN) ≪ VIT_HUGE, and
+#: WP_UNK_LEN·VIT_HUGE ≪ 2^63.
+VIT_HUGE = 10**15
+
+
+def _viterbi_sql() -> str:
+    """Oracle: the same vocab CTE as the WordPiece keys (top-WP_V
+    substrings WITH totals), then an UNROLLED set-based DP over cursor
+    positions 2..WP_UNK_LEN+1 — dp_p(word, key) is the packed best
+    (fewest tokens, max score) derivation of the first p−1 chars,
+    combining ≤WP_MAXLEN branches per step (L=1 is the score-0
+    single-char fallback; L≥2 joins the vocab for the gram's total).
+    Every dp CTE is MATERIALIZED (each is read by up to WP_MAXLEN later
+    rounds — the repo's DuckDB inlining guard). All-integer, so the
+    'optimal segmentation' claim is bitwise-checkable."""
+    gram_union = " UNION ALL ".join(
+        f"SELECT substr(word, CAST(s.i AS INT), {L}) AS gram, wc "
+        f"FROM w, LATERAL unnest(range(1, len(word) - {L} + 2)) AS s(i) "
+        f"WHERE len(word) >= {L}"
+        for L in range(2, WP_MAXLEN + 1)
+    )
+    parts = [
+        f"tk AS (SELECT source, {_TOKENS_SQL} AS tk FROM documents)",
+        "sw AS MATERIALIZED (SELECT source, u.word, CAST(count(*) AS BIGINT) AS wc "
+        "FROM tk, LATERAL unnest(tk) AS u(word) "
+        "WHERE u.word <> '' AND NOT regexp_matches(u.word, '[\\x00-\\x1f]') "
+        "GROUP BY source, u.word)",
+        "w AS MATERIALIZED (SELECT word, CAST(sum(wc) AS BIGINT) AS wc, "
+        "CAST(len(word) AS INT) AS l FROM sw GROUP BY word)",
+        "vocab AS MATERIALIZED (SELECT gram, total FROM ("
+        f"SELECT gram, CAST(sum(wc) AS BIGINT) AS total FROM ({gram_union}) "
+        "GROUP BY gram) "
+        f"QUALIFY row_number() OVER (ORDER BY total DESC, gram) <= {WP_V})",
+        f"dp_1 AS MATERIALIZED (SELECT word, l, CAST(0 AS BIGINT) AS key "
+        f"FROM w WHERE l <= {WP_UNK_LEN})",
+    ]
+    for p in range(2, WP_UNK_LEN + 2):
+        branches = [
+            # L = 1: single-char fallback, one token, score 0
+            f"SELECT word, l, key + {VIT_HUGE} AS key "
+            f"FROM dp_{p - 1} WHERE l >= {p - 1}"
+        ]
+        for L in range(2, WP_MAXLEN + 1):
+            if p - L < 1:
+                continue
+            branches.append(
+                f"SELECT d.word, d.l, d.key + {VIT_HUGE} - v.total AS key "
+                f"FROM dp_{p - L} d JOIN vocab v "
+                f"ON v.gram = substr(d.word, {p - L}, {L}) WHERE d.l >= {p - 1}"
+            )
+        u = " UNION ALL ".join(branches)
+        parts.append(
+            f"dp_{p} AS MATERIALIZED (SELECT word, l, min(key) AS key "
+            f"FROM ({u}) GROUP BY word, l)"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT word, key FROM dp_{p} WHERE l = {p - 1}"
+        for p in range(2, WP_UNK_LEN + 2)
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + ", wtok AS (SELECT word, CAST((key + "
+        + str(VIT_HUGE - 1)
+        + f") // {VIT_HUGE} AS BIGINT) AS n_tok FROM ("
+        + finals
+        + f") UNION ALL SELECT word, 1 FROM w WHERE l > {WP_UNK_LEN}) "
+        "SELECT source, "
+        "CAST(count(*) AS BIGINT) AS n_distinct_words, "
+        "CAST(sum(wc) AS BIGINT) AS n_word_occurrences, "
+        "CAST(sum(wc * n_tok) AS BIGINT) AS n_vit_tokens, "
+        "CAST(sum(wc * n_tok) * 1000000 // sum(wc) AS BIGINT) AS tokens_per_word_ppm "
+        "FROM sw JOIN wtok USING (word) GROUP BY source ORDER BY source"
+    )
+
+
+@register("text_viterbi_segment", _viterbi_sql())
+def text_viterbi_segment(t: Tables) -> DataFrame:
+    """OPTIMAL (Viterbi-decoded) subword segmentation — the third
+    member of the tokenizer trio: BPE replays learned merges, WordPiece
+    takes the greedy longest match, and this key solves each word's
+    segmentation EXACTLY by dynamic programming under an all-integer
+    unigram objective: fewest tokens, ties broken by the highest total
+    vocabulary frequency of the chosen grams (the shortest-derivation
+    decode a unigram-LM tokenizer runs, with integer counts standing in
+    for log-probs so the oracle is bitwise). Same vocab, UNK rule and
+    output contract as text_wordpiece_apply, so greedy-vs-optimal
+    fertility compares directly — and Viterbi ≤ greedy per word is a
+    THEOREM the pytest asserts corpus-wide.
+
+    Plan: identical production shape to the WordPiece key — one
+    map-side-combinable (source, word) count over corpus volume, the
+    per-DISTINCT-word DP in one broadcast-vocab Arrow kernel (vocab =
+    WP_V (gram, count) rows, the trainers' bounded driver budget), a
+    packed-integer dp so the oracle's unrolled set-based DP (one
+    MATERIALIZED CTE per cursor position, ≤WP_MAXLEN branches each)
+    reproduces every decision exactly."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    sw = (
+        spread(t.documents.select("source", tokens("text").alias("tk")))
+        .select("source", F.explode("tk").alias("word"))
+        .filter(_bpe_word_ok("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+        .localCheckpoint(eager=True)  # feeds gram census AND final join
+    )
+    w = sw.groupBy("word").agg(F.sum("wc").cast("bigint").alias("wc"))
+
+    def _sub_at(n: int):
+        return lambda i: F.col("word").substr(i, F.lit(n))
+
+    grams = None
+    for L in range(2, WP_MAXLEN + 1):
+        gl = w.filter(F.length("word") >= L).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - L + 1), _sub_at(L)
+                )
+            ).alias("gram"),
+            "wc",
+        )
+        grams = gl if grams is None else grams.unionByName(gl)
+    wv = Window.orderBy(F.desc("total"), F.asc("gram"))
+    vocab = {
+        r.gram: r.total
+        for r in grams.groupBy("gram")
+        .agg(F.sum("wc").cast("bigint").alias("total"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= WP_V)
+        .select("gram", "total")
+        .collect()
+    }
+
+    out_schema = StructType(
+        [StructField("word", StringType()), StructField("n_tok", LongType())]
+    )
+
+    def vit_kernel(batches):
+        for pdf in batches:
+            ns = []
+            for word in pdf["word"]:
+                n = len(word)
+                if n > WP_UNK_LEN:
+                    ns.append(1)
+                    continue
+                INF = (WP_UNK_LEN + 2) * VIT_HUGE
+                dp = [INF] * (n + 1)
+                dp[0] = 0
+                for p in range(1, n + 1):
+                    best = dp[p - 1] + VIT_HUGE  # single-char fallback
+                    for L in range(2, WP_MAXLEN + 1):
+                        if p - L >= 0:
+                            tot = vocab.get(word[p - L : p])
+                            if tot is not None:
+                                cand = dp[p - L] + VIT_HUGE - tot
+                                if cand < best:
+                                    best = cand
+                    dp[p] = best
+                # ceil-decode: key = T*HUGE - score with 0 <= score < HUGE
+                ns.append((dp[n] + VIT_HUGE - 1) // VIT_HUGE)
+            yield pd.DataFrame({"word": pdf["word"], "n_tok": ns})
+
+    wtok = w.select("word").mapInPandas(vit_kernel, out_schema)
+    agg = (
+        sw.join(wtok, "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_words"),
+            F.sum("wc").cast("bigint").alias("n_word_occurrences"),
+            F.sum(F.col("wc") * F.col("n_tok")).cast("bigint").alias("n_vit_tokens"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_distinct_words",
+        "n_word_occurrences",
+        "n_vit_tokens",
+        F.expr("CAST((n_vit_tokens * 1000000) div n_word_occurrences AS BIGINT)").alias(
+            "tokens_per_word_ppm"
+        ),
+    ).orderBy("source")

@@ -2265,3 +2265,23 @@ def test_batch_by_length_padding_accounting(spark):
     assert r.padded_tokens == 8 * 8 + 2 * 5  # batch1 pads to ITS max (5), not 8
     assert r.real_tokens == sum(lens)
     assert r.padding_waste_ppm == (74 - 72) * 1_000_000 // 74
+
+
+def test_viterbi_never_worse_than_greedy(t):
+    """The tokenizer-trio theorem: Viterbi solves each word's
+    segmentation exactly under 'fewest tokens', so under the SAME
+    vocabulary and UNK rule its corpus token total can never exceed
+    WordPiece's greedy longest-match. Asserted per source on the
+    fixture; strict improvement somewhere is not required (greedy is
+    often optimal) but inequality must hold everywhere."""
+    from realtimevotingdataengineer_spark.operators.text import (
+        text_viterbi_segment,
+        text_wordpiece_apply,
+    )
+
+    wp = {r.source: r for r in text_wordpiece_apply(t).collect()}
+    vit = {r.source: r for r in text_viterbi_segment(t).collect()}
+    assert set(wp) == set(vit)
+    for src in wp:
+        assert vit[src].n_word_occurrences == wp[src].n_word_occurrences
+        assert vit[src].n_vit_tokens <= wp[src].n_wp_tokens, src

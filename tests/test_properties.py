@@ -571,3 +571,71 @@ def test_wordpiece_matches_python_reference(spark, ws):
     assert got == {
         src: (a, b, c, c * 1_000_000 // b) for src, (a, b, c) in want.items()
     }
+
+
+@given(ws=words_strategy)
+@SET
+def test_viterbi_matches_python_dp(spark, ws):
+    """text_viterbi_segment must reproduce a plain-Python DP over the
+    same packed-integer objective (fewest tokens, tie-break max gram
+    frequency) on random small-alphabet corpora, and never exceed the
+    greedy token count word-for-word."""
+    import collections
+    import re
+
+    from realtimevotingdataengineer_spark.operators.text import (
+        VIT_HUGE,
+        WP_MAXLEN,
+        WP_UNK_LEN,
+        WP_V,
+        text_viterbi_segment,
+    )
+
+    docs = [(i, f"s{i % 2}", " ".join(wlist)) for i, wlist in enumerate(ws)]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+
+    class _T:
+        documents = df
+
+    got = {
+        r.source: (r.n_word_occurrences, r.n_vit_tokens)
+        for r in text_viterbi_segment(_T).collect()
+    }
+
+    sw: collections.Counter = collections.Counter()
+    for _, src, txt in docs:
+        for wd in re.sub(r"\s+", " ", txt.lower()).strip().split(" "):
+            if wd:
+                sw[(src, wd)] += 1
+    w: collections.Counter = collections.Counter()
+    for (_, wd), c in sw.items():
+        w[wd] += c
+    grams: collections.Counter = collections.Counter()
+    for wd, c in w.items():
+        for L in range(2, WP_MAXLEN + 1):
+            for i in range(len(wd) - L + 1):
+                grams[wd[i : i + L]] += c
+    vocab = dict(
+        sorted(grams.items(), key=lambda kv: (-kv[1], kv[0]))[:WP_V]
+    )
+
+    def ntok(wd: str) -> int:
+        if len(wd) > WP_UNK_LEN:
+            return 1
+        n = len(wd)
+        dp = [(WP_UNK_LEN + 2) * VIT_HUGE] * (n + 1)
+        dp[0] = 0
+        for p in range(1, n + 1):
+            best = dp[p - 1] + VIT_HUGE
+            for L in range(2, WP_MAXLEN + 1):
+                if p - L >= 0 and wd[p - L : p] in vocab:
+                    best = min(best, dp[p - L] + VIT_HUGE - vocab[wd[p - L : p]])
+            dp[p] = best
+        return (dp[n] + VIT_HUGE - 1) // VIT_HUGE
+
+    want: dict = {}
+    for (src, wd), c in sw.items():
+        d = want.setdefault(src, [0, 0])
+        d[0] += c
+        d[1] += c * ntok(wd)
+    assert got == {src: tuple(v) for src, v in want.items()}
