@@ -2643,7 +2643,13 @@ def text_wordpiece_apply(t: Tables) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
         .localCheckpoint(eager=True)  # feeds gram census AND final join
     )
-    w = sw.groupBy("word").agg(F.sum("wc").cast("bigint").alias("wc"))
+    w = (
+        sw.groupBy("word")
+        .agg(F.sum("wc").cast("bigint").alias("wc"))
+        # eager: read by every gram-union branch AND the segmentation
+        # kernel — distinct-word-sized, one shuffle paid once.
+        .localCheckpoint(eager=True)
+    )
     def _sub_at(n: int):
         # one-arg lambda REQUIRED: F.transform hands a 2-arg lambda
         # (element, index) — a default-arg capture would be clobbered
@@ -2757,6 +2763,10 @@ def text_wordpiece_vocab(t: Tables) -> DataFrame:
         .filter(_bpe_word_ok("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+        # eager: the gram union below reads this WP_MAXLEN-1 times —
+        # unmaterialized, each branch re-scans the corpus (measured:
+        # 3 scans / 7 exchanges → 1 corpus scan).
+        .localCheckpoint(eager=True)
     )
 
     def _sub_at(n: int):
@@ -2901,7 +2911,13 @@ def text_viterbi_segment(t: Tables) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
         .localCheckpoint(eager=True)  # feeds gram census AND final join
     )
-    w = sw.groupBy("word").agg(F.sum("wc").cast("bigint").alias("wc"))
+    w = (
+        sw.groupBy("word")
+        .agg(F.sum("wc").cast("bigint").alias("wc"))
+        # eager: read by every gram-union branch AND the segmentation
+        # kernel — distinct-word-sized, one shuffle paid once.
+        .localCheckpoint(eager=True)
+    )
 
     def _sub_at(n: int):
         return lambda i: F.col("word").substr(i, F.lit(n))
