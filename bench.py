@@ -105,6 +105,10 @@ HEADLINE = [
     # key: flat per-round cost post-checkpoint is measured here)
     "sim_mmr_rerank_srp",
     "graph_bfs_distance_deep",
+    # late round 9: the tokenizer trio's optimal decode — vocab census +
+    # broadcast-vocab DP kernel, the multi-stage key whose sf-scaling
+    # should be measured next to the batched BPE trainer above
+    "text_viterbi_segment",
 ]
 
 
