@@ -3043,3 +3043,100 @@ def events_conversion_lag_quantiles(t: Tables) -> DataFrame:
     return out.crossJoin(F.broadcast(mx)).select(
         "n", *[f"p{p}_sec" for p in _LAG_PCTS], "max_sec"
     )
+
+
+#: Kaplan–Meier censoring horizon: a user whose last activity is within
+#: this many days of the corpus's last day is CENSORED (still alive at
+#: observation end), not churned.
+KM_CENSOR_DAYS = 7
+
+_KM_SQL = f"""
+WITH u AS (SELECT user_id, CAST(min(CAST(ts AS DATE)) AS DATE) AS f,
+  CAST(max(CAST(ts AS DATE)) AS DATE) AS l FROM events GROUP BY user_id),
+mx AS (SELECT max(l) AS m FROM u),
+d AS (SELECT CAST(datediff('day', f, l) AS BIGINT) AS dur,
+  (l >= m - INTERVAL {KM_CENSOR_DAYS} DAY) AS censored FROM u, mx),
+ev AS (SELECT dur AS t, CAST(count(*) FILTER (NOT censored) AS BIGINT) AS d_events
+  FROM d GROUP BY dur HAVING count(*) FILTER (NOT censored) > 0),
+rk AS (SELECT ev.t, ev.d_events,
+  (SELECT CAST(count(*) AS BIGINT) FROM d WHERE d.dur >= ev.t) AS n_risk FROM ev),
+arr AS (SELECT list([t, n_risk, d_events] ORDER BY t) AS steps FROM rk)
+SELECT CAST(s.t AS BIGINT) AS t, s.n_risk, s.d_events,
+  list_reduce(
+    list_prepend([CAST(1000000 AS BIGINT), 0, 0],
+                 list_slice(steps, 1, s.i)),
+    (acc, x) -> [acc[1] * (x[2] - x[3]) // x[2], CAST(0 AS BIGINT), CAST(0 AS BIGINT)]
+  )[1] AS survival_ppm
+FROM arr, LATERAL (SELECT u.i, steps[u.i][1] AS t, steps[u.i][2] AS n_risk,
+  steps[u.i][3] AS d_events
+  FROM unnest(range(1, len(steps) + 1)) AS u(i)) s
+ORDER BY t
+""".strip()
+
+
+@register("events_survival_km", _KM_SQL)
+def events_survival_km(t: Tables) -> DataFrame:
+    """KAPLAN–MEIER survival over time-to-churn — the estimator churn
+    and reliability teams run: per user, duration = days between first
+    and last activity; users still active within KM_CENSOR_DAYS of the
+    corpus's last day are CENSORED (they inform the risk set but are
+    not churn events — dropping them would bias survival down, the
+    classic mistake the estimator exists to fix). At each event time t:
+    n_risk = users with duration ≥ t, d = uncensored churns at exactly
+    t, and S(t) multiplies down by (n−d)/n. The cumulative product is
+    an ALL-INTEGER recursion (ppm, floor at each step — identical
+    rounding in both engines), so even the survival curve carries a
+    bitwise oracle; DuckDB folds with the fixed-width-list accumulator
+    trick (NOTES.md: list_reduce pins acc type to the element type).
+
+    Scale shape: one per-user min/max agg over event volume (map-side
+    combinable), everything after runs on the |distinct durations|-
+    sized step relation — the O(steps²) slice-folds are bounded by the
+    observation window in DAYS, never by users or events. The global
+    max-day is a 1-row broadcast."""
+    u = t.events.groupBy("user_id").agg(
+        F.to_date(F.min(F.to_date("ts"))).alias("f"),
+        F.to_date(F.max(F.to_date("ts"))).alias("l"),
+    )
+    mx = u.agg(F.max("l").alias("m"))
+    d = u.crossJoin(F.broadcast(mx)).select(
+        F.datediff("l", "f").cast("bigint").alias("dur"),
+        (F.col("l") >= F.date_sub(F.col("m"), KM_CENSOR_DAYS)).alias("censored"),
+    ).localCheckpoint(eager=True)  # read by ev AND every n_risk count
+    ev = (
+        d.filter(~F.col("censored"))
+        .groupBy(F.col("dur").alias("t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_events"))
+    )
+    risk = d.select("dur")
+    rk = (
+        F.broadcast(ev)
+        .join(risk, risk.dur >= ev.t)
+        .groupBy("t", "d_events")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_risk"))
+    )
+    arr = rk.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "n_risk", "d_events"))
+        ).alias("steps")
+    )
+    exploded = arr.select(
+        F.posexplode("steps").alias("i0", "s"), F.col("steps")
+    ).select(
+        (F.col("i0") + 1).alias("i"),
+        F.col("s.t").alias("t"),
+        F.col("s.n_risk").alias("n_risk"),
+        F.col("s.d_events").alias("d_events"),
+        "steps",
+    )
+    # aggregate() via expr for the exact `div` semantics (Python / on
+    # Columns is double division).
+    surv = F.expr(
+        "aggregate(slice(steps, 1, i), CAST(1000000 AS BIGINT), "
+        "(acc, x) -> CAST((acc * (x.n_risk - x.d_events)) div x.n_risk AS BIGINT))"
+    )
+    return (
+        exploded.select(
+            "t", "n_risk", "d_events", surv.alias("survival_ppm")
+        ).orderBy("t")
+    )

@@ -2285,3 +2285,37 @@ def test_viterbi_never_worse_than_greedy(t):
     for src in wp:
         assert vit[src].n_word_occurrences == wp[src].n_word_occurrences
         assert vit[src].n_vit_tokens <= wp[src].n_wp_tokens, src
+
+
+def test_survival_km_censoring_and_product(spark):
+    """Kaplan–Meier on a hand-computable cohort: two churns at t=2, one
+    at t=4, two censored users (one long-lived, one brand-new) who must
+    count in the risk sets but never as events — S(2) = 1e6·2/4,
+    S(4) = S(2)·1/2, exactly, by the integer ppm rule."""
+    import datetime as dt
+
+    from realtimevotingdataengineer_spark.operators.events_analytics import (
+        events_survival_km,
+    )
+
+    D = lambda day: dt.datetime(2024, 1, day, 12, 0, 0)  # noqa: E731
+    rows = []
+    for uid, days in [
+        ("u1", [1, 3]),        # dur 2, last<13 → churn at t=2
+        ("u2", [2, 4]),        # dur 2 → churn at t=2
+        ("u3", [1, 5]),        # dur 4 → churn at t=4
+        ("u4", [1, 19]),       # last ≥ 13 → CENSORED (dur 18)
+        ("u5", [20]),          # brand-new → CENSORED (dur 0)
+    ]:
+        rows += [(uid, D(dd)) for dd in days]
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp")
+
+    class _T:
+        events = ev
+
+    got = {r.t: (r.n_risk, r.d_events, r.survival_ppm)
+           for r in events_survival_km(_T).collect()}
+    assert got == {
+        2: (4, 2, 500_000),   # u1,u2,u3,u4 at risk; u1,u2 churn
+        4: (2, 1, 250_000),   # u3,u4 at risk; u3 churns
+    }
