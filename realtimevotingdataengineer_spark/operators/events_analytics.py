@@ -3045,17 +3045,18 @@ def events_conversion_lag_quantiles(t: Tables) -> DataFrame:
     )
 
 
-#: Kaplan–Meier censoring horizon: a user whose last activity is within
-#: this many days of the corpus's last day is CENSORED (still alive at
-#: observation end), not churned.
-KM_CENSOR_DAYS = 7
-
-_KM_SQL = f"""
-WITH u AS (SELECT user_id, CAST(min(CAST(ts AS DATE)) AS DATE) AS f,
-  CAST(max(CAST(ts AS DATE)) AS DATE) AS l FROM events GROUP BY user_id),
-mx AS (SELECT max(l) AS m FROM u),
-d AS (SELECT CAST(datediff('day', f, l) AS BIGINT) AS dur,
-  (l >= m - INTERVAL {KM_CENSOR_DAYS} DAY) AS censored FROM u, mx),
+_CONV_KM_SQL = """
+WITH su AS (SELECT user_id, min(CAST(ts AS DATE)) AS s FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+pu AS (SELECT su.user_id, min(CAST(e.ts AS DATE)) AS p
+  FROM su JOIN events e ON e.user_id = su.user_id
+  AND e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= su.s
+  GROUP BY su.user_id),
+mx AS (SELECT max(CAST(ts AS DATE)) AS m FROM events),
+d AS (SELECT CASE WHEN p IS NULL THEN CAST(datediff('day', s, m) AS BIGINT)
+    ELSE CAST(datediff('day', s, p) AS BIGINT) END AS dur,
+  (p IS NULL) AS censored
+  FROM su LEFT JOIN pu USING (user_id), mx),
 ev AS (SELECT dur AS t, CAST(count(*) FILTER (NOT censored) AS BIGINT) AS d_events
   FROM d GROUP BY dur HAVING count(*) FILTER (NOT censored) > 0),
 rk AS (SELECT ev.t, ev.d_events,
@@ -3066,7 +3067,7 @@ SELECT CAST(s.t AS BIGINT) AS t, s.n_risk, s.d_events,
     list_prepend([CAST(1000000 AS BIGINT), 0, 0],
                  list_slice(steps, 1, s.i)),
     (acc, x) -> [acc[1] * (x[2] - x[3]) // x[2], CAST(0 AS BIGINT), CAST(0 AS BIGINT)]
-  )[1] AS survival_ppm
+  )[1] AS remaining_ppm
 FROM arr, LATERAL (SELECT u.i, steps[u.i][1] AS t, steps[u.i][2] AS n_risk,
   steps[u.i][3] AS d_events
   FROM unnest(range(1, len(steps) + 1)) AS u(i)) s
@@ -3074,51 +3075,71 @@ ORDER BY t
 """.strip()
 
 
-@register("events_survival_km", _KM_SQL)
-def events_survival_km(t: Tables) -> DataFrame:
-    """KAPLAN–MEIER survival over time-to-churn — the estimator churn
-    and reliability teams run: per user, duration = days between first
-    and last activity; users still active within KM_CENSOR_DAYS of the
-    corpus's last day are CENSORED (they inform the risk set but are
-    not churn events — dropping them would bias survival down, the
-    classic mistake the estimator exists to fix). At each event time t:
-    n_risk = users with duration ≥ t, d = uncensored churns at exactly
-    t, and S(t) multiplies down by (n−d)/n. The cumulative product is
-    an ALL-INTEGER recursion (ppm, floor at each step — identical
-    rounding in both engines), so even the survival curve carries a
-    bitwise oracle; DuckDB folds with the fixed-width-list accumulator
-    trick (NOTES.md: list_reduce pins acc type to the element type).
+@register("events_conversion_km", _CONV_KM_SQL)
+def events_conversion_km(t: Tables) -> DataFrame:
+    """KAPLAN-MEIER over signup -> purchase CONVERSION time -- the
+    censoring-correct companion to events_conversion_lag_quantiles
+    (which reads only CONVERTED users and so overstates conversion
+    speed): duration = days from a user's first signup to their first
+    at-or-after-signup purchase; users who never purchase are CENSORED
+    at the observation edge (they inform every risk set they survived
+    through but are never events -- at the fixture, 84 conversions /
+    66 censored, so the censoring branch carries real weight, unlike a
+    lifetime-churn framing where synthetic uniform activity censors
+    everyone). remaining_ppm = S(t), the KM probability of still being
+    unconverted after t days, multiplied down by an ALL-INTEGER ppm
+    floor rule -- identical rounding in both engines, so the survival
+    curve itself is bitwise-oracled (the sibling users_survival_km uses
+    the ordered float fold; this key shows the integer alternative).
+    DuckDB folds with the fixed-width-list accumulator trick (NOTES.md:
+    list_reduce pins the accumulator type to the element type).
 
-    Scale shape: one per-user min/max agg over event volume (map-side
-    combinable), everything after runs on the |distinct durations|-
-    sized step relation — the O(steps²) slice-folds are bounded by the
-    observation window in DAYS, never by users or events. The global
-    max-day is a 1-row broadcast."""
-    u = t.events.groupBy("user_id").agg(
-        F.to_date(F.min(F.to_date("ts"))).alias("f"),
-        F.to_date(F.max(F.to_date("ts"))).alias("l"),
+    Scale shape: two map-side-combinable per-user min-aggs and one
+    per-user join over event volume; everything after runs on the
+    |distinct durations|-sized step relation (bounded by the window in
+    DAYS), and the O(steps^2) slice-folds happen on one row's array.
+    The global max-day is a 1-row broadcast."""
+    ev = t.events.select("user_id", "event_type", F.to_date("ts").alias("d"))
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("d").alias("s"))
     )
-    mx = u.agg(F.max("l").alias("m"))
-    d = u.crossJoin(F.broadcast(mx)).select(
-        F.datediff("l", "f").cast("bigint").alias("dur"),
-        (F.col("l") >= F.date_sub(F.col("m"), KM_CENSOR_DAYS)).alias("censored"),
-    ).localCheckpoint(eager=True)  # read by ev AND every n_risk count
-    ev = (
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("d") >= F.col("s"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("p"))
+    )
+    mx = ev.agg(F.max("d").alias("m"))
+    d = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(F.col("p").isNull(), F.datediff("m", "s"))
+            .otherwise(F.datediff("p", "s"))
+            .cast("bigint")
+            .alias("dur"),
+            F.col("p").isNull().alias("censored"),
+        )
+        .localCheckpoint(eager=True)  # read by ev AND every n_risk count
+    )
+    evt = (
         d.filter(~F.col("censored"))
         .groupBy(F.col("dur").alias("t"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("d_events"))
     )
-    risk = d.select("dur")
     rk = (
-        F.broadcast(ev)
-        .join(risk, risk.dur >= ev.t)
+        F.broadcast(evt)
+        .join(d.select("dur"), F.col("dur") >= F.col("t"))
         .groupBy("t", "d_events")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_risk"))
     )
     arr = rk.agg(
-        F.array_sort(
-            F.collect_list(F.struct("t", "n_risk", "d_events"))
-        ).alias("steps")
+        F.array_sort(F.collect_list(F.struct("t", "n_risk", "d_events"))).alias(
+            "steps"
+        )
     )
     exploded = arr.select(
         F.posexplode("steps").alias("i0", "s"), F.col("steps")
@@ -3135,8 +3156,6 @@ def events_survival_km(t: Tables) -> DataFrame:
         "aggregate(slice(steps, 1, i), CAST(1000000 AS BIGINT), "
         "(acc, x) -> CAST((acc * (x.n_risk - x.d_events)) div x.n_risk AS BIGINT))"
     )
-    return (
-        exploded.select(
-            "t", "n_risk", "d_events", surv.alias("survival_ppm")
-        ).orderBy("t")
-    )
+    return exploded.select(
+        "t", "n_risk", "d_events", surv.alias("remaining_ppm")
+    ).orderBy("t")

@@ -2287,35 +2287,42 @@ def test_viterbi_never_worse_than_greedy(t):
         assert vit[src].n_vit_tokens <= wp[src].n_wp_tokens, src
 
 
-def test_survival_km_censoring_and_product(spark):
-    """Kaplan–Meier on a hand-computable cohort: two churns at t=2, one
-    at t=4, two censored users (one long-lived, one brand-new) who must
-    count in the risk sets but never as events — S(2) = 1e6·2/4,
-    S(4) = S(2)·1/2, exactly, by the integer ppm rule."""
+def test_conversion_km_censoring_and_product(spark):
+    """Kaplan–Meier conversion on a hand-computable cohort: two
+    conversions at t=2, one at t=4, two never-converting users who
+    count in every risk set they survive through but never as events:
+    u4 is censored at the window edge (dur 18), u5 at dur 0 (so it
+    leaves the risk set before t=2). n_risk(2) = 4, n_risk(4) = 2;
+    S(2) = 500000 and S(4) = 250000 by the exact integer ppm rule. A
+    pre-signup purchase (u2 day 1) must NOT count as conversion — only
+    at-or-after-signup purchases do."""
     import datetime as dt
 
     from realtimevotingdataengineer_spark.operators.events_analytics import (
-        events_survival_km,
+        events_conversion_km,
     )
 
     D = lambda day: dt.datetime(2024, 1, day, 12, 0, 0)  # noqa: E731
     rows = []
-    for uid, days in [
-        ("u1", [1, 3]),        # dur 2, last<13 → churn at t=2
-        ("u2", [2, 4]),        # dur 2 → churn at t=2
-        ("u3", [1, 5]),        # dur 4 → churn at t=4
-        ("u4", [1, 19]),       # last ≥ 13 → CENSORED (dur 18)
-        ("u5", [20]),          # brand-new → CENSORED (dur 0)
+    #          user  signup day   purchase days
+    for uid, sd, pds in [
+        ("u1", 1, [3]),        # converts at t=2
+        ("u2", 2, [1, 4]),     # day-1 purchase PRE-signup → converts at t=2
+        ("u3", 1, [5]),        # converts at t=4
+        ("u4", 1, []),         # never converts → censored, dur = 19-1 = 18
+        ("u5", 19, []),        # signs up at window end → censored dur 0
     ]:
-        rows += [(uid, D(dd)) for dd in days]
-    ev = spark.createDataFrame(rows, "user_id string, ts timestamp")
+        rows.append((uid, "signup", D(sd)))
+        rows += [(uid, "purchase", D(pd)) for pd in pds]
+    rows.append(("u4", "view", D(19)))  # pins the observation edge
+    ev = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
 
     class _T:
         events = ev
 
-    got = {r.t: (r.n_risk, r.d_events, r.survival_ppm)
-           for r in events_survival_km(_T).collect()}
+    got = {r.t: (r.n_risk, r.d_events, r.remaining_ppm)
+           for r in events_conversion_km(_T).collect()}
     assert got == {
-        2: (4, 2, 500_000),   # u1,u2,u3,u4 at risk; u1,u2 churn
-        4: (2, 1, 250_000),   # u3,u4 at risk; u3 churns
+        2: (4, 2, 500_000),
+        4: (2, 1, 250_000),
     }
