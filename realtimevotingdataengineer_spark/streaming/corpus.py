@@ -125,9 +125,22 @@ def _minhash_gate_batch(
 
     State growth is survivor-signature-bounded: a duplicate-heavy crawl
     appends nothing for the duplicates. Exactly-once caveat: parquet
-    appends from foreachBatch are at-least-once under retries; a
-    production deployment keys the appends by (batch_id, doc_id) and
-    dedups on read, or lands them in a transactional table format."""
+    appends from foreachBatch are at-least-once under retries, and the
+    three appends (index bands, index shingles, survivors) are not
+    atomic as a group. The failure containment is deliberate: INDEX
+    rows land BEFORE survivor rows, and the index-flag step excludes
+    the batch's own doc_ids (doc_id is the stream's unique document
+    identity — a same-id recurrence is a redelivery, not a new doc), so
+    every crash point replays to a consistent index. Crash before the
+    survivor append → replay re-admits the doc (its own index rows are
+    excluded from the flag set) and re-appends everything; crash after
+    all appends but before the checkpoint commit → replay re-appends
+    all three. Either way the index always covers every doc the sink
+    may contain — a later near-duplicate can never be wrongly admitted
+    — at the price of possible duplicate rows (sink dedups on read by
+    doc_id; band/shingle duplicates are harmless, candidates are
+    DISTINCT'd). A production deployment gets exactly-once by keying
+    appends with (batch_id, doc_id) or a transactional table format."""
     from ..operators.dedup import (
         minhash_bands,
         minhash_doc_signatures,
@@ -153,6 +166,15 @@ def _minhash_gate_batch(
         )
         .select("doc_new", F.col("doc_id").alias("doc_base"))
         .distinct()
+        # replay self-exclusion: index rows carrying this batch's own
+        # doc_ids (a crashed attempt appended them) must not flag the
+        # batch against itself, or the replay admits nothing and the
+        # survivor rows are lost forever
+        .join(
+            F.broadcast(per_doc.select(F.col("doc_id").alias("doc_base"))),
+            "doc_base",
+            "left_anti",
+        )
     )
     # verify vs index: batch shingles on side a, index shingles side b
     flagged = {
@@ -187,13 +209,16 @@ def _minhash_gate_batch(
     surv_ids = spark.createDataFrame(
         [(i,) for i in sorted(kept)], "doc_id bigint"
     )
-    surv = batch.join(F.broadcast(surv_ids), "doc_id")
-    surv.write.mode("append").parquet(survivors_path)
+    # index rows FIRST, survivors last (see docstring: the index must
+    # cover every doc the sink may contain at every crash point)
     new_bands.join(F.broadcast(surv_ids), "doc_id").write.mode("append").parquet(
         f"{index_path}/bands"
     )
     new_sh.join(F.broadcast(surv_ids), "doc_id").write.mode("append").parquet(
         f"{index_path}/shingles"
+    )
+    batch.join(F.broadcast(surv_ids), "doc_id").write.mode("append").parquet(
+        survivors_path
     )
 
 
@@ -219,7 +244,18 @@ def stream_dedup_minhash(
     processAllAvailable()/stop() or awaitTermination()). Pass
     ``processing_time`` (e.g. '5 seconds') to batch arrivals up — the
     gate pays a fixed per-batch cost (index probe + greedy + appends),
-    so larger micro-batches amortize it."""
+    so larger micro-batches amortize it.
+
+    Micro-batch size contract: the greedy admit collects the batch's
+    doc_ids and verified pairs to the driver — first-arrival-wins is
+    inherently sequential, and the collects are batch-bounded (ids ≤
+    |batch|, pairs ≤ post-LSH candidates), never corpus-bounded. The
+    driver therefore does O(|batch| + pairs) Python work per trigger:
+    bound the trigger with the source's rate limit
+    (``maxOffsetsPerTrigger`` on Kafka, ``maxFilesPerTrigger`` on
+    files) to ≲10^6 docs per micro-batch; beyond that, move the admit
+    executor-side as connected components over (flagged ∪ in_pairs)
+    with the pointer-jumping pass dedup_clusters already implements."""
     w = docs.writeStream.outputMode("append").option(
         "checkpointLocation", checkpoint_path
     )
@@ -230,10 +266,203 @@ def stream_dedup_minhash(
     ).start()
 
 
+#: Sub-banding caps for the SRP gate's band-candidate joins. A 4-bit
+#: band has only 16 buckets, so any batch whose signatures are not
+#: angularly clustered saturates every bucket and the candidate joins
+#: degenerate toward all-pairs (measured round 9: 112–158 vecs/s on the
+#: uniform-vector fixture). The escape hatch: when a (band, bucket)
+#: exceeds the cap, RE-BAND it on additional signature nibbles — the
+#: full 32-bit signature is already computed, so the bits are free —
+#: recursively until the bucket fits or the signature is exhausted.
+#: Recall trade, stated exactly: a true pair at angle α survives a
+#: w-nibble-wide bucket with probability p^(4w), p = 1 − α/π, and only
+#: OVER-CAP buckets are widened, so well-clustered corpora keep the
+#: stock 1-nibble recall while degenerate ones trade tail recall for a
+#: bounded join. Identical-signature buckets (width 8, still over cap)
+#: cannot be split; the within-batch join falls back to STAR pairs
+#: (each member vs the bucket's min id) — exact for the dominant
+#: identical-vector case, an approximation of the clique otherwise.
+SRP_CLIQUE_CAP = 64
+#: Product cap (batch-bucket × index-bucket rows) for the index-probe
+#: join; widths beyond SRP_PREFIX_NIBBLES are estimated assuming
+#: uniform deeper nibbles (the index is aggregated at a FIXED prefix
+#: depth so the stats frame stays ≤ SRP_BANDS·16^depth rows — bounded
+#: regardless of corpus size, hence broadcastable at any scale).
+SRP_PROBE_CAP = 4096
+SRP_PREFIX_NIBBLES = 3
+
+
+def _srp_sig_bands(sigs: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Explode per-vector band values to (id, sig, band, bv) rows,
+    carrying ``sig`` — the packed full signature — so over-cap buckets
+    can be re-banded on additional nibbles without recomputing
+    anything."""
+    from ..operators.dedup import SRP_BAND_BITS, SRP_BANDS
+
+    sig = None
+    for j in range(SRP_BANDS):
+        term = F.expr(f"shiftleft(CAST(bv{j} AS BIGINT), {SRP_BAND_BITS * j})")
+        sig = term if sig is None else sig + term
+    return (
+        sigs.withColumn("sig", sig)
+        .select(
+            id_col,
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("band"), F.col(f"bv{j}").alias("bv"))
+                        for j in range(SRP_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select(id_col, "sig", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    )
+
+
+def _with_rot(bands: DataFrame) -> DataFrame:
+    """Append ``rot``: the signature cyclically rotated so band j's own
+    nibble is the LOW nibble — bucket keys at any width w are then just
+    ``rot & mask(4w)``, nested by construction (key_w is a prefix of
+    key_{w+1}), which is what makes per-bucket width choice consistent:
+    two rows sharing a width-w key share every coarser key and count."""
+    from ..operators.dedup import SRP_BAND_BITS, SRP_BANDS
+
+    bits = SRP_BAND_BITS * SRP_BANDS
+    mask = (1 << bits) - 1
+    return bands.withColumn(
+        "rot",
+        F.expr(
+            f"(shiftright(sig, {SRP_BAND_BITS} * band) | "
+            f"shiftleft(sig, {bits} - {SRP_BAND_BITS} * band)) & {mask}"
+        ),
+    )
+
+
+def _capped_self_pairs(bands: DataFrame, id_col: str, cap: int) -> DataFrame:
+    """Within-batch band-collision candidates (a < b, distinct), with
+    per-bucket sub-banding: each (band, bucket) over ``cap`` rows is
+    re-keyed on the least nibble-width that brings it under cap (counts
+    are EXACT at every width — one aggregate at the full-signature
+    level, rolled up per width over the small distinct-signature
+    frame). Buckets still over cap at the full signature are
+    identical-signature groups and cannot split: they emit STAR pairs
+    (min id vs each member) instead of the clique."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import SRP_BAND_BITS, SRP_BANDS
+
+    rows = _with_rot(bands)
+    agg = rows.groupBy("band", "rot").agg(F.count("*").alias("c_full"))
+    width = None
+    for w in range(1, SRP_BANDS):
+        mask = (1 << (SRP_BAND_BITS * w)) - 1
+        cw = F.sum("c_full").over(
+            Window.partitionBy("band", F.col("rot").bitwiseAND(F.lit(mask)))
+        )
+        width = F.when(cw <= cap, w) if width is None else width.when(cw <= cap, w)
+    wmap = agg.select(
+        "band",
+        "rot",
+        width.otherwise(F.lit(SRP_BANDS)).alias("width"),
+        (F.col("c_full") > cap).alias("deg"),
+    )
+    keyed = rows.join(wmap, ["band", "rot"]).withColumn(
+        "k",
+        F.expr(f"rot & (shiftleft(CAST(1 AS BIGINT), {SRP_BAND_BITS} * width) - 1)"),
+    )
+    ok = keyed.filter(~F.col("deg"))
+    a = ok.select(F.col(id_col).alias("ia"), "band", "width", "k")
+    b = ok.select(F.col(id_col).alias("ib"), "band", "width", "k")
+    clique = (
+        a.join(b, ["band", "width", "k"])
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib")
+    )
+    dg = keyed.filter(F.col("deg"))
+    roots = dg.groupBy("band", "rot").agg(F.min(id_col).alias("ia"))
+    star = (
+        dg.join(roots, ["band", "rot"])
+        .filter(F.col(id_col) != F.col("ia"))
+        .select("ia", F.col(id_col).alias("ib"))
+    )
+    return clique.union(star).distinct()
+
+
+def _capped_probe_pairs(
+    idx_bands: DataFrame, bat_bands: DataFrame, cap: int
+) -> DataFrame:
+    """Batch × index band-collision candidates (vec_new, vec_base),
+    with per-bucket sub-banding on the JOIN-COST product: a (band,
+    bucket) whose batch-rows × index-rows product exceeds ``cap`` is
+    re-keyed on more signature nibbles before the equi-join. Index
+    stats are aggregated at a FIXED prefix depth (SRP_PREFIX_NIBBLES),
+    so the stats/width frames are bounded by SRP_BANDS·16^depth rows no
+    matter how large the index — broadcastable at any corpus size;
+    widths past the aggregate depth are estimated assuming uniform
+    deeper nibbles (each extra nibble divides the product by ~256).
+    The index side is scanned once and joined to two tiny broadcasts —
+    never shuffled; the batch side is the broadcast build side of the
+    final join, exactly as the uncapped probe was."""
+    from ..operators.dedup import SRP_BAND_BITS, SRP_BANDS
+
+    depth = SRP_PREFIX_NIBBLES
+    mask_d = (1 << (SRP_BAND_BITS * depth)) - 1
+    ib = _with_rot(idx_bands).withColumn("kd", F.col("rot").bitwiseAND(F.lit(mask_d)))
+    bb = _with_rot(bat_bands).withColumn("kd", F.col("rot").bitwiseAND(F.lit(mask_d)))
+    ia = ib.groupBy("band", "kd").agg(F.count("*").cast("double").alias("icnt"))
+    ba = bb.groupBy("band", "kd").agg(F.count("*").cast("double").alias("bcnt"))
+    comb = (
+        ia.join(ba, ["band", "kd"], "full_outer")
+        .select(
+            "band",
+            "kd",
+            F.coalesce("icnt", F.lit(0.0)).alias("icnt"),
+            F.coalesce("bcnt", F.lit(0.0)).alias("bcnt"),
+        )
+    )
+    from pyspark.sql import Window
+
+    width = None
+    for w in range(1, depth + 1):
+        mask = (1 << (SRP_BAND_BITS * w)) - 1
+        win = Window.partitionBy("band", F.col("kd").bitwiseAND(F.lit(mask)))
+        prod = F.sum("bcnt").over(win) * F.sum("icnt").over(win)
+        width = (
+            F.when(prod <= cap, w) if width is None else width.when(prod <= cap, w)
+        )
+    # past the aggregate depth: estimate — each extra nibble splits both
+    # sides ~16x, dividing the product by 256
+    extra = F.ceil(
+        F.log(256.0, F.greatest(F.lit(1.0), F.col("bcnt") * F.col("icnt") / cap))
+    ).cast("int")
+    width = width.otherwise(F.least(F.lit(SRP_BANDS), F.lit(depth) + extra))
+    wmap = comb.select("band", "kd", width.alias("pw"))
+    key = F.expr(f"rot & (shiftleft(CAST(1 AS BIGINT), {SRP_BAND_BITS} * pw) - 1)")
+    probe_b = (
+        bb.join(F.broadcast(wmap), ["band", "kd"])
+        .withColumn("k", key)
+        .select(F.col("vec_id").alias("vec_new"), "band", "pw", "k")
+    )
+    probe_i = (
+        ib.join(F.broadcast(wmap), ["band", "kd"])
+        .withColumn("k", key)
+        .select(F.col("vec_id").alias("vec_base"), "band", "pw", "k")
+    )
+    return (
+        probe_i.join(F.broadcast(probe_b), ["band", "pw", "k"])
+        .select("vec_new", "vec_base")
+        .distinct()
+    )
+
+
 def build_srp_stream_index(vecs: DataFrame, path: str) -> None:
     """Persist the EMBEDDING near-dup index for a base corpus:
-    ``{path}/bands`` — (vec_id, band, bv) random-hyperplane LSH rows —
-    and ``{path}/vectors`` — (vec_id, embedding) for the exact-cosine
+    ``{path}/bands`` — (vec_id, sig, band, bv) random-hyperplane LSH
+    rows, carrying the packed full 32-bit signature so over-cap buckets
+    can be re-banded on additional nibbles at probe time — and
+    ``{path}/vectors`` — (vec_id, embedding) for the exact-cosine
     verify. The vector-stream twin of build_minhash_index; same
     build-once / stream-forever artifact lifecycle."""
     from ..operators.dedup import SRP_BAND_BITS, SRP_BANDS
@@ -242,18 +471,7 @@ def build_srp_stream_index(vecs: DataFrame, path: str) -> None:
     sigs = srp_band_signatures(
         vecs, "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
     ).localCheckpoint(eager=True)
-    bands = sigs.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("band"), F.col(f"bv{j}").alias("bv"))
-                    for j in range(SRP_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("vec_id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
-    bands.write.mode("overwrite").parquet(f"{path}/bands")
+    _srp_sig_bands(sigs).write.mode("overwrite").parquet(f"{path}/bands")
     vecs.select("vec_id", "embedding").write.mode("overwrite").parquet(
         f"{path}/vectors"
     )
@@ -264,13 +482,23 @@ def _srp_gate_batch(batch: DataFrame, index_path: str, survivors_path: str) -> N
     the vector twin of _minhash_gate_batch, same five steps with the
     MinHash pieces swapped for SRP: (1) the Arrow kernel computes the
     batch's 32-bit sign signatures, (2) candidates vs the persisted
-    band index (index ⨝ broadcast(batch bands) — the corpus-sized side
-    is scanned, never shuffled), (3) within-batch band self-join,
+    band index via the PRODUCT-CAPPED probe (_capped_probe_pairs —
+    index scanned, never shuffled; over-cap buckets re-banded on extra
+    signature nibbles), (3) within-batch candidates via the size-capped
+    self-join (_capped_self_pairs — the round-9 weak item: uniform
+    signatures saturate 16-value buckets and the uncapped self-join
+    degenerated toward all-pairs exact verify, measured 112–158
+    vecs/s; capped, the verify volume is bounded per bucket),
     (4) exact order-pinned cosine ≥ COSINE_THETA verifies both
     candidate sets (the repo's ONE embedding dup rule), the shared
-    greedy admits first arrivals, (5) survivors' rows + bands +
-    vectors are appended so later batches dedup against them. Same
-    at-least-once append caveat as the MinHash gate."""
+    greedy admits first arrivals, (5) survivors' bands + vectors are
+    appended to the index FIRST, then the survivor rows — with the
+    index-flag step excluding the batch's own vec_ids, so a replay
+    after any crash point re-admits rather than self-flagging (same
+    containment argument as the MinHash gate's docstring; vec_id is
+    the stream's unique doc identity, a same-id recurrence is a
+    redelivery). Sink is at-least-once under replay — dedup on read by
+    vec_id."""
     from ..functions import dot_expr, norm_expr
     from ..operators.dedup import SRP_BAND_BITS, SRP_BANDS, COSINE_THETA
     from ..operators.similarity import EMB_DIM, srp_band_signatures
@@ -282,29 +510,13 @@ def _srp_gate_batch(batch: DataFrame, index_path: str, survivors_path: str) -> N
     sigs = srp_band_signatures(
         vecs, "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
     ).localCheckpoint(eager=True)
-    new_bands = sigs.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("band"), F.col(f"bv{j}").alias("bv"))
-                    for j in range(SRP_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select(
-        "vec_id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
-    ).localCheckpoint(eager=True)
+    new_bands = _srp_sig_bands(sigs).localCheckpoint(eager=True)
     idx_bands = spark.read.parquet(f"{index_path}/bands")
     idx_vecs = spark.read.parquet(f"{index_path}/vectors")
-    nb = new_bands.select(F.col("vec_id").alias("vec_new"), "band", "bv")
-    cand_idx = (
-        idx_bands.join(
-            F.broadcast(nb),
-            (idx_bands.band == nb.band) & (idx_bands.bv == nb.bv),
-        )
-        .select("vec_new", F.col("vec_id").alias("vec_base"))
-        .distinct()
+    cand_idx = _capped_probe_pairs(idx_bands, new_bands, SRP_PROBE_CAP).join(
+        F.broadcast(vecs.select(F.col("vec_id").alias("vec_base"))),
+        "vec_base",
+        "left_anti",  # replay self-exclusion (see docstring)
     )
     va = vecs.select(
         F.col("vec_id").alias("vec_new"), F.col("embedding").alias("ea")
@@ -323,16 +535,8 @@ def _srp_gate_batch(batch: DataFrame, index_path: str, survivors_path: str) -> N
         .distinct()
         .collect()
     }
-    ba, bb = new_bands.alias("ba"), new_bands.alias("bb")
-    cand_in = (
-        ba.join(
-            bb,
-            (F.col("ba.band") == F.col("bb.band"))
-            & (F.col("ba.bv") == F.col("bb.bv"))
-            & (F.col("ba.vec_id") < F.col("bb.vec_id")),
-        )
-        .select(F.col("ba.vec_id").alias("vec_a"), F.col("bb.vec_id").alias("vec_b"))
-        .distinct()
+    cand_in = _capped_self_pairs(new_bands, "vec_id", SRP_CLIQUE_CAP).select(
+        F.col("ia").alias("vec_a"), F.col("ib").alias("vec_b")
     )
     wa = vecs.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
@@ -355,14 +559,16 @@ def _srp_gate_batch(batch: DataFrame, index_path: str, survivors_path: str) -> N
     if not kept:
         return
     surv_ids = spark.createDataFrame([(i,) for i in sorted(kept)], "vec_id bigint")
-    batch.join(F.broadcast(surv_ids), "vec_id").write.mode("append").parquet(
-        survivors_path
-    )
+    # index rows FIRST, survivors last (crash-containment: the index
+    # must cover every vector the sink may contain)
     new_bands.join(F.broadcast(surv_ids), "vec_id").write.mode("append").parquet(
         f"{index_path}/bands"
     )
     vecs.join(F.broadcast(surv_ids), "vec_id").write.mode("append").parquet(
         f"{index_path}/vectors"
+    )
+    batch.join(F.broadcast(surv_ids), "vec_id").write.mode("append").parquet(
+        survivors_path
     )
 
 
@@ -382,7 +588,14 @@ def stream_dedup_srp(
     the index. First-arrival-wins across the whole stream; same
     banding, signatures and verify as the batch keys, so the pytest
     equality against the batch pair list is semantic, not
-    approximate."""
+    approximate — sub-banding (SRP_CLIQUE_CAP / SRP_PROBE_CAP) only
+    engages on buckets the batch key's fixture never over-fills, so
+    under-cap behavior is bit-identical to the batch pass; over-cap
+    behavior trades tail recall for a bounded join (the round-9
+    quadratic regime, documented at the cap constants). Same
+    micro-batch size contract as stream_dedup_minhash: the greedy's
+    driver-side collects are batch-bounded — cap the trigger via the
+    source rate limit (maxOffsetsPerTrigger / maxFilesPerTrigger)."""
     w = vecs.writeStream.outputMode("append").option(
         "checkpointLocation", checkpoint_path
     )
@@ -409,6 +622,46 @@ class StreamingTables:
         self.documents = documents
 
 
+def _hadoop_path(spark, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _latest_state_version(spark, state_path: str) -> int | None:
+    """Highest COMMITTED state version under ``state_path`` (a ``v{n}``
+    parquet dir carrying the _SUCCESS job-commit marker), or None when
+    no committed version exists. A partially-written version (crash
+    mid-write — no _SUCCESS) is invisible to readers, which is the
+    whole point of versioning the state instead of overwriting one dir
+    in place: parquet overwrite is delete-then-write, so in-place the
+    previous state is destroyed before the new one is durable."""
+    jvm = spark._jvm
+    fs = _hadoop_path(spark, state_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    root = _hadoop_path(spark, state_path)
+    if not fs.exists(root):
+        return None
+    best = None
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit():
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+                n = int(name[1:])
+                if best is None or n > best:
+                    best = n
+    return best
+
+
+def read_bottomk_sample(spark, state_path: str) -> DataFrame:
+    """The current sample maintained by stream_sample_bottomk: the
+    latest committed state version. Raises if no committed version
+    exists (the stream has not completed a batch yet)."""
+    v = _latest_state_version(spark, state_path)
+    if v is None:
+        raise FileNotFoundError(f"no committed sample state under {state_path}")
+    return spark.read.parquet(f"{state_path}/v{v}")
+
+
 def stream_sample_bottomk(
     docs: DataFrame,
     state_path: str,
@@ -418,19 +671,31 @@ def stream_sample_bottomk(
     """STREAMING fixed-k stratified sampling — the online twin of
     operators/corpus.py::sample_fixed_k_stratified, same "fk:" salted
     md5, same per-source bottom-k rule. Bottom-k of a deterministic
-    hash is a commutative, idempotent monoid (merge = union → re-rank
-    → cut), so the maintained sample is ORDER-INVARIANT: however the
-    stream interleaves arrivals, the final state equals the batch key
-    run over the union of everything seen — the reproducible-eval-set
-    property a 100 TB crawl needs from an online sampler (a classic
-    reservoir is RNG-order-dependent; this is not).
+    hash is a commutative, idempotent monoid (merge = set-union →
+    re-rank → cut), so the maintained sample is ORDER-INVARIANT: however
+    the stream interleaves arrivals, the final state equals the batch
+    key run over the union of everything seen — the reproducible-eval-
+    set property a 100 TB crawl needs from an online sampler (a classic
+    reservoir is RNG-order-dependent; this is not). The merge dedups on
+    (source, doc_id) before ranking, so a micro-batch REPLAYED under
+    foreachBatch's at-least-once contract (failure after the state write
+    but before the checkpoint commit) re-inserts nothing: without the
+    dedup a replayed winner would occupy two ranks and evict a
+    legitimate k-th member.
 
     State = the current winners only: ≤ k × |strata| rows of
-    (source, doc_id, h), overwritten each micro-batch — never
-    corpus-bounded. The merged frame is eagerly localCheckpointed
-    before the overwrite so the job never reads the parquet it is
-    replacing. Returns the started StreamingQuery; the state parquet
-    at ``state_path`` IS the sample (rank recomputable from h)."""
+    (source, doc_id, h), written as VERSIONED parquet dirs
+    ``{state_path}/v{n}`` — each batch reads the latest committed
+    version (``_SUCCESS`` present) and writes version n+1, then prunes
+    older versions, so the previous state stays readable until the new
+    one is fully committed (an in-place overwrite is delete-then-write:
+    a crash mid-write would leave a partial dir a naive reader accepts
+    as the full sample). First-batch detection is explicit — no
+    committed version — so a corrupt state or transient FS error
+    propagates and Structured Streaming retries the batch instead of
+    silently restarting the sample from empty. Read the sample with
+    ``read_bottomk_sample`` (rank recomputable from h). Returns the
+    started StreamingQuery."""
     from ..operators.corpus import SAMPLE_FIXED_K
 
     if k is None:
@@ -449,20 +714,34 @@ def stream_sample_bottomk(
                 )
             ).alias("h"),
         )
-        try:
-            prev = spark.read.parquet(state_path).select("source", "doc_id", "h")
-            merged = prev.unionByName(new)
-        except Exception:  # first batch: no state yet
+        latest = _latest_state_version(spark, state_path)
+        if latest is None:
             merged = new
+        else:
+            prev = spark.read.parquet(f"{state_path}/v{latest}").select(
+                "source", "doc_id", "h"
+            )
+            merged = prev.unionByName(new)
         rk = F.row_number().over(
             Window.partitionBy("source").orderBy(F.col("h"), F.col("doc_id"))
         )
         out = (
-            merged.withColumn("rk", rk)
+            merged.dropDuplicates(["source", "doc_id"])  # replay-idempotent merge
+            .withColumn("rk", rk)
             .filter(F.col("rk") <= k)
-            .localCheckpoint(eager=True)  # materialize BEFORE overwriting the input files
+            .localCheckpoint(eager=True)  # materialize BEFORE any file mutation
         )
-        out.write.mode("overwrite").parquet(state_path)
+        nxt = 0 if latest is None else latest + 1
+        # overwrite is safe: v{nxt} is either absent or a partial dir
+        # from a crashed attempt that no reader trusts (no _SUCCESS)
+        out.write.mode("overwrite").parquet(f"{state_path}/v{nxt}")
+        fs = _hadoop_path(spark, state_path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        for st in fs.listStatus(_hadoop_path(spark, state_path)):
+            name = st.getPath().getName()
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < nxt:
+                fs.delete(st.getPath(), True)
 
     return (
         docs.writeStream.outputMode("append")

@@ -490,7 +490,8 @@ def test_stream_sample_bottomk_equals_batch_any_order(spark, sf_dir, tmp_path):
             q.processAllAvailable()
         q.stop()
         got = {
-            (r.source, r.doc_id) for r in spark.read.parquet(state).collect()
+            (r.source, r.doc_id)
+            for r in corpus.read_bottomk_sample(spark, state).collect()
         }
         assert got == want, tag
 
@@ -592,7 +593,10 @@ def test_stream_gates_survive_restart(spark, sf_dir, tmp_path):
     )
     q2.processAllAvailable()
     q2.stop()
-    got = {(r.source, r.doc_id) for r in spark.read.parquet(state).collect()}
+    got = {
+        (r.source, r.doc_id)
+        for r in corpus.read_bottomk_sample(spark, state).collect()
+    }
     want = {
         (r.source, r.doc_id)
         for r in QUERIES["sample_fixed_k_stratified"](t).collect()
@@ -638,3 +642,247 @@ def test_stream_gates_survive_restart(spark, sf_dir, tmp_path):
     )
     want_surv = corpus._greedy_admit(delta_ids, base_flagged, delta_pairs)
     assert set(streamed) == want_surv
+
+
+def test_srp_capped_self_pairs_equals_uncapped_under_cap(spark, sf_dir):
+    """Sub-banding must be a NO-OP when every band bucket fits the cap:
+    _capped_self_pairs at the default cap over the fixture's signatures
+    (max bucket well under SRP_CLIQUE_CAP) returns exactly the naive
+    (band, bv) self-join's pair set — the equality-to-batch contract of
+    stream_dedup_srp rests on this."""
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.operators.dedup import (
+        SRP_BAND_BITS,
+        SRP_BANDS,
+    )
+    from realtimevotingdataengineer_spark.operators.similarity import (
+        srp_band_signatures,
+    )
+    from realtimevotingdataengineer_spark.sources.tables import load_table
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sigs = srp_band_signatures(
+        vecs, "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+    ).localCheckpoint(eager=True)
+    bands = corpus._srp_sig_bands(sigs).localCheckpoint(eager=True)
+    naive = {
+        (r.ia, r.ib)
+        for r in bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"))
+        .distinct()
+        .collect()
+    }
+    capped = {
+        (r.ia, r.ib)
+        for r in corpus._capped_self_pairs(
+            bands, "vec_id", corpus.SRP_CLIQUE_CAP
+        ).collect()
+    }
+    assert capped == naive and len(naive) > 0
+
+
+def test_srp_capped_self_pairs_star_fallback_bounded(spark, sf_dir):
+    """The degenerate regime the round-9 weak named: a batch whose
+    signatures are IDENTICAL (all-constant corpus) cannot be split by
+    any number of extra nibbles — the capped stage must fall back to
+    STAR pairs (min id vs each member), emitting O(n) candidates
+    instead of the O(n^2) clique, and the gate's greedy must still
+    reject every copy but the first."""
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.operators.dedup import (
+        SRP_BAND_BITS,
+        SRP_BANDS,
+    )
+    from realtimevotingdataengineer_spark.operators.similarity import (
+        srp_band_signatures,
+    )
+    from realtimevotingdataengineer_spark.sources.tables import load_table
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    one = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .limit(1)
+        .collect()[0]
+        .embedding
+    )
+    n = 200
+    dup = spark.createDataFrame(
+        [(i, one) for i in range(n)], "vec_id bigint, embedding array<float>"
+    )
+    sigs = srp_band_signatures(
+        dup, "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+    ).localCheckpoint(eager=True)
+    bands = corpus._srp_sig_bands(sigs).localCheckpoint(eager=True)
+    pairs = corpus._capped_self_pairs(bands, "vec_id", corpus.SRP_CLIQUE_CAP)
+    got = {(r.ia, r.ib) for r in pairs.collect()}
+    # star, not clique: exactly n-1 pairs, all rooted at the min id
+    assert got == {(0, i) for i in range(1, n)}
+    kept = corpus._greedy_admit(range(n), set(), sorted(got))
+    assert kept == {0}
+
+
+def test_srp_capped_probe_no_op_under_cap_and_subset_when_tight(spark, sf_dir):
+    """Probe-side sub-banding: at the default product cap the fixture's
+    buckets are all under cap, so the capped probe equals the naive
+    (band, bv) index-probe join. At a deliberately tiny cap the refined
+    join may only LOSE low-angle candidates (subset), and must keep
+    every identical-signature pair — identical signatures collide at
+    every nibble width, which is what makes exact re-crawls immune to
+    the recall trade."""
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.operators.dedup import (
+        SRP_BAND_BITS,
+        SRP_BANDS,
+    )
+    from realtimevotingdataengineer_spark.operators.similarity import (
+        srp_band_signatures,
+    )
+    from realtimevotingdataengineer_spark.sources.tables import load_table
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mx = vecs.agg(F.max("vec_id")).collect()[0][0]
+    cut = (mx + 1) * 4 // 5
+    base, delta = vecs.filter(F.col("vec_id") < cut), vecs.filter(
+        F.col("vec_id") >= cut
+    )
+    mk = lambda df: corpus._srp_sig_bands(  # noqa: E731
+        srp_band_signatures(
+            df, "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+        ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
+    ib, bb = mk(base), mk(delta)
+    naive = {
+        (r.vec_new, r.vec_base)
+        for r in ib.alias("i")
+        .join(
+            bb.alias("b"),
+            (F.col("i.band") == F.col("b.band")) & (F.col("i.bv") == F.col("b.bv")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_new"), F.col("i.vec_id").alias("vec_base")
+        )
+        .distinct()
+        .collect()
+    }
+    at_default = {
+        (r.vec_new, r.vec_base)
+        for r in corpus._capped_probe_pairs(ib, bb, corpus.SRP_PROBE_CAP).collect()
+    }
+    assert at_default == naive and len(naive) > 0
+    tight = {
+        (r.vec_new, r.vec_base)
+        for r in corpus._capped_probe_pairs(ib, bb, 1).collect()
+    }
+    assert tight <= naive
+    same_sig = {
+        (r.vec_new, r.vec_base)
+        for r in ib.select("vec_id", "sig")
+        .distinct()
+        .alias("i")
+        .join(bb.select("vec_id", "sig").distinct().alias("b"), "sig")
+        .select(
+            F.col("b.vec_id").alias("vec_new"), F.col("i.vec_id").alias("vec_base")
+        )
+        .collect()
+    }
+    assert same_sig <= tight
+
+
+def test_srp_gate_replay_self_healing(spark, sf_dir, tmp_path):
+    """foreachBatch replays the last micro-batch after a crash between
+    the state appends and the checkpoint commit. The gate must converge
+    under replay: running the SAME batch body twice (the worst replay —
+    every append already landed) re-admits via the self-exclusion rule
+    instead of self-flagging, so the DISTINCT survivor set is unchanged
+    (sink is at-least-once by row, exactly-once by vec_id) and a
+    subsequent near-duplicate batch is still rejected against the
+    index — no permanent loss, no permanent wrongful admission."""
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.sources.tables import load_table
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mx = vecs.agg(F.max("vec_id")).collect()[0][0]
+    cut = (mx + 1) * 4 // 5
+    idx, surv = str(tmp_path / "idx"), str(tmp_path / "surv")
+    corpus.build_srp_stream_index(vecs.filter(F.col("vec_id") < cut), idx)
+    batch = vecs.filter(F.col("vec_id") >= cut)
+    corpus._srp_gate_batch(batch, idx, surv)
+    first = sorted(
+        r.vec_id for r in spark.read.parquet(surv).select("vec_id").distinct().collect()
+    )
+    assert first  # the batch admitted something
+    corpus._srp_gate_batch(batch, idx, surv)  # full replay
+    replayed = sorted(
+        r.vec_id for r in spark.read.parquet(surv).select("vec_id").distinct().collect()
+    )
+    assert replayed == first
+    # a re-crawl of an admitted vector (new id, same embedding) is
+    # rejected against the index the replay left behind
+    re_crawl = (
+        batch.join(
+            spark.createDataFrame([(i,) for i in first], "vec_id bigint"), "vec_id"
+        )
+        .withColumn("vec_id", F.col("vec_id") + (mx + 1))
+        .localCheckpoint(eager=True)
+    )
+    corpus._srp_gate_batch(re_crawl, idx, surv)
+    after = {r.vec_id for r in spark.read.parquet(surv).select("vec_id").collect()}
+    assert after == set(first)
+
+
+def test_stream_sample_bottomk_duplicate_redelivery(spark, sf_dir, tmp_path):
+    """At-least-once redelivery: the SAME rows arriving again in a later
+    micro-batch (source-level duplicate delivery, or a replayed batch
+    whose state write already landed) must leave the sample unchanged —
+    the merge is a SET union on (source, doc_id), so a winner cannot
+    occupy two ranks and evict a legitimate k-th member. Also pins the
+    versioned-state contract: exactly one committed version dir remains
+    after pruning, and the sample has no duplicate rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import realtimevotingdataengineer_spark.operators  # noqa: F401
+    from realtimevotingdataengineer_spark.registry import QUERIES
+    from realtimevotingdataengineer_spark.sources.tables import Tables, load_table
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    t = Tables(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    state = str(tmp_path / "state")
+    sdocs = spark.readStream.schema("doc_id bigint, source string").parquet(
+        str(stream_dir) + "/*"
+    )
+    q = corpus.stream_sample_bottomk(sdocs, state, str(tmp_path / "ck"))
+    for name in ("b0", "b1_same_rows_again"):
+        docs.coalesce(1).write.parquet(str(stream_dir / name))
+        q.processAllAvailable()
+    q.stop()
+    got = [
+        (r.source, r.doc_id)
+        for r in corpus.read_bottomk_sample(spark, state).collect()
+    ]
+    want = {
+        (r.source, r.doc_id)
+        for r in QUERIES["sample_fixed_k_stratified"](t).collect()
+    }
+    assert len(got) == len(set(got))  # no duplicate winners
+    assert set(got) == want
+    versions = [d for d in os.listdir(state) if d.startswith("v")]
+    assert len(versions) == 1  # older versions pruned after commit
