@@ -131,3 +131,51 @@ def test_documents_text_is_ascii_for_chunk_parity(t):
         "switch the DuckDB oracle to octet-offset chunking (encode to "
         "BLOB) before trusting the hash compare"
     )
+
+
+def test_phash_all_constant_corpus_collapses(spark):
+    """The degenerate regime the round-9 verdict flagged: an
+    ALL-CONSTANT corpus makes every band bucket equally huge, so AQE's
+    median-relative skew split never fires. The round-10 fix collapses
+    identical hashes to one representative BEFORE the band join: the
+    groups rollup must see one node and zero edges (never the C(n,2)
+    clique), and the pair key must still honor its quadratic-output
+    contract exactly — both bit-identical to the uncollapsed
+    semantics."""
+    from types import SimpleNamespace
+
+    n = 2000
+    boiler = "the same boilerplate page body " * 8
+    rows = [(i, boiler, len(boiler)) for i in range(n)] + [
+        (n, "a genuinely different document about owls", 41),
+        (n + 1, "another distinct text with other bytes here", 43),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, n_chars int")
+    t = SimpleNamespace(spark=spark, documents=docs)
+
+    ph = multimodal._phash_hashes(t)
+    n_hashes = ph.select("lo", "hi").distinct().count()
+    assert n_hashes <= 3  # the collapse input: distinct hashes, not docs
+    hp = multimodal._phash_hash_pairs(t, ph.localCheckpoint(eager=True))
+    assert hp.count() <= 3  # hash-level pairs only — never C(2000, 2)
+
+    groups = {
+        (r.cluster_id, r.n_members) for r in multimodal.mm_phash_groups(t).collect()
+    }
+    # the constant block is one cluster rooted at doc 0 with >= n members
+    # (the two distinct docs may or may not fall within hamming range)
+    big = [g for g in groups if g[1] >= n]
+    assert len(big) == 1 and big[0][0] == 0
+
+    # pair contract on a smaller constant block: exactly C(m, 2) pairs
+    m = 60
+    small = SimpleNamespace(
+        spark=spark,
+        documents=spark.createDataFrame(
+            [(i, boiler, len(boiler)) for i in range(m)],
+            "doc_id bigint, text string, n_chars int",
+        ),
+    )
+    pairs = multimodal.mm_dedup_phash(small)
+    assert pairs.count() == m * (m - 1) // 2
+    assert pairs.filter(F.col("hamming") != 0).count() == 0
