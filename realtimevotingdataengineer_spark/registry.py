@@ -19,6 +19,96 @@ QueryFn = Callable[[Tables], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: Keys whose registered form is the EXACT / BRUTE-FORCE member of a
+#: family — kept deliberately as the verification baseline the family's
+#: recall and correctness claims are measured against — mapped to the
+#: registered SCALE PATH a 100 TB deployment runs instead. Bench/driver
+#: selections should weight the scale paths; the baselines exist to be
+#: compared against, not to be fast.
+BASELINE_ONLY: dict[str, str] = {
+    "dedup_embedding_cosine": "dedup_embedding_bucketed",
+    "sim_bruteforce_topk": "sim_ivf_topk",
+    "sim_bruteforce_topk_arrow": "sim_ivf_topk",
+    "sim_knn_graph": "sim_knn_graph_arrow",
+    "sim_mips_topk": "sim_mips_srp_topk",
+    "sim_mmr_rerank": "sim_mmr_rerank_srp",
+    "sim_doc_topk_hashed": "sim_doc_topk_hashed_srp",
+    "corpus_pack_sequences": "corpus_pack_sequences_sharded",
+    "text_bpe_learn_merges": "text_bpe_learn_merges_batched",
+    "text_ccnet_buckets": "text_ccnet_buckets_approx",
+    "events_value_equidepth": "events_value_equidepth_approx",
+}
+
+#: Key-prefix → family taxonomy (first match wins; longest prefixes
+#: first). One line per family in COVERAGE.md's head states the family's
+#: 100 TB scale dial.
+_FAMILY_PREFIXES: list[tuple[str, str]] = [
+    ("dedup_embedding", "semantic-dedup"),
+    ("dedup_minhash", "neardup-minhash"),
+    ("dedup_incremental", "neardup-minhash"),
+    ("dedup_simhash", "neardup-simhash"),
+    ("dedup_ngram", "neardup-ngram"),
+    ("dedup_fuzzy", "neardup-edit"),
+    ("dedup_substring", "neardup-edit"),
+    ("dedup", "exact-dedup"),
+    ("sim_mmr", "rerank"),
+    ("sim_hard_negatives", "rerank"),
+    ("sim", "similarity-search"),
+    ("emb", "embedding-ops"),
+    ("mm", "multimodal"),
+    ("text_bpe", "tokenizers"),
+    ("text_wordpiece", "tokenizers"),
+    ("text_viterbi", "tokenizers"),
+    ("text", "text-analysis"),
+    ("search", "retrieval"),
+    ("pipeline", "curation-pipelines"),
+    ("corpus", "corpus-curation"),
+    ("sample", "sampling"),
+    ("graph", "graph"),
+    ("events", "events-analytics"),
+    ("users_survival", "events-analytics"),
+    ("dq", "data-quality"),
+    ("profile", "data-quality"),
+    ("layout", "storage-layout"),
+    ("q", "tpch"),
+    ("lineitem", "tpch-analytics"),
+    ("orders", "tpch-analytics"),
+    ("stream", "voting-streaming"),
+    ("agg_approx", "approx-aggregates"),
+    ("agg", "voting-relational"),
+    ("window", "windows"),
+    ("join", "joins"),
+    ("scd2", "joins"),
+    ("batch_merge", "joins"),
+]
+
+_FAMILY_EXACT: dict[str, str] = {
+    "udf_pandas_scalar_stats": "udf-surface",
+    "set_ops": "voting-relational",
+    "sql_votes_tally": "voting-relational",
+    "topk_leading_candidate": "voting-relational",
+    "pivot_votes_by_type": "voting-relational",
+    "unpivot_votes_by_type": "voting-relational",
+    "ddl_create_tables": "voting-relational",
+    "scan_table_full": "voting-relational",
+}
+
+
+def family_of(key: str) -> str:
+    """Taxonomy family for a registry key (COVERAGE.md head documents
+    each family's scale dial)."""
+    if key in _FAMILY_EXACT:
+        return _FAMILY_EXACT[key]
+    for prefix, fam in _FAMILY_PREFIXES:
+        if key == prefix or key.startswith(prefix + "_"):
+            return fam
+    # q1..q22 (digit follows the one-letter prefix directly)
+    if key[0] == "q" and key[1].isdigit():
+        return "tpch"
+    if key.split("_")[0] in ("proj", "expr", "json", "pred"):
+        return "voting-relational"
+    return "voting-relational"
+
 
 def register(key: str, sql: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:

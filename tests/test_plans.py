@@ -692,3 +692,23 @@ def test_iterative_graph_state_checkpointed_plan_flat(t):
         assert exch <= 2, f"{key}: {exch} exchanges — per-round state not checkpointed?"
         assert smj == 0, f"{key}: {smj} SMJ in the returned plan"
         assert "Scan parquet" not in plan, f"{key}: parquet re-scan past the checkpoint"
+
+
+def test_pack_sequences_sharded_no_single_partition_window(t):
+    """The scale path of the packing family must be pinned, not just
+    present: corpus_pack_sequences' global token offsets are ONE
+    unpartitioned running sum (every row through a single reducer — the
+    documented baseline-only semantics), and its registered scale twin
+    corpus_pack_sequences_sharded must show NO single-partition
+    exchange anywhere in its plan — the window is partitioned by hash
+    shard, so the prefix sums are N_SHARDS independent parallel passes
+    (the same budget style as the iterative-graph plan pin)."""
+    baseline = formatted_plan(QUERIES["corpus_pack_sequences"](t))
+    assert "SinglePartition" in baseline  # the global form IS the contrast
+    sharded = formatted_plan(QUERIES["corpus_pack_sequences_sharded"](t))
+    assert "SinglePartition" not in sharded, (
+        "sharded packing fell back to a single-partition window"
+    )
+    assert "hashpartitioning(shard" in sharded, (
+        "sharded packing window is not partitioned by shard"
+    )

@@ -51,10 +51,51 @@ def log_results(paths: list[str]) -> tuple[set[str], set[str]]:
     return passed, failed
 
 
+def print_families() -> int:
+    """Taxonomy view: families → keys, with the oracle-baseline-only
+    keys marked (→ their registered scale path). The machine-readable
+    twin of COVERAGE.md's head table."""
+    from collections import defaultdict
+
+    from realtimevotingdataengineer_spark.registry import (
+        BASELINE_ONLY,
+        QUERIES,
+        family_of,
+    )
+
+    import __spark_entry__  # noqa: F401
+
+    fams: dict[str, list[str]] = defaultdict(list)
+    for k in sorted(QUERIES):
+        fams[family_of(k)].append(k)
+    for fam in sorted(fams):
+        print(f"{fam} ({len(fams[fam])}):")
+        for k in fams[fam]:
+            mark = (
+                f"  [baseline-only → scale path: {BASELINE_ONLY[k]}]"
+                if k in BASELINE_ONLY
+                else ""
+            )
+            print(f"  {k}{mark}")
+    n_base = len(BASELINE_ONLY)
+    print(
+        f"\n{len(QUERIES)} keys in {len(fams)} families; "
+        f"{n_base} baseline-only keys (each with a registered scale path)."
+    )
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--logs", default="sweep_*", help="glob under tools/")
+    ap.add_argument(
+        "--families",
+        action="store_true",
+        help="print the family taxonomy (with baseline-only marks) and exit",
+    )
     args = ap.parse_args()
+    if args.families:
+        return print_families()
     keys = registered_keys()
     print(f"registered keys: {len(keys)}")
     rc = 0
