@@ -81,6 +81,67 @@ def _greedy_admit(ids, flagged, in_pairs) -> set:
     return kept
 
 
+#: Round bound for the executor-side admit. Each round decides at
+#: least the minimum undecided id, and a round's frontier is the
+#: conflict graph's dependency depth — 1 for the clique/star buckets
+#: near-dup batches actually produce, pathological alternating CHAINS
+#: (a~b~c~d where a,c survive) need depth rounds. 64 covers any real
+#: batch; exceeding it raises rather than silently diverging from the
+#: driver-side greedy.
+GREEDY_DEPTH_MAX = 64
+
+
+def _greedy_admit_frames(
+    ids: DataFrame, flagged: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """EXECUTOR-SIDE first-arrival admit — computes exactly the set
+    _greedy_admit does (the lexicographically-first maximal independent
+    set of the batch conflict graph, minus index-flagged ids) without
+    collecting ids or pairs to the driver, for micro-batches past the
+    ≲10^6-doc driver-walk contract the gate docstrings name.
+
+    Inputs: ``ids`` (id), ``flagged`` (id — near-dups the persisted
+    index, dropped outright), ``pairs`` (a, b with a < b — verified
+    within-batch near-dup edges). Iterative rounds, each one Spark job
+    over the (batch-bounded) state:
+
+    - ADMIT every undecided id none of whose smaller neighbors is
+      still undecided or already admitted (its blockers all dropped);
+    - then DROP every undecided id with an ADMITTED smaller neighbor.
+
+    The minimum undecided id is decided every round, and the round
+    count equals the dependency depth of the graph — 1 for cliques and
+    stars (the shape near-dup buckets take), bounded by
+    GREEDY_DEPTH_MAX for adversarial chains. Per-round state is eagerly
+    localCheckpoint'ed (the repo's iterative-plan lesson: graph.py BFS
+    collapsed 30 scans → 1 the same way). Returns a DataFrame with the
+    admitted ids under the input id column name."""
+    id_col = ids.columns[0]
+    und = ids.join(
+        flagged.toDF(id_col).distinct(), id_col, "left_anti"
+    ).localCheckpoint(eager=True)
+    adm = und.sparkSession.createDataFrame([], f"{id_col} bigint")
+    pr = pairs.toDF("a", "b").localCheckpoint(eager=True)
+    for _ in range(GREEDY_DEPTH_MAX):
+        if und.isEmpty():
+            return adm
+        active_a = und.toDF("a").union(adm.toDF("a")).distinct()
+        blocked = pr.join(active_a, "a").select(F.col("b").alias(id_col)).distinct()
+        adm_new = und.join(blocked, id_col, "left_anti").localCheckpoint(eager=True)
+        adm = adm.union(adm_new).localCheckpoint(eager=True)
+        drop_new = (
+            pr.join(adm.toDF("a"), "a").select(F.col("b").alias(id_col)).distinct()
+        )
+        und = (
+            und.join(adm_new, id_col, "left_anti")
+            .join(drop_new, id_col, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"greedy admit exceeded {GREEDY_DEPTH_MAX} dependency rounds"
+    )
+
+
 def build_minhash_index(docs: DataFrame, path: str) -> None:
     """Persist the near-dup signature index for a (base) corpus:
     ``{path}/bands`` — the (doc_id, band, bv) LSH rows the candidate
@@ -99,7 +160,10 @@ def build_minhash_index(docs: DataFrame, path: str) -> None:
 
 
 def _minhash_gate_batch(
-    batch: DataFrame, index_path: str, survivors_path: str
+    batch: DataFrame,
+    index_path: str,
+    survivors_path: str,
+    distributed_admit: bool = False,
 ) -> None:
     """One micro-batch through the online near-dup gate (the foreachBatch
     body of stream_dedup_minhash):
@@ -177,15 +241,11 @@ def _minhash_gate_batch(
         )
     )
     # verify vs index: batch shingles on side a, index shingles side b
-    flagged = {
-        r.doc_new
-        for r in minhash_verified_pairs(
-            cand_idx, new_sh, "doc_new", "doc_base", sh_b=idx_sh
-        )
+    flagged_df = (
+        minhash_verified_pairs(cand_idx, new_sh, "doc_new", "doc_base", sh_b=idx_sh)
         .select("doc_new")
         .distinct()
-        .collect()
-    }
+    )
     ba, bb = new_bands.alias("ba"), new_bands.alias("bb")
     cand_in = (
         ba.join(
@@ -197,18 +257,26 @@ def _minhash_gate_batch(
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
     )
-    in_pairs = [
-        (r.doc_a, r.doc_b)
-        for r in minhash_verified_pairs(cand_in, new_sh).collect()
-    ]
-    kept = _greedy_admit(
-        (r.doc_id for r in per_doc.select("doc_id").collect()), flagged, in_pairs
-    )
-    if not kept:
-        return
-    surv_ids = spark.createDataFrame(
-        [(i,) for i in sorted(kept)], "doc_id bigint"
-    )
+    in_pairs_df = minhash_verified_pairs(cand_in, new_sh).select("doc_a", "doc_b")
+    if distributed_admit:
+        surv_ids = _greedy_admit_frames(
+            per_doc.select("doc_id"), flagged_df, in_pairs_df
+        )
+        if surv_ids.isEmpty():
+            return
+    else:
+        flagged = {r.doc_new for r in flagged_df.collect()}
+        in_pairs = [(r.doc_a, r.doc_b) for r in in_pairs_df.collect()]
+        kept = _greedy_admit(
+            (r.doc_id for r in per_doc.select("doc_id").collect()),
+            flagged,
+            in_pairs,
+        )
+        if not kept:
+            return
+        surv_ids = spark.createDataFrame(
+            [(i,) for i in sorted(kept)], "doc_id bigint"
+        )
     # index rows FIRST, survivors last (see docstring: the index must
     # cover every doc the sink may contain at every crash point)
     new_bands.join(F.broadcast(surv_ids), "doc_id").write.mode("append").parquet(
@@ -228,6 +296,7 @@ def stream_dedup_minhash(
     survivors_path: str,
     checkpoint_path: str,
     processing_time: str | None = None,
+    distributed_admit: bool = False,
 ):
     """ONLINE near-dup gate on a document stream — the streaming half of
     the batch MinHash-LSH family, and the piece a 100 TB/day crawl
@@ -253,16 +322,20 @@ def stream_dedup_minhash(
     driver therefore does O(|batch| + pairs) Python work per trigger:
     bound the trigger with the source's rate limit
     (``maxOffsetsPerTrigger`` on Kafka, ``maxFilesPerTrigger`` on
-    files) to ≲10^6 docs per micro-batch; beyond that, move the admit
-    executor-side as connected components over (flagged ∪ in_pairs)
-    with the pointer-jumping pass dedup_clusters already implements."""
+    files) to ≲10^6 docs per micro-batch; beyond that, pass
+    ``distributed_admit=True`` — the admit then runs executor-side as
+    the iterative lexicographic-MIS of _greedy_admit_frames (provably
+    the same survivor set, pytest-pinned), and the driver never holds
+    ids or pairs."""
     w = docs.writeStream.outputMode("append").option(
         "checkpointLocation", checkpoint_path
     )
     if processing_time is not None:
         w = w.trigger(processingTime=processing_time)
     return w.foreachBatch(
-        lambda b, _id: _minhash_gate_batch(b, index_path, survivors_path)
+        lambda b, _id: _minhash_gate_batch(
+            b, index_path, survivors_path, distributed_admit
+        )
     ).start()
 
 
@@ -477,7 +550,14 @@ def build_srp_stream_index(vecs: DataFrame, path: str) -> None:
     )
 
 
-def _srp_gate_batch(batch: DataFrame, index_path: str, survivors_path: str) -> None:
+def _srp_gate_batch(
+    batch: DataFrame,
+    index_path: str,
+    survivors_path: str,
+    clique_cap: int = SRP_CLIQUE_CAP,
+    probe_cap: int = SRP_PROBE_CAP,
+    distributed_admit: bool = False,
+) -> None:
     """One micro-batch through the online EMBEDDING near-dup gate —
     the vector twin of _minhash_gate_batch, same five steps with the
     MinHash pieces swapped for SRP: (1) the Arrow kernel computes the
@@ -513,7 +593,7 @@ def _srp_gate_batch(batch: DataFrame, index_path: str, survivors_path: str) -> N
     new_bands = _srp_sig_bands(sigs).localCheckpoint(eager=True)
     idx_bands = spark.read.parquet(f"{index_path}/bands")
     idx_vecs = spark.read.parquet(f"{index_path}/vectors")
-    cand_idx = _capped_probe_pairs(idx_bands, new_bands, SRP_PROBE_CAP).join(
+    cand_idx = _capped_probe_pairs(idx_bands, new_bands, probe_cap).join(
         F.broadcast(vecs.select(F.col("vec_id").alias("vec_base"))),
         "vec_base",
         "left_anti",  # replay self-exclusion (see docstring)
@@ -525,17 +605,15 @@ def _srp_gate_batch(batch: DataFrame, index_path: str, survivors_path: str) -> N
         F.col("vec_id").alias("vec_base"), F.col("embedding").alias("eb")
     ).withColumn("nb", norm_expr("eb", EMB_DIM))
     cos_idx = dot_expr("ea", "eb", EMB_DIM) / (F.col("na") * F.col("nb"))
-    flagged = {
-        r.vec_new
-        for r in cand_idx.join(F.broadcast(va), "vec_new")
+    flagged_df = (
+        cand_idx.join(F.broadcast(va), "vec_new")
         .join(vb, "vec_base")
         .select("vec_new", cos_idx.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_THETA)
         .select("vec_new")
         .distinct()
-        .collect()
-    }
-    cand_in = _capped_self_pairs(new_bands, "vec_id", SRP_CLIQUE_CAP).select(
+    )
+    cand_in = _capped_self_pairs(new_bands, "vec_id", clique_cap).select(
         F.col("ia").alias("vec_a"), F.col("ib").alias("vec_b")
     )
     wa = vecs.select(
@@ -545,20 +623,30 @@ def _srp_gate_batch(batch: DataFrame, index_path: str, survivors_path: str) -> N
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
     ).withColumn("nb", norm_expr("eb", EMB_DIM))
     cos_in = dot_expr("ea", "eb", EMB_DIM) / (F.col("na") * F.col("nb"))
-    in_pairs = [
-        (r.vec_a, r.vec_b)
-        for r in cand_in.join(wa, "vec_a")
+    in_pairs_df = (
+        cand_in.join(wa, "vec_a")
         .join(wb, "vec_b")
         .select("vec_a", "vec_b", cos_in.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_THETA)
-        .collect()
-    ]
-    kept = _greedy_admit(
-        (r.vec_id for r in vecs.select("vec_id").collect()), flagged, in_pairs
+        .select("vec_a", "vec_b")
     )
-    if not kept:
-        return
-    surv_ids = spark.createDataFrame([(i,) for i in sorted(kept)], "vec_id bigint")
+    if distributed_admit:
+        surv_ids = _greedy_admit_frames(
+            vecs.select("vec_id"), flagged_df, in_pairs_df
+        )
+        if surv_ids.isEmpty():
+            return
+    else:
+        flagged = {r.vec_new for r in flagged_df.collect()}
+        in_pairs = [(r.vec_a, r.vec_b) for r in in_pairs_df.collect()]
+        kept = _greedy_admit(
+            (r.vec_id for r in vecs.select("vec_id").collect()), flagged, in_pairs
+        )
+        if not kept:
+            return
+        surv_ids = spark.createDataFrame(
+            [(i,) for i in sorted(kept)], "vec_id bigint"
+        )
     # index rows FIRST, survivors last (crash-containment: the index
     # must cover every vector the sink may contain)
     new_bands.join(F.broadcast(surv_ids), "vec_id").write.mode("append").parquet(
@@ -578,6 +666,9 @@ def stream_dedup_srp(
     survivors_path: str,
     checkpoint_path: str,
     processing_time: str | None = None,
+    clique_cap: int = SRP_CLIQUE_CAP,
+    probe_cap: int = SRP_PROBE_CAP,
+    distributed_admit: bool = False,
 ):
     """ONLINE embedding near-dup gate on a vector stream — the
     streaming half of the dedup_embedding_srp family, completing the
@@ -588,21 +679,32 @@ def stream_dedup_srp(
     the index. First-arrival-wins across the whole stream; same
     banding, signatures and verify as the batch keys, so the pytest
     equality against the batch pair list is semantic, not
-    approximate — sub-banding (SRP_CLIQUE_CAP / SRP_PROBE_CAP) only
-    engages on buckets the batch key's fixture never over-fills, so
-    under-cap behavior is bit-identical to the batch pass; over-cap
-    behavior trades tail recall for a bounded join (the round-9
-    quadratic regime, documented at the cap constants). Same
+    approximate — sub-banding (``clique_cap`` / ``probe_cap``,
+    defaulting to SRP_CLIQUE_CAP / SRP_PROBE_CAP) only engages on
+    buckets the batch key's fixture never over-fills, so under-cap
+    behavior is bit-identical to the batch pass; over-cap behavior
+    trades tail recall for a bounded join (the round-9 quadratic
+    regime, documented at the cap constants). For DEGENERATE streams —
+    signatures so uniform that every band bucket saturates (the
+    worst-case fixture in tools/stream_srp_throughput.py) — dial the
+    caps down (measured: clique_cap=16/probe_cap=256 lifts the uniform
+    fixture from ~360 to ~3.4k vecs/s at 128k-vec batches, trading
+    tail recall only inside the over-cap buckets that were already in
+    the approximation regime). Same
     micro-batch size contract as stream_dedup_minhash: the greedy's
     driver-side collects are batch-bounded — cap the trigger via the
-    source rate limit (maxOffsetsPerTrigger / maxFilesPerTrigger)."""
+    source rate limit (maxOffsetsPerTrigger / maxFilesPerTrigger), or
+    pass ``distributed_admit=True`` to run the admit executor-side
+    (_greedy_admit_frames — same survivor set, no driver collects)."""
     w = vecs.writeStream.outputMode("append").option(
         "checkpointLocation", checkpoint_path
     )
     if processing_time is not None:
         w = w.trigger(processingTime=processing_time)
     return w.foreachBatch(
-        lambda b, _id: _srp_gate_batch(b, index_path, survivors_path)
+        lambda b, _id: _srp_gate_batch(
+            b, index_path, survivors_path, clique_cap, probe_cap, distributed_admit
+        )
     ).start()
 
 

@@ -414,6 +414,84 @@ def test_stream_dedup_minhash_matches_batch_greedy(spark, sf_dir, tmp_path):
     assert len(kept) < len(delta_ids)  # the gate actually dropped docs
 
 
+def test_greedy_admit_frames_equals_driver_walk(spark):
+    """_greedy_admit_frames must compute EXACTLY _greedy_admit's set —
+    the lexicographically-first maximal independent set minus flagged —
+    on shapes that stress every code path: cliques and stars (one
+    round), an alternating CHAIN a~b~c~d (the multi-round dependency
+    case: a,c survive because b drops), flagged roots (a flagged
+    minimum must NOT block its neighbors), and seeded random graphs."""
+    import random
+
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    cases = [
+        # (ids, flagged, pairs)
+        (range(4), set(), [(0, 1), (1, 2), (2, 3)]),  # chain: keep {0, 2}
+        (range(5), set(), [(0, i) for i in range(1, 5)]),  # star: keep {0}
+        (range(4), {0}, [(0, 1), (1, 2)]),  # flagged root: keep {1, 3}
+        (range(6), {2, 3}, [(0, 1), (2, 4), (3, 5), (4, 5)]),
+    ]
+    rng = random.Random(7)
+    for _ in range(4):
+        n = 40
+        ids = range(n)
+        flagged = {i for i in ids if rng.random() < 0.15}
+        pairs = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(10, 120))
+            }
+        )
+        cases.append((ids, flagged, pairs))
+    for ids, flagged, pairs in cases:
+        want = corpus._greedy_admit(ids, flagged, pairs)
+        ids_df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+        fl_df = spark.createDataFrame(
+            [(i,) for i in sorted(flagged)], "doc_id bigint"
+        )
+        pr_df = spark.createDataFrame(
+            [(a, b) for a, b in pairs] or [(None, None)],
+            "a bigint, b bigint",
+        )
+        if not pairs:
+            pr_df = pr_df.filter("a IS NOT NULL")
+        got = {
+            r.doc_id
+            for r in corpus._greedy_admit_frames(ids_df, fl_df, pr_df).collect()
+        }
+        assert got == want, (sorted(flagged), pairs)
+    # sanity on the chain case specifically (multi-round dependency)
+    assert corpus._greedy_admit(range(4), set(), [(0, 1), (1, 2), (2, 3)]) == {0, 2}
+
+
+def test_minhash_gate_distributed_admit_equals_driver(spark, sf_dir, tmp_path):
+    """The executor-side admit is a drop-in: run the SAME two
+    micro-batches through _minhash_gate_batch twice — driver walk vs
+    distributed_admit — against separate index/sink dirs and require
+    identical survivor sets (and that docs were actually dropped, so
+    the admit logic was exercised, not bypassed)."""
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.sources.tables import load_table
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    cut = (mx + 1) * 4 // 5
+    base = docs.filter(F.col("doc_id") < cut)
+    b1 = docs.filter(F.col("doc_id") >= cut).localCheckpoint(eager=True)
+    survs = {}
+    for mode, dist in [("driver", False), ("dist", True)]:
+        idx = str(tmp_path / f"idx_{mode}")
+        surv = str(tmp_path / f"surv_{mode}")
+        corpus.build_minhash_index(base, idx)
+        corpus._minhash_gate_batch(b1, idx, surv, distributed_admit=dist)
+        survs[mode] = {r.doc_id for r in spark.read.parquet(surv).collect()}
+    assert survs["driver"] == survs["dist"]
+    assert 0 < len(survs["dist"]) < b1.count()
+
+
 def test_stream_dedup_minhash_cross_batch_survivor_indexed(spark, tmp_path):
     """Survivor signatures must join the index BETWEEN batches: a doc
     whose only near-dup is a SURVIVOR from an earlier micro-batch (not
@@ -642,6 +720,62 @@ def test_stream_gates_survive_restart(spark, sf_dir, tmp_path):
     )
     want_surv = corpus._greedy_admit(delta_ids, base_flagged, delta_pairs)
     assert set(streamed) == want_surv
+
+
+def test_stream_dedup_srp_tight_caps_exact_on_degenerate(spark, sf_dir, tmp_path):
+    """The DEGENERATE-MODE dial: stream_dedup_srp with tightened caps
+    (clique_cap=16, probe_cap=256 — the tools/stream_srp_throughput.py
+    worst-case setting) must stay EXACT on the regime the dial exists
+    for — identical-vector floods, where sub-banding cannot split the
+    bucket and the star fallback carries the whole contract. 90 copies
+    of one embedding and 10 of its negation (bitwise-complement
+    signature, cosine −1 — never a candidate across groups), split
+    mid-group across two micro-batches so group A exercises BOTH the
+    within-batch star path (batch 1) and the index-probe path
+    (batch 2). Exactly the two first arrivals may survive."""
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.sources.tables import load_table
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    one = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .limit(1)
+        .collect()[0]
+        .embedding
+    )
+    neg = [-float(x) for x in one]
+    rows = [(i, [float(x) for x in one]) for i in range(90)] + [
+        (i, neg) for i in range(90, 100)
+    ]
+    all_vecs = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    idx = str(tmp_path / "tight_idx")
+    corpus.build_srp_stream_index(
+        spark.createDataFrame([], "vec_id bigint, embedding array<double>"), idx
+    )
+    stream_dir = tmp_path / "tight_stream"
+    stream_dir.mkdir()
+    surv_path = str(tmp_path / "tight_surv")
+    svecs = spark.readStream.schema(all_vecs.schema).parquet(str(stream_dir) + "/*")
+    q = corpus.stream_dedup_srp(
+        svecs,
+        idx,
+        surv_path,
+        str(tmp_path / "tight_ckpt"),
+        clique_cap=16,
+        probe_cap=256,
+    )
+    for name, lo, hi in [("b1", 0, 50), ("b2", 50, 100)]:
+        all_vecs.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.parquet(str(stream_dir / name))
+        q.processAllAvailable()
+    q.stop()
+    streamed = {r.vec_id for r in spark.read.parquet(surv_path).collect()}
+    assert streamed == {0, 90}
 
 
 def test_srp_capped_self_pairs_equals_uncapped_under_cap(spark, sf_dir):

@@ -9,13 +9,16 @@ growing index, exact pinned-cosine verify, greedy admit, survivor +
 band + vector append. Index band rows must land at SRP_BANDS × admitted
 survivors.
 
-Unlike the MinHash gate (fixed per-batch cost -> bigger batches always
-amortize better), this gate's within-batch band self-join is QUADRATIC
-in micro-batch size once band selectivity saturates (4-bit bands = 16
-buckets; uniform synthetic vectors collide somewhere at ~40% of pairs),
-so there is an OPTIMAL micro-batch size -- pass the trigger to sweep it.
+This fixture is the gate's documented WORST case: uniform synthetic
+vectors saturate every 4-bit band bucket (16 buckets/band), so before
+round 10's sub-banding the within-batch self-join was quadratic in
+micro-batch size (measured 112-158 vecs/s). With the caps the verify
+volume is bounded per bucket and throughput amortizes with batch size
+again; pass tightened caps (e.g. 16 256) to measure the degenerate-mode
+dial documented in stream_dedup_srp.
 
-Usage: python tools/stream_srp_throughput.py [vecs_per_sec] [seconds] [trigger]
+Usage: python tools/stream_srp_throughput.py [vecs_per_sec] [seconds]
+       [trigger] [clique_cap] [probe_cap]
 """
 
 from __future__ import annotations
@@ -37,6 +40,8 @@ from realtimevotingdataengineer_spark.streaming import corpus  # noqa: E402
 RATE = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000
 SECONDS = int(sys.argv[2]) if len(sys.argv) > 2 else 60
 TRIGGER = sys.argv[3] if len(sys.argv) > 3 else "5 seconds"
+CLIQUE_CAP = int(sys.argv[4]) if len(sys.argv) > 4 else corpus.SRP_CLIQUE_CAP
+PROBE_CAP = int(sys.argv[5]) if len(sys.argv) > 5 else corpus.SRP_PROBE_CAP
 VEC_SPACE = 20_000
 EMB_DIM = 64
 
@@ -44,7 +49,7 @@ EMB_DIM = 64
 def main() -> None:
     spark = (
         SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
@@ -77,7 +82,15 @@ def main() -> None:
         ),
     )
     vecs = rate.select(F.col("value").alias("vec_id"), emb.alias("embedding"))
-    q = corpus.stream_dedup_srp(vecs, idx, surv, ckpt, processing_time=TRIGGER)
+    q = corpus.stream_dedup_srp(
+        vecs,
+        idx,
+        surv,
+        ckpt,
+        processing_time=TRIGGER,
+        clique_cap=CLIQUE_CAP,
+        probe_cap=PROBE_CAP,
+    )
     deadline = time.time() + SECONDS
     while time.time() < deadline:
         time.sleep(1)
@@ -101,6 +114,8 @@ def main() -> None:
                 "batches": len(steady),
                 "seconds": SECONDS,
                 "trigger": TRIGGER,
+                "clique_cap": CLIQUE_CAP,
+                "probe_cap": PROBE_CAP,
                 "vecs_processed": rows,
                 "survivors": n_surv,
                 "index_band_rows": n_bands,
