@@ -448,7 +448,29 @@ def minhash_parts(t: Tables):
     Arrow pass (bitwise-identical to the HOF chain it replaced — the
     registered oracles did not change); the band/candidate join stays
     declarative DataFrame code. Eager localCheckpoint materializes the
-    kernel output once for its four downstream consumers."""
+    kernel output once for its four downstream consumers.
+
+    Round 10: the band self-join runs over one representative per
+    DISTINCT SHINGLE SET (the mm_dedup_phash collapse, applied here
+    via the set DIGEST md5(concat_ws(US, sort_array(sh))) — the
+    signature, bands and exact-Jaccard verify are all functions of the
+    shingle SET, so same-set docs band-collide pairwise by definition
+    and cross-set candidacy is decided once per representative pair).
+    The expansion back to doc pairs reproduces the raw band join's
+    candidate set EXACTLY: same-set groups contribute their full
+    within-group pairs (their identical signatures always collide),
+    cross-set pairs come from each qualifying representative pair's
+    member groups, and empty-signature docs are excluded just as they
+    are from the raw band join (no mh components → no band rows). An
+    exact-duplicate-heavy crawl — the 100 TB norm — thus pays the
+    banded shuffle per distinct CONTENT, not per copy; the quadratic
+    within-bucket blowup of a boilerplate corpus collapses to the
+    (inherently quadratic) candidate expansion alone. The digest
+    stands in for array-equality on the shuffle key (32 hex chars vs
+    KB-scale shingle arrays); an md5 set collision — vanishing at any
+    corpus size, and the same trust the minhash components themselves
+    place in md5 — could only ADD a candidate pair, never drop one,
+    and the exact-Jaccard verify downstream decides every candidate."""
     per_doc = minhash_doc_signatures(
         spread(t.documents.select("doc_id", "text"), "doc_id")
     ).localCheckpoint(eager=True)
@@ -456,19 +478,48 @@ def minhash_parts(t: Tables):
     sig = per_doc.select(
         "doc_id", F.posexplode("mh").alias("i", "mh")
     )
-    bands = minhash_bands(sig)
+    grp = per_doc.filter(F.size("mh") > 0).select(
+        "doc_id",
+        F.md5(F.concat_ws("\x1f", F.sort_array("sh"))).alias("shk"),
+    )
+    reps = grp.groupBy("shk").agg(F.min("doc_id").alias("doc_id"))
+    sig_reps = reps.join(per_doc, "doc_id").select(
+        "doc_id", "shk", F.posexplode("mh").alias("i", "mh")
+    )
+    bands = minhash_bands(sig_reps.select("doc_id", "i", "mh")).join(
+        reps, "doc_id"
+    )
     ba = bands.alias("ba")
     bb = bands.alias("bb")
-    cand = (
+    rep_pairs = (
         ba.join(
             bb,
             (F.col("ba.band") == F.col("bb.band"))
             & (F.col("ba.bv") == F.col("bb.bv"))
             & (F.col("ba.doc_id") < F.col("bb.doc_id")),
         )
-        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .select(F.col("ba.shk").alias("ka"), F.col("bb.shk").alias("kb"))
         .distinct()
     )
+    ga = grp.select(F.col("shk").alias("ka"), F.col("doc_id").alias("ida"))
+    gb = grp.select(F.col("shk").alias("kb"), F.col("doc_id").alias("idb"))
+    cross = (
+        rep_pairs.join(ga, "ka")
+        .join(gb, "kb")
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+        )
+    )
+    gx, gy = grp.alias("gx"), grp.alias("gy")
+    same = gx.join(
+        gy,
+        (F.col("gx.shk") == F.col("gy.shk"))
+        & (F.col("gx.doc_id") < F.col("gy.doc_id")),
+    ).select(
+        F.col("gx.doc_id").alias("doc_a"), F.col("gy.doc_id").alias("doc_b")
+    )
+    cand = cross.union(same).distinct()
     return sh, sig, cand
 
 
@@ -765,6 +816,90 @@ _SIMHAM_SQL = (
 )
 
 
+def _collapsed_hamming_pairs(sh: DataFrame, hash_cols: list, band_vals: list, max_ham):
+    """Banded-Hamming near-dup pairs with the DISTINCT-HASH collapse
+    (the mm_dedup_phash round-10 pattern, shared by both simhash keys):
+    identical signatures are collapsed to one representative per
+    distinct hash BEFORE the banded equi-join, then qualifying hash
+    pairs expand back to doc pairs — cross-hash pairs by joining each
+    side's member group, identical-hash pairs (hamming 0 by
+    definition, and an identical hash always band-collides) directly
+    by a same-hash self-join. Result set is bit-identical to banding
+    the raw docs, but the band join's work drops from
+    O(docs-per-bucket²) to O(distinct-hashes-per-bucket²) + output
+    size — the degenerate boilerplate-corpus regime (every doc the
+    same signature, every bucket equally huge, AQE's median-relative
+    skew split blind) becomes a 1-row band join plus the inherently
+    quadratic output expansion the pair contract demands.
+
+    ``sh``: (doc_id, *hash_cols); ``band_vals``: one Column per band,
+    an expression over ``hash_cols``; ``max_ham``: inclusive Hamming
+    radius. Hamming distance is summed bit_count(xor) over the hash
+    columns. Returns (doc_a, doc_b, hamming), unordered."""
+    dh = sh.groupBy(*hash_cols).agg(F.min("doc_id").alias("rep"))
+    bands = dh.select(
+        "rep",
+        *hash_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), bv.alias("bv"))
+                    for j, bv in enumerate(band_vals)
+                ]
+            )
+        ).alias("b"),
+    ).select("rep", *hash_cols, F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    a = bands.select(
+        F.col("rep").alias("rep_a"),
+        *[F.col(c).alias(f"a_{c}") for c in hash_cols],
+        "band",
+        "bv",
+    )
+    b = bands.select(
+        F.col("rep").alias("rep_b"),
+        *[F.col(c).alias(f"b_{c}") for c in hash_cols],
+        "band",
+        "bv",
+    )
+    ham = None
+    for c in hash_cols:
+        term = F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+        ham = term if ham is None else ham + term
+    hp = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .select(*[f"a_{c}" for c in hash_cols], *[f"b_{c}" for c in hash_cols])
+        .distinct()
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_ham)
+    )
+    ma = sh.select(
+        F.col("doc_id").alias("ida"), *[F.col(c).alias(f"a_{c}") for c in hash_cols]
+    )
+    mb = sh.select(
+        F.col("doc_id").alias("idb"), *[F.col(c).alias(f"b_{c}") for c in hash_cols]
+    )
+    cross = (
+        hp.join(ma, [f"a_{c}" for c in hash_cols])
+        .join(mb, [f"b_{c}" for c in hash_cols])
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            "hamming",
+        )
+    )
+    x, y = sh.alias("x"), sh.alias("y")
+    same_on = F.col("x.doc_id") < F.col("y.doc_id")
+    for c in hash_cols:
+        same_on = same_on & (F.col(f"x.{c}") == F.col(f"y.{c}"))
+    same = x.join(y, same_on).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    return cross.union(same)
+
+
 @register("dedup_simhash_hamming", _SIMHAM_SQL)
 def dedup_simhash_hamming(t: Tables) -> DataFrame:
     """Near-dup pairs within hamming distance SIMHAM_MAX of the 32-bit
@@ -783,45 +918,20 @@ def dedup_simhash_hamming(t: Tables) -> DataFrame:
     for the test corpus but quadratic in a 100 TB corpus — there you
     widen the signature to 64 bits and band at 16 bits (2^16 buckets,
     same pigeonhole bound), exactly this plan with two constants
-    changed."""
-    sh = dedup_simhash(t).localCheckpoint(eager=True)  # reused by both join sides
-    bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255)).alias("bv"),
-                    )
-                    for i in range(SIMHAM_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
-        )
-        .distinct()  # a pair may share several bands
-    )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
-    return (
-        cand.select("doc_a", "doc_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= SIMHAM_MAX)
-        .orderBy("doc_a", "doc_b")
-    )
+    changed. Round 10: the band join runs over DISTINCT signatures
+    (_collapsed_hamming_pairs — the mm_dedup_phash collapse applied to
+    its simhash siblings), so exact-duplicate documents never meet the
+    banded self-join; results bit-identical, oracle unchanged."""
+    sh = dedup_simhash(t).localCheckpoint(eager=True)  # reused by all stages
+    return _collapsed_hamming_pairs(
+        sh,
+        ["simhash"],
+        [
+            F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255))
+            for i in range(SIMHAM_BANDS)
+        ],
+        SIMHAM_MAX,
+    ).orderBy("doc_a", "doc_b")
 
 
 #: The 100 TB dial of dedup_simhash_hamming, registered (round-4 verdict
@@ -928,54 +1038,21 @@ def dedup_simhash64_hamming(t: Tables) -> DataFrame:
     (<= 3 flipped bits touch <= 3 of 4 bands), pytest-asserted against
     the brute-force pair scan (generalized small-radius recall test).
     The signature rides as two 32-bit words so neither engine touches
-    BIGINT's sign bit."""
-    sh = simhash64_signatures(t).localCheckpoint(eager=True)  # both join sides
-    bvs = [
-        F.col("lo").bitwiseAND(F.lit(65535)),
-        F.shiftright("lo", 16).bitwiseAND(F.lit(65535)),
-        F.col("hi").bitwiseAND(F.lit(65535)),
-        F.shiftright("hi", 16).bitwiseAND(F.lit(65535)),
-    ]
-    bands = sh.select(
-        "doc_id",
-        "lo",
-        "hi",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("band"), bv.alias("bv"))
-                    for j, bv in enumerate(bvs)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "lo", "hi", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.lo").alias("la"),
-            F.col("a.hi").alias("hia"),
-            F.col("b.lo").alias("lb"),
-            F.col("b.hi").alias("hib"),
-        )
-        .distinct()  # a pair may share several bands
-    )
-    ham = (
-        F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
-        + F.bit_count(F.col("hia").bitwiseXOR(F.col("hib")))
-    ).cast("int")
-    return (
-        cand.select("doc_a", "doc_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= SIMHAM64_MAX)
-        .orderBy("doc_a", "doc_b")
-    )
+    BIGINT's sign bit. Round 10: band join over DISTINCT signatures
+    (_collapsed_hamming_pairs), bit-identical expansion back to doc
+    pairs — exact duplicates never enter the banded self-join."""
+    sh = simhash64_signatures(t).localCheckpoint(eager=True)  # all stages
+    return _collapsed_hamming_pairs(
+        sh,
+        ["lo", "hi"],
+        [
+            F.col("lo").bitwiseAND(F.lit(65535)),
+            F.shiftright("lo", 16).bitwiseAND(F.lit(65535)),
+            F.col("hi").bitwiseAND(F.lit(65535)),
+            F.shiftright("hi", 16).bitwiseAND(F.lit(65535)),
+        ],
+        SIMHAM64_MAX,
+    ).orderBy("doc_a", "doc_b")
 
 
 # Shared CTE chain ending at `clus`, and the final SELECT over it — kept
@@ -1457,31 +1534,70 @@ def dedup_embedding_srp(t: Tables) -> DataFrame:
     # cost seconds of driver-side parsing). The eager checkpoint
     # materializes the signature once for both band-join sides (the
     # dedup_simhash pattern).
+    # Round 10: signatures and the band self-join run over one
+    # representative per DISTINCT embedding (the mm_dedup_phash
+    # collapse, keyed by md5(to_json(embedding)) — identical vectors
+    # share every band value by construction, so they always
+    # band-collide in the raw join). Expansion reproduces the raw
+    # candidate set exactly: same-embedding groups contribute their
+    # full within-group pairs, cross pairs come from qualifying
+    # representative pairs' member groups; a digest collision could
+    # only ADD candidates, and the exact-cosine verify downstream
+    # decides every pair. An exact-dup-heavy crawl pays the SRP kernel
+    # and banded shuffle per distinct VECTOR, not per copy.
+    grp = t.embeddings.select(
+        "vec_id", F.md5(F.to_json("embedding")).alias("ek")
+    )
+    rep_ids = grp.groupBy("ek").agg(F.min("vec_id").alias("vec_id"))
+    rep_vecs = rep_ids.join(t.embeddings, "vec_id").select(
+        "vec_id", "ek", "embedding"
+    )
     sigs = srp_band_signatures(
-        spread(t.embeddings, "vec_id"), "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+        spread(rep_vecs, "vec_id"), "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
     ).localCheckpoint(eager=True)
-    bands = sigs.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("band"), F.col(f"bv{j}").alias("bv"))
-                    for j in range(SRP_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("vec_id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    bands = (
+        sigs.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("band"), F.col(f"bv{j}").alias("bv"))
+                        for j in range(SRP_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select("vec_id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+        .join(rep_ids, "vec_id")
+    )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .select(F.col("a.ek").alias("ka"), F.col("b.ek").alias("kb"))
         .distinct()
     )
+    ga = grp.select(F.col("ek").alias("ka"), F.col("vec_id").alias("ia"))
+    gb = grp.select(F.col("ek").alias("kb"), F.col("vec_id").alias("ib"))
+    cross = (
+        rep_pairs.join(ga, "ka")
+        .join(gb, "kb")
+        .select(
+            F.least("ia", "ib").alias("vec_a"),
+            F.greatest("ia", "ib").alias("vec_b"),
+        )
+    )
+    gx, gy = grp.alias("gx"), grp.alias("gy")
+    same = gx.join(
+        gy,
+        (F.col("gx.ek") == F.col("gy.ek"))
+        & (F.col("gx.vec_id") < F.col("gy.vec_id")),
+    ).select(F.col("gx.vec_id").alias("vec_a"), F.col("gy.vec_id").alias("vec_b"))
+    cand = cross.union(same).distinct()
     ea = (
         t.embeddings.withColumn("nrm", norm_expr("embedding", EMB_DIM))
         .select(

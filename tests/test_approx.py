@@ -214,3 +214,49 @@ def test_clustering_coeff_bounds_and_triangle_symmetry(t):
     assert rows
     assert all(0.0 <= r.clustering_coeff <= 1.0 for r in rows)
     assert sum(r.n_triangles for r in rows) % 3 == 0
+
+
+def test_collapsed_hamming_constant_corpus_is_linear_join(spark):
+    """The DISTINCT-HASH collapse contract on the degenerate
+    boilerplate corpus (every doc the SAME signature — the regime
+    AQE's median-relative skew split cannot rescue because every
+    bucket is equally huge): the banded join sees ONE distinct hash
+    and emits ZERO hash pairs, while the expansion still delivers the
+    exact C(n,2) doc-pair contract at hamming 0. Plus a mixed case:
+    two hash groups one bit apart must yield all cross pairs at
+    hamming 1 and all within pairs at hamming 0 — bit-identical to
+    banding the raw docs."""
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.operators.dedup import (
+        _collapsed_hamming_pairs,
+    )
+
+    n = 1000
+    sh = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(12345).cast("bigint").alias("simhash")
+    )
+    bands = [
+        F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255)) for i in range(4)
+    ]
+    out = _collapsed_hamming_pairs(sh, ["simhash"], bands, 3)
+    assert out.count() == n * (n - 1) // 2
+    assert out.filter(F.col("hamming") != 0).count() == 0
+
+    mixed = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 6, F.lit(12345))
+        .otherwise(F.lit(12345 ^ 1))
+        .cast("bigint")
+        .alias("simhash"),
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in _collapsed_hamming_pairs(mixed, ["simhash"], bands, 3).collect()
+    }
+    want = set()
+    hv = {i: 12345 if i < 6 else 12345 ^ 1 for i in range(10)}
+    for a in range(10):
+        for b in range(a + 1, 10):
+            want.add((a, b, bin(hv[a] ^ hv[b]).count("1")))
+    assert got == want

@@ -2326,3 +2326,31 @@ def test_conversion_km_censoring_and_product(spark):
         2: (4, 2, 500_000),
         4: (2, 1, 250_000),
     }
+
+
+def test_minhash_collapse_boilerplate_corpus_candidates_exact(spark):
+    """The round-10 shingle-set collapse on the degenerate boilerplate
+    corpus: 500 exact copies of one document plus distinct outliers.
+    The banded self-join sees ONE representative per distinct shingle
+    set, yet the candidate expansion must still deliver exactly the
+    raw band join's contract — every within-copy pair (identical
+    signatures always band-collide), no cross pairs between documents
+    sharing no trigram, and nothing for too-short docs (empty
+    signature = no band rows)."""
+    from types import SimpleNamespace
+
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.operators import dedup
+
+    n = 500
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(n)]
+    rows.append((n, "completely different words entirely unrelated tokens here"))
+    rows.append((n + 1, "short doc"))  # < 3 tokens -> empty shingles
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    t = SimpleNamespace(documents=docs, spark=spark)
+    _sh, _sig, cand = dedup.minhash_parts(t)
+    got = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    want = {(a, b) for a in range(n) for b in range(a + 1, n)}
+    assert got == want
