@@ -326,7 +326,10 @@ def stream_dedup_minhash(
     ``distributed_admit=True`` — the admit then runs executor-side as
     the iterative lexicographic-MIS of _greedy_admit_frames (provably
     the same survivor set, pytest-pinned), and the driver never holds
-    ids or pairs."""
+    ids or pairs. The distributed path removes the driver MEMORY
+    bound, it is not a local speedup (measured at 1M ids: 19.1s vs
+    the walk's 1.7s — multi-round job overhead; see PERF.md round
+    10), so the driver walk stays the default."""
     w = docs.writeStream.outputMode("append").option(
         "checkpointLocation", checkpoint_path
     )
