@@ -137,6 +137,8 @@ def _greedy_admit_frames(
             .join(drop_new, id_col, "left_anti")
             .localCheckpoint(eager=True)
         )
+    if und.isEmpty():  # decided exactly on the last allowed round
+        return adm
     raise RuntimeError(
         f"greedy admit exceeded {GREEDY_DEPTH_MAX} dependency rounds"
     )
