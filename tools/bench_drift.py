@@ -49,6 +49,8 @@ def _per_key(path: str) -> dict[str, float]:
     import re
 
     rec = json.load(open(path))
+    if "execute" in rec:  # prefer execute: it's what driver tails carry
+        return {k: float(v) for k, v in rec["execute"].items()}
     if "queries" in rec:
         return {k: float(v) for k, v in rec["queries"].items()}
     frag = rec.get("tail", "")
