@@ -639,3 +639,86 @@ def test_viterbi_matches_python_dp(spark, ws):
         d[0] += c
         d[1] += c * ntok(wd)
     assert got == {src: tuple(v) for src, v in want.items()}
+
+
+admit_graph_strategy = st.tuples(
+    st.integers(min_value=1, max_value=25),  # n ids
+    st.lists(  # raw (a, b) edge picks; normalized to a < b below
+        st.tuples(
+            st.integers(min_value=0, max_value=24),
+            st.integers(min_value=0, max_value=24),
+        ),
+        max_size=60,
+    ),
+    st.sets(st.integers(min_value=0, max_value=24), max_size=8),  # flagged
+)
+
+
+@given(g=admit_graph_strategy)
+@SET
+def test_greedy_admit_frames_matches_python_greedy(spark, g):
+    """The executor-side admit (iterative lexicographic-MIS) must equal
+    the driver walk on ARBITRARY conflict graphs — chains, cliques,
+    flagged minima, isolated ids, duplicate edges — not just the
+    clique/star shapes real near-dup batches produce."""
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    n, raw_edges, flagged = g
+    flagged = {f for f in flagged if f < n}
+    pairs = sorted(
+        {(min(a, b), max(a, b)) for a, b in raw_edges if a != b and max(a, b) < n}
+    )
+    want = corpus._greedy_admit(range(n), flagged, pairs)
+    ids_df = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    fl_df = spark.createDataFrame(
+        [(i,) for i in sorted(flagged)], "doc_id bigint"
+    )
+    pr_df = spark.createDataFrame(pairs or [], "a bigint, b bigint")
+    got = {
+        r.doc_id
+        for r in corpus._greedy_admit_frames(ids_df, fl_df, pr_df).collect()
+    }
+    assert got == want
+
+
+hash_corpus_strategy = st.lists(
+    st.integers(min_value=0, max_value=15),  # tiny hash space -> heavy dups
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(hs=hash_corpus_strategy, radius=st.integers(min_value=0, max_value=3))
+@SET
+def test_banded_hamming_branches_match_brute_force(spark, hs, radius):
+    """Both _banded_hamming_pairs branches (raw band join / distinct-
+    hash collapse) must equal the brute-force pair scan for any radius
+    ≤ bands-1 (the pigeonhole regime) on random dup-heavy corpora —
+    the collapse's expansion may not duplicate, drop, or reorder a
+    single pair."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from realtimevotingdataengineer_spark.operators.dedup import (
+        _banded_hamming_pairs,
+    )
+
+    sh = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hs)], "doc_id bigint, simhash bigint"
+    )
+    bands = [
+        F.shiftright("simhash", 4 * j).bitwiseAND(F.lit(15)) for j in range(4)
+    ]
+    brute = {
+        (a, b, bin(hs[a] ^ hs[b]).count("1"))
+        for a in range(len(hs))
+        for b in range(a + 1, len(hs))
+        if bin(hs[a] ^ hs[b]).count("1") <= radius
+    }
+    for forced in (True, False):
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in _banded_hamming_pairs(
+                sh, ["simhash"], bands, radius, collapse=forced
+            ).collect()
+        }
+        assert got == brute, forced
