@@ -1734,6 +1734,11 @@ def dedup_embedding_srp(t: Tables) -> DataFrame:
         )
     )
     cos = dot_expr("emb_a", "emb_b", EMB_DIM) / (F.col("nrm_a") * F.col("nrm_b"))
+    # no broadcast hint on the vector sides: locally AQE already
+    # broadcasts them (a forced hint measured 25.1s — parity), and at
+    # 100 TB the embeddings table is corpus-sized, where a pinned
+    # broadcast would OOM and the auto threshold correctly degrades to
+    # a shuffle join
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
