@@ -140,7 +140,7 @@ def _lpa_iter_sql(i: int, prev: str) -> str:
 
 _LPA_SQL = (
     _KNN_EDGES_CTES + ", "
-    "und AS (SELECT src_id AS a, dst_id AS b FROM knn "
+    "und AS MATERIALIZED (SELECT src_id AS a, dst_id AS b FROM knn "
     "UNION SELECT dst_id, src_id FROM knn), "
     "l0 AS (SELECT vec_id, vec_id AS label FROM embeddings), "
     + ", ".join(_lpa_iter_sql(i, f"l{i - 1}") for i in range(1, LPA_ITERS + 1))
@@ -195,9 +195,9 @@ def graph_label_propagation(t: Tables) -> DataFrame:
 
 _CLUSTERING_SQL = (
     _KNN_EDGES_CTES + ", "
-    "und AS (SELECT src_id AS a, dst_id AS b FROM knn "
+    "und AS MATERIALIZED (SELECT src_id AS a, dst_id AS b FROM knn "
     "UNION SELECT dst_id, src_id FROM knn), "
-    "canon AS (SELECT a, b FROM und WHERE a < b), "
+    "canon AS MATERIALIZED (SELECT a, b FROM und WHERE a < b), "
     "deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY a), "
     "wedge AS (SELECT u1.a AS v, u1.b AS x, u2.b AS y "
     "FROM und u1 JOIN und u2 ON u2.a = u1.a AND u1.b < u2.b), "
@@ -446,9 +446,9 @@ LINKPRED_TOP = 20
 
 _LINKPRED_SQL = (
     _KNN_EDGES_CTES + ", "
-    "und AS (SELECT src_id AS a, dst_id AS b FROM knn "
+    "und AS MATERIALIZED (SELECT src_id AS a, dst_id AS b FROM knn "
     "UNION SELECT dst_id, src_id FROM knn), "
-    "canon AS (SELECT a, b FROM und WHERE a < b), "
+    "canon AS MATERIALIZED (SELECT a, b FROM und WHERE a < b), "
     "deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY a), "
     "common AS (SELECT u1.b AS x, u2.b AS y, CAST(count(*) AS BIGINT) AS n_common "
     "FROM und u1 JOIN und u2 ON u2.a = u1.a AND u1.b < u2.b GROUP BY u1.b, u2.b), "

@@ -659,7 +659,11 @@ _KNN_EDGES_CTES = (
     "FROM assign qa JOIN assign ca ON ca.cent_id = qa.cent_id "
     "JOIN embeddings a ON a.vec_id = qa.vec_id "
     "JOIN embeddings b ON b.vec_id = ca.vec_id AND b.vec_id <> a.vec_id), "
-    "knn AS (SELECT src_id, dst_id, cosine FROM ("
+    # MATERIALIZED: every graph oracle references knn at least twice
+    # (und = UNION of both directions), and plain CTEs inline the full
+    # bucketed cosine probe per reference — the AS MATERIALIZED lesson,
+    # fourth sighting (BPE, BFS, MMR-SRP before)
+    "knn AS MATERIALIZED (SELECT src_id, dst_id, cosine FROM ("
     "SELECT src_id, dst_id, cosine, row_number() OVER ("
     "PARTITION BY src_id ORDER BY cosine DESC, dst_id) AS rn FROM probe) "
     f"WHERE rn <= {KNN_K})"
