@@ -1453,7 +1453,13 @@ def dedup_embedding_cosine(t: Tables) -> DataFrame:
 DEDUP_N_PROBE = 2
 
 
-def _bucketed_cosine_sql() -> str:
+def _bucketed_scored_ctes() -> str:
+    """CTE chain ending at ``scored`` (vec_a, vec_b, cosine for every
+    bucket-collision pair) — shared by the bucketed pair key and the
+    clusters key so the cosine text exists ONCE. pairs/scored are
+    MATERIALIZED: the clusters oracle references them repeatedly and
+    the 64-term cosine must not be inlined per reference (nor evaluated
+    twice for SELECT + WHERE — the fuzzy-oracle lesson)."""
     # import here (not module top) only to make the one-way dependency
     # explicit at the use site; similarity never imports dedup.
     from .similarity import assign_sql
@@ -1465,14 +1471,20 @@ def _bucketed_cosine_sql() -> str:
     return (
         assign_sql(DEDUP_N_PROBE)
         # DISTINCT: a pair sharing both probed buckets matches twice
-        + ", pairs AS (SELECT DISTINCT aa.vec_id AS id_a, ab.vec_id AS id_b "
-        "FROM assign aa JOIN assign ab "
-        "ON aa.cent_id = ab.cent_id AND aa.vec_id < ab.vec_id) "
-        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        + ", pairs AS MATERIALIZED (SELECT DISTINCT aa.vec_id AS id_a, "
+        "ab.vec_id AS id_b FROM assign aa JOIN assign ab "
+        "ON aa.cent_id = ab.cent_id AND aa.vec_id < ab.vec_id), "
+        "scored AS MATERIALIZED (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
         f"{cos} AS cosine "
         "FROM pairs JOIN embeddings a ON a.vec_id = pairs.id_a "
-        "JOIN embeddings b ON b.vec_id = pairs.id_b "
-        f"WHERE {cos} >= {COSINE_THETA}"
+        "JOIN embeddings b ON b.vec_id = pairs.id_b)"
+    )
+
+
+def _bucketed_cosine_sql() -> str:
+    return (
+        _bucketed_scored_ctes()
+        + f" SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {COSINE_THETA}"
     )
 
 
@@ -1528,18 +1540,15 @@ def dedup_embedding_bucketed(t: Tables) -> DataFrame:
 
 def _embedding_clusters_sql() -> str:
     # recursive transitive closure over the bucketed near-dup pair graph
-    # (same fixpoint statement as _CLUSTERS_SQL, over embeddings)
-    pairs = _bucketed_cosine_sql()
-    body = pairs.split("WITH ", 1)[1]
+    # (same fixpoint statement as _CLUSTERS_SQL, over embeddings);
+    # edges = exactly the bucketed key's verified pairs, read from the
+    # shared MATERIALIZED scored CTE (no duplicated cosine text)
+    body = _bucketed_scored_ctes().split("WITH ", 1)[1]
     return (
-        "WITH RECURSIVE " + body.rsplit("SELECT a.vec_id", 1)[0]
-        + ", edges AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
-        "FROM pairs JOIN embeddings a ON a.vec_id = pairs.id_a "
-        "JOIN embeddings b ON b.vec_id = pairs.id_b "
-        f"WHERE ({dot_sql('a.embedding', 'b.embedding', EMB_DIM)}) / "
-        f"(({norm_sql('a.embedding', EMB_DIM)}) * ({norm_sql('b.embedding', EMB_DIM)})) "
-        f">= {COSINE_THETA}), "
-        "sym AS (SELECT vec_a AS a, vec_b AS b FROM edges "
+        "WITH RECURSIVE " + body
+        + ", edges AS (SELECT vec_a, vec_b FROM scored "
+        f"WHERE cosine >= {COSINE_THETA}), "
+        "sym AS MATERIALIZED (SELECT vec_a AS a, vec_b AS b FROM edges "
         "UNION SELECT vec_b, vec_a FROM edges), "
         "reach(a, b) AS (SELECT a, b FROM sym "
         "UNION SELECT reach.a, sym.b FROM reach JOIN sym ON reach.b = sym.a), "

@@ -141,7 +141,11 @@ _FEATURE_SQL_CTE = (
     # empty payloads are excluded on BOTH engines: a zero histogram has a
     # zero norm (division blows up under ANSI) and Spark's sequence(1,0)
     # would run descending where DuckDB's range(1,1) is empty
-    f"feat AS (SELECT doc_id, {_HIST_COLS} FROM documents WHERE len(text) > 0)"
+    # MATERIALIZED: consumers reference feat up to 3× and the histogram
+    # columns are expensive expressions a plain CTE would inline per
+    # reference (the AS MATERIALIZED lesson)
+    f"feat AS MATERIALIZED (SELECT doc_id, {_HIST_COLS} FROM documents "
+    "WHERE len(text) > 0)"
 )
 
 
@@ -173,25 +177,33 @@ def mm_feature_topk(t: Tables) -> DataFrame:
     SQL-expressible, so the whole decode→featurize→search pipeline has
     an exact oracle; pytest additionally asserts the relational features
     equal the Python kernel's (tests/test_multimodal.py)."""
-    chars = F.split(F.col("text"), "")
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length("text")),
-        lambda i: F.ascii(F.element_at(chars, i)) % 8,
-    )
-
-    def eq(bucket: int):
-        # NB: a `lambda x, bb=b:` default-argument trick must NOT be used
-        # here — PySpark reads the lambda's arity, and a second parameter
-        # selects the (element, index) filter variant, silently comparing
-        # values against positions. Close over the bucket instead.
-        return lambda x: x == bucket
+    # h{b} = count of characters with ascii%8 == b, computed WITHOUT a
+    # higher-order function: the bucket's character set is a fixed
+    # string (all ASCII 1..127 with code%8 == b — the fixture is
+    # ASCII-pinned by tests/test_multimodal.py), so the count is
+    # len(text) − len(translate(text, bucket_chars, '')) — pure
+    # whole-stage-codegen string ops. The retired form evaluated an
+    # interpreted split+transform+filter lambda per bucket per join
+    # side (measured 183s at sf0.1; this form: seconds). Bitwise
+    # equality with the Python kernel AND the ascii%8 oracle is
+    # asserted by the existing parity pytest + the hash-checked oracle.
+    def bucket_chars(b: int) -> str:
+        return "".join(chr(c) for c in range(1, 128) if c % 8 == b)
 
     feat = (
         t.documents.filter(F.length("text") > 0)  # see _FEATURE_SQL_CTE note
         .select(
             "doc_id",
-            *[F.size(F.filter(codes, eq(b))).alias(f"h{b}") for b in range(8)],
+            *[
+                (
+                    F.length("text")
+                    - F.length(F.translate("text", bucket_chars(b), ""))
+                ).alias(f"h{b}")
+                for b in range(8)
+            ],
         )
+        # eager checkpoint: referenced by BOTH join sides
+        .localCheckpoint(eager=True)
     )
     q = feat.filter(F.col("doc_id") < 3).alias("q")
     c = feat.alias("c")
