@@ -694,7 +694,7 @@ _SIMHASH_CTES = (
     "bits AS (SELECT doc_id, s.i, sum(CASE WHEN substr(md5(tok), s.i + 1, 1) IN "
     "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS bal "
     "FROM toks, (SELECT unnest(range(0, 32)) AS i) s GROUP BY doc_id, s.i), "
-    "sh32 AS (SELECT doc_id, CAST(sum(CASE WHEN bal > 0 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) "
+    "sh32 AS MATERIALIZED (SELECT doc_id, CAST(sum(CASE WHEN bal > 0 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) "
     "AS BIGINT) AS simhash FROM bits GROUP BY doc_id)"
 )
 _SIMHASH_SQL = _SIMHASH_CTES + " SELECT doc_id, simhash FROM sh32"
@@ -843,7 +843,7 @@ SIMHAM_MAX = SIMHAM_BANDS - 1
 
 _SIMHAM_SQL = (
     _SIMHASH_CTES + ", "
-    "bands AS (SELECT doc_id, simhash, s.i AS band, (simhash >> (8 * s.i)) & 255 AS bv "
+    "bands AS MATERIALIZED (SELECT doc_id, simhash, s.i AS band, (simhash >> (8 * s.i)) & 255 AS bv "
     f"FROM sh32, (SELECT unnest(range(0, {SIMHAM_BANDS})) AS i) s), "
     "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
     "a.simhash AS ha, b.simhash AS hb FROM bands a JOIN bands b "
@@ -1078,7 +1078,7 @@ _SIMHASH64_CTES = (
     f"sum(CASE WHEN {_duck_bit64('s.i')} THEN 1 ELSE -1 END) AS bal "
     "FROM hx, (SELECT unnest(range(0, 64)) AS i) s GROUP BY doc_id, s.i), "
     # two 32-bit words dodge BIGINT's sign bit portably
-    "sh64 AS (SELECT doc_id, "
+    "sh64 AS MATERIALIZED (SELECT doc_id, "
     "CAST(sum(CASE WHEN bal > 0 AND i < 32 THEN CAST(power(2, i) AS BIGINT) "
     "ELSE 0 END) AS BIGINT) AS lo, "
     "CAST(sum(CASE WHEN bal > 0 AND i >= 32 THEN CAST(power(2, i - 32) AS BIGINT) "
@@ -1087,7 +1087,7 @@ _SIMHASH64_CTES = (
 
 _SIMHAM64_SQL = (
     _SIMHASH64_CTES + ", "
-    "bands AS (SELECT doc_id, lo, hi, s.j AS band, "
+    "bands AS MATERIALIZED (SELECT doc_id, lo, hi, s.j AS band, "
     "CASE s.j WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535 "
     "WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bv "
     f"FROM sh64, (SELECT unnest(range(0, {SIMHAM64_BANDS})) AS j) s), "
@@ -1617,16 +1617,17 @@ def _srp_sql() -> str:
     )
     return (
         f"WITH s AS (SELECT vec_id, {duck_sig} AS sig FROM embeddings), "
-        "bands AS (SELECT vec_id, u.j AS band, "
+        "bands AS MATERIALIZED (SELECT vec_id, u.j AS band, "
         f"(sig >> ({SRP_BAND_BITS} * u.j)) & {(1 << SRP_BAND_BITS) - 1} AS bv "
         f"FROM s, (SELECT unnest(range(0, {SRP_BANDS})) AS j) u), "
         "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
         "FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv "
         "AND a.vec_id < b.vec_id) "
-        f"SELECT vec_a, vec_b, {cos} AS cosine FROM cand "
+        f", scored AS MATERIALIZED (SELECT vec_a, vec_b, {cos} AS cosine FROM cand "
         "JOIN embeddings ea ON ea.vec_id = vec_a "
-        "JOIN embeddings eb ON eb.vec_id = vec_b "
-        f"WHERE {cos} >= {COSINE_THETA} ORDER BY vec_a, vec_b"
+        "JOIN embeddings eb ON eb.vec_id = vec_b) "
+        f"SELECT vec_a, vec_b, cosine FROM scored "
+        f"WHERE cosine >= {COSINE_THETA} ORDER BY vec_a, vec_b"
     )
 
 
