@@ -41,5 +41,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for each queries() key (where
-    SQL-expressible; mapInPandas ops are rows-only checked)."""
+    SQL-expressible; mapInPandas ops are rows-only checked).
+
+    Rows-only keys with a hash-oracled twin: the two float-BLAS kernels
+    deliberately have no SQL oracle (numpy vs DuckDB last-ulp float
+    drift), but their RESULT SETS are value-checked every round through
+    paired keys — ``sim_bruteforce_topk_arrow`` ↔ ``sim_topk_arrow_pairs``
+    and ``sim_knn_graph_arrow`` ↔ ``sim_knn_graph_arrow_pairs`` (the
+    pairs keys project the identical neighbor/edge sets and ARE
+    DuckDB-hash-oracled). The mapping is machine-readable at
+    ``realtimevotingdataengineer_spark.registry.PAIRED_ORACLE`` and
+    printed by ``tools/registry_diff.py``."""
     return dict(ORACLES)

@@ -455,7 +455,8 @@ def minhash_parts(t: Tables, collapse: bool | None = None):
     the checkpointed kernel output decides, and ``collapse`` forces a
     branch for tests) the band self-join runs over one representative
     per DISTINCT SHINGLE SET (the mm_dedup_phash collapse, applied
-    here via the set DIGEST md5(concat_ws(US, sort_array(sh))) — the
+    here via an INJECTIVE set DIGEST — md5 over the sorted fixed-width
+    per-shingle md5s, see the inline comment — the
     signature, bands and exact-Jaccard verify are all functions of the
     shingle SET, so same-set docs band-collide pairwise by definition
     and cross-set candidacy is decided once per representative pair).
@@ -474,10 +475,11 @@ def minhash_parts(t: Tables, collapse: bool | None = None):
     extra stages are pure overhead there — the ratio constant
     documents the measured trade). The digest stands in for
     array-equality on the shuffle key (32 hex chars vs KB-scale
-    shingle arrays); an md5 set collision — vanishing at any corpus
-    size, and the same trust the minhash components themselves place
-    in md5 — could only ADD a candidate pair, never drop one, and the
-    exact-Jaccard verify downstream decides every candidate."""
+    shingle arrays); with the injective encoding the only residual
+    risk is an outright md5 collision — vanishing at any corpus size,
+    and the same trust the minhash components themselves place in
+    md5 — and the exact-Jaccard verify downstream decides every
+    candidate."""
     per_doc = minhash_doc_signatures(
         spread(t.documents.select("doc_id", "text"), "doc_id")
     ).localCheckpoint(eager=True)
@@ -485,7 +487,18 @@ def minhash_parts(t: Tables, collapse: bool | None = None):
     sig = per_doc.select(
         "doc_id", F.posexplode("mh").alias("i", "mh")
     )
-    digest = F.md5(F.concat_ws("\x1f", F.sort_array("sh")))
+    # Injective set digest: md5 over the SORTED, FIXED-WIDTH per-shingle
+    # md5s concatenated with no separator. A separator-joined digest of
+    # the raw shingles (the round-10 form) was ambiguous — tokens split
+    # only on whitespace, so a shingle may CONTAIN the separator and two
+    # distinct sets can concatenate identically, silently merging their
+    # groups (round-10 advice). Fixed-width chunks make the encoding
+    # injective on the hash set, so group == exact distinct shingle set
+    # up to an md5 collision — the same (vanishing) trust the minhash
+    # components themselves place in md5.
+    digest = F.md5(
+        F.concat_ws("", F.sort_array(F.transform("sh", lambda s: F.md5(s))))
+    )
     if collapse is None:
         # decision proxy: distinct SIGNATURES, not distinct set digests
         # — mh is already materialized in the checkpointed kernel

@@ -177,31 +177,45 @@ def mm_feature_topk(t: Tables) -> DataFrame:
     SQL-expressible, so the whole decode→featurize→search pipeline has
     an exact oracle; pytest additionally asserts the relational features
     equal the Python kernel's (tests/test_multimodal.py)."""
-    # h{b} = count of characters with ascii%8 == b, computed WITHOUT a
+    # h{b} = count of characters with codepoint%8 == b. The ASCII range
+    # 1..127 — the entire corpus in practice — is counted WITHOUT a
     # higher-order function: the bucket's character set is a fixed
-    # string (all ASCII 1..127 with code%8 == b — the fixture is
-    # ASCII-pinned by tests/test_multimodal.py), so the count is
-    # len(text) − len(translate(text, bucket_chars, '')) — pure
-    # whole-stage-codegen string ops. The retired form evaluated an
-    # interpreted split+transform+filter lambda per bucket per join
-    # side (measured 183s at sf0.1; this form: seconds). Bitwise
-    # equality with the Python kernel AND the ascii%8 oracle is
-    # asserted by the existing parity pytest + the hash-checked oracle.
+    # string, so the count is len(text) − len(translate(text,
+    # bucket_chars, '')) — pure whole-stage-codegen string ops (the
+    # retired all-HOF form evaluated an interpreted
+    # split+transform+filter lambda per bucket per join side — measured
+    # 183s at sf0.1; this form: seconds). Characters OUTSIDE 1..127 are
+    # no longer invisible (round-10 advice: the oracle's
+    # ascii(text[i]) % 8 counts every character): one translate strips
+    # the full ASCII range, and the residual — empty for ASCII rows, a
+    # handful of chars otherwise — goes through the HOF on codepoints
+    # (Spark's ascii() == DuckDB's on non-ASCII, verified: both return
+    # the Unicode codepoint). BMP caveat: split('') iterates UTF-16
+    # units, so astral-plane chars (surrogate pairs) diverge from the
+    # oracle's codepoint indexing — same caveat as every char-indexed
+    # oracle in this module. Bitwise equality with the Python kernel
+    # AND the ascii%8 oracle is asserted by the parity pytest + the
+    # hash-checked oracle.
     def bucket_chars(b: int) -> str:
         return "".join(chr(c) for c in range(1, 128) if c % 8 == b)
 
+    _all_ascii = "".join(chr(c) for c in range(1, 128))
+    residual = F.split(F.translate("text", _all_ascii, ""), "")
+
+    def h(b: int):
+        ascii_cnt = F.length("text") - F.length(
+            F.translate("text", bucket_chars(b), "")
+        )
+        non_ascii_cnt = F.size(
+            F.filter(
+                residual, lambda ch: (ch != "") & (F.ascii(ch) % 8 == b)
+            )
+        )
+        return (ascii_cnt + non_ascii_cnt).alias(f"h{b}")
+
     feat = (
         t.documents.filter(F.length("text") > 0)  # see _FEATURE_SQL_CTE note
-        .select(
-            "doc_id",
-            *[
-                (
-                    F.length("text")
-                    - F.length(F.translate("text", bucket_chars(b), ""))
-                ).alias(f"h{b}")
-                for b in range(8)
-            ],
-        )
+        .select("doc_id", *[h(b) for b in range(8)])
         # eager checkpoint: referenced by BOTH join sides
         .localCheckpoint(eager=True)
     )

@@ -139,7 +139,9 @@ _IVF_SQL = (
 )
 
 
-@register("sim_bruteforce_topk_arrow")  # numpy float math ⇒ no bitwise SQL oracle; rows-only + pytest
+@register(
+    "sim_bruteforce_topk_arrow", paired_oracle="sim_topk_arrow_pairs"
+)  # numpy float math ⇒ no bitwise SQL oracle; the pairs twin is hash-oracled
 def sim_bruteforce_topk_arrow(t: Tables) -> DataFrame:
     """Arrow-batched numpy kernel for the same cosine top-k: queries are
     closed over (broadcast with the pickled function), the corpus
@@ -710,7 +712,9 @@ def sim_knn_graph(t: Tables) -> DataFrame:
     )
 
 
-@register("sim_knn_graph_arrow")  # numpy float math ⇒ rows-only; the pairs key carries the oracle
+@register(
+    "sim_knn_graph_arrow", paired_oracle="sim_knn_graph_arrow_pairs"
+)  # numpy float math ⇒ rows-only; the pairs twin carries the oracle
 def sim_knn_graph_arrow(t: Tables) -> DataFrame:
     """BLAS kernel for the bucket-local k-NN graph — same semantics as
     sim_knn_graph (every vector's KNN_K nearest by exact cosine within

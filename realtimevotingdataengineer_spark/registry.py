@@ -19,6 +19,16 @@ QueryFn = Callable[[Tables], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: For rows-only keys (``sql=None``): the registered HASH-ORACLED twin
+#: that checks the same result by value. The two float-BLAS kernels
+#: return raw float scores (no portable cross-engine oracle — DuckDB
+#: and the JVM disagree in the last ulp), but their neighbor/edge SETS
+#: are exactly the ``*_pairs`` twins, which ARE DuckDB-hash-checked
+#: every round. The driver's ``err: "no_oracle"`` rows resolve to
+#: their green twins through this mapping (round-10 verdict ask #5);
+#: ``tools/registry_diff.py`` prints it.
+PAIRED_ORACLE: dict[str, str] = {}
+
 #: Keys whose registered form is the EXACT / BRUTE-FORCE member of a
 #: family — kept deliberately as the verification baseline the family's
 #: recall and correctness claims are measured against — mapped to the
@@ -110,13 +120,21 @@ def family_of(key: str) -> str:
     return "voting-relational"
 
 
-def register(key: str, sql: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    key: str, sql: str | None = None, paired_oracle: str | None = None
+) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if key in QUERIES:
             raise ValueError(f"duplicate operator key {key!r}")
         QUERIES[key] = fn
         if sql is not None:
             ORACLES[key] = sql
+        if paired_oracle is not None:
+            if sql is not None:
+                raise ValueError(
+                    f"{key!r}: paired_oracle is for rows-only keys"
+                )
+            PAIRED_ORACLE[key] = paired_oracle
         return fn
 
     return deco

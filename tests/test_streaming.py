@@ -465,6 +465,31 @@ def test_greedy_admit_frames_equals_driver_walk(spark):
     assert corpus._greedy_admit(range(4), set(), [(0, 1), (1, 2), (2, 3)]) == {0, 2}
 
 
+def test_greedy_admit_frames_deep_chain_falls_back_not_raises(
+    spark, monkeypatch
+):
+    """Round-11 regression (round-10 advice): a conflict chain deeper
+    than GREEDY_DEPTH_MAX must FINISH (driver-walk fallback over the
+    undecided leftover), not raise — under exactly-once replay a
+    deterministic raise is a permanent poison batch. Bound patched low
+    so the fallback path actually runs; result must still equal the
+    pure driver walk (evens survive an alternating chain)."""
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    monkeypatch.setattr(corpus, "GREEDY_DEPTH_MAX", 3)
+    n = 24
+    pairs = [(i, i + 1) for i in range(n - 1)]  # depth ~ n/2 >> 3
+    want = corpus._greedy_admit(range(n), {0}, pairs)
+    ids_df = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    fl_df = spark.createDataFrame([(0,)], "doc_id bigint")
+    pr_df = spark.createDataFrame(pairs, "a bigint, b bigint")
+    got = {
+        r.doc_id
+        for r in corpus._greedy_admit_frames(ids_df, fl_df, pr_df).collect()
+    }
+    assert got == want
+
+
 def test_minhash_gate_distributed_admit_equals_driver(spark, sf_dir, tmp_path):
     """The executor-side admit is a drop-in: run the SAME two
     micro-batches through _minhash_gate_batch twice — driver walk vs

@@ -59,6 +59,7 @@ def print_families() -> int:
 
     from realtimevotingdataengineer_spark.registry import (
         BASELINE_ONLY,
+        PAIRED_ORACLE,
         QUERIES,
         family_of,
     )
@@ -76,12 +77,19 @@ def print_families() -> int:
                 if k in BASELINE_ONLY
                 else ""
             )
+            if k in PAIRED_ORACLE:
+                mark += f"  [rows-only → hash-oracled twin: {PAIRED_ORACLE[k]}]"
             print(f"  {k}{mark}")
     n_base = len(BASELINE_ONLY)
     print(
         f"\n{len(QUERIES)} keys in {len(fams)} families; "
         f"{n_base} baseline-only keys (each with a registered scale path)."
     )
+    if PAIRED_ORACLE:
+        print(
+            "rows-only keys resolving to hash-oracled twins: "
+            + ", ".join(f"{a} → {b}" for a, b in sorted(PAIRED_ORACLE.items()))
+        )
     return 0
 
 
