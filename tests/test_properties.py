@@ -722,3 +722,206 @@ def test_banded_hamming_branches_match_brute_force(spark, hs, radius):
             ).collect()
         }
         assert got == brute, forced
+
+
+def _srp_admit(spark, vec_rows, cap):
+    """Mirror stream_dedup_srp's WITHIN-BATCH flow (no index): capped
+    band candidates → exact pinned-cosine verify at COSINE_THETA →
+    driver greedy. Returns (kept ids, {id: packed sig})."""
+    from realtimevotingdataengineer_spark.functions import dot_expr, norm_expr
+    from realtimevotingdataengineer_spark.operators.dedup import (
+        COSINE_THETA,
+        SRP_BAND_BITS,
+        SRP_BANDS,
+    )
+    from realtimevotingdataengineer_spark.operators.similarity import (
+        EMB_DIM,
+        srp_band_signatures,
+    )
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vec_rows],
+        "vec_id bigint, embedding array<float>",
+    ).localCheckpoint(eager=True)
+    sigs = srp_band_signatures(
+        vecs, "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+    ).localCheckpoint(eager=True)
+    bands = corpus._srp_sig_bands(sigs).localCheckpoint(eager=True)
+    cand = corpus._capped_self_pairs(bands, "vec_id", cap).select(
+        F.col("ia").alias("vec_a"), F.col("ib").alias("vec_b")
+    )
+    wa = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    ).withColumn("na", norm_expr("ea", EMB_DIM))
+    wb = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    ).withColumn("nb", norm_expr("eb", EMB_DIM))
+    cos = dot_expr("ea", "eb", EMB_DIM) / (F.col("na") * F.col("nb"))
+    in_pairs = [
+        (r.vec_a, r.vec_b)
+        for r in cand.join(wa, "vec_a")
+        .join(wb, "vec_b")
+        .filter(cos >= COSINE_THETA)
+        .select("vec_a", "vec_b")
+        .collect()
+    ]
+    ids = [i for i, _ in vec_rows]
+    kept = corpus._greedy_admit(ids, set(), in_pairs)
+    sig_map = {
+        r.vec_id: r.sig
+        for r in bands.select("vec_id", "sig").distinct().collect()
+    }
+    return kept, sig_map
+
+
+cluster_sizes_strategy = st.lists(
+    # power-law-ish sizes straddling a cap of 3: many 1-2s, some 4-9s
+    st.sampled_from([1, 1, 2, 2, 3, 4, 5, 7, 9]),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(sizes=cluster_sizes_strategy)
+@SET
+def test_capped_srp_admit_identical_vector_clusters_one_survivor(
+    spark, sizes
+):
+    """Round-10 verdict ask #6 (recall boundary of the sub-banding
+    caps): for IDENTICAL-VECTOR clusters on mutually orthogonal base
+    directions — bucket sizes straddling the cap, the all-identical-
+    signature star-fallback regime included — the capped within-batch
+    admit must keep EXACTLY one survivor per cluster (the min id), for
+    any pathological size mix. No admitted near-duplicate pair within
+    COSINE_THETA may escape the capped clique + identical-signature
+    star fallback on this regime (identical vectors are the regime the
+    star is exact for)."""
+    from realtimevotingdataengineer_spark.operators.similarity import EMB_DIM
+
+    cap = 3
+    rows, want, nid = [], set(), 0
+    for c, size in enumerate(sizes):
+        base = [0.0] * EMB_DIM
+        base[c] = 1.0  # orthogonal cluster directions: cross-cos = 0
+        want.add(nid)  # min id of the cluster survives
+        for _ in range(size):
+            rows.append((nid, base))
+            nid += 1
+    kept, _sigs = _srp_admit(spark, rows, cap)
+    assert kept == want, (sizes, sorted(kept))
+
+
+@given(sizes=cluster_sizes_strategy)
+@SET
+def test_capped_srp_admit_escapes_confined_to_documented_class(
+    spark, sizes
+):
+    """The cap contract's boundary, asserted on perturbed (NON-identical
+    near-dup) clusters: every admitted pair still within COSINE_THETA —
+    an 'escape' — must belong to the one documented approximation
+    class: identical packed signatures whose full-signature bucket was
+    over cap (the star fallback pairs members only against the root).
+    Any escape with distinct signatures or an under-cap bucket would be
+    a bug in the sub-banding, not the documented trade."""
+    import numpy as np
+
+    from realtimevotingdataengineer_spark.operators.dedup import (
+        COSINE_THETA,
+    )
+    from realtimevotingdataengineer_spark.operators.similarity import EMB_DIM
+
+    cap = 3
+    rng = np.random.default_rng(11)
+    rows, nid = [], 0
+    sig_count: dict = {}
+    for c, size in enumerate(sizes):
+        base = np.zeros(EMB_DIM)
+        base[c] = 1.0
+        for k in range(size):
+            # tiny perturbation: same orthant w.h.p., cosine ~1 within
+            # the cluster, ~0 across clusters
+            v = base + 0.01 * rng.standard_normal(EMB_DIM) * (k > 0)
+            rows.append((nid, [float(x) for x in v]))
+            nid += 1
+    kept, sig_map = _srp_admit(spark, rows, cap)
+    for s in sig_map.values():
+        sig_count[s] = sig_count.get(s, 0) + 1
+    vec = {i: np.array(v) for i, v in rows}
+    kept_sorted = sorted(kept)
+    for ai in range(len(kept_sorted)):
+        for bi in range(ai + 1, len(kept_sorted)):
+            a, b = kept_sorted[ai], kept_sorted[bi]
+            va, vb = vec[a], vec[b]
+            cos = float(
+                va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+            )
+            if cos >= COSINE_THETA:  # an escape: must be the documented class
+                assert sig_map[a] == sig_map[b], (a, b, cos)
+                assert sig_count[sig_map[a]] > cap, (a, b, cos)
+
+
+def test_capped_srp_star_fallback_escape_class_is_real(spark):
+    """Deterministic pin of the docstring's 'approximation of the
+    clique otherwise' sentence: three vectors CONSTRUCTED to share one
+    full SRP signature (all in the interior of the same hyperplane
+    cone, built from the sign matrix's null space) where the two
+    non-root members are near-dups of each other but neither near-dups
+    the root. With the bucket forced over cap (cap=1), the star
+    fallback emits only (root, x) and (root, m), both failing the
+    cosine verify — so x and m are BOTH admitted although the batch
+    key's clique would have caught (x, m). This is the exact, bounded
+    recall trade the cap constants document; if this test ever starts
+    failing because (x, m) IS caught, the approximation was removed
+    and the docs should change with it."""
+    import numpy as np
+
+    from realtimevotingdataengineer_spark.operators.dedup import (
+        COSINE_THETA,
+        SRP_BAND_BITS,
+        SRP_BANDS,
+    )
+    from realtimevotingdataengineer_spark.operators.similarity import (
+        EMB_DIM,
+        _rp_sign,
+    )
+
+    n_bits = SRP_BAND_BITS * SRP_BANDS
+    S = np.array(
+        [[_rp_sign(j, i) for i in range(1, EMB_DIM + 1)] for j in range(n_bits)],
+        dtype=float,
+    )
+    rng = np.random.default_rng(7)
+    u = rng.standard_normal(EMB_DIM)
+    u /= np.linalg.norm(u)
+    # null space of S: moving along it leaves every projection EXACTLY
+    # unchanged -> identical signatures by construction
+    _, sv, vt = np.linalg.svd(S)
+    null = vt[len(sv):]  # (EMB_DIM - n_bits) x EMB_DIM orthonormal
+    n1 = null[0] - (null[0] @ u) * u
+    n1 /= np.linalg.norm(n1)
+    n2 = null[1] - (null[1] @ u) * u - (null[1] @ n1) * n1
+    n2 /= np.linalg.norm(n2)
+    # r far from both members (cos ~ 1/sqrt(1+9) = .32 < theta);
+    # x, m near each other (cos ~ .97 >= theta), far from r
+    r = u + 3.0 * n1
+    x = u
+    m = u + 0.25 * n2
+    cos = lambda a, b: float(  # noqa: E731
+        a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    )
+    assert cos(x, m) >= COSINE_THETA
+    assert cos(r, x) < COSINE_THETA and cos(r, m) < COSINE_THETA
+    rows = [(0, [float(v) for v in r]), (1, [float(v) for v in x]),
+            (2, [float(v) for v in m])]
+    kept, sig_map = _srp_admit(spark, rows, cap=1)
+    # precondition: the construction really produced one signature
+    # (float32 ingestion must not flip a projection sign)
+    assert len(set(sig_map.values())) == 1, sig_map
+    # the documented escape: root admitted alone would be the exact
+    # answer's shape; instead root + both members survive because the
+    # star pairs fail the verify and (x, m) was never a candidate
+    assert kept == {0, 1, 2}
+    # and the uncapped (batch-identical) join catches it: only root + x
+    kept_uncapped, _ = _srp_admit(spark, rows, cap=None)
+    assert kept_uncapped == {0, 1}

@@ -1045,3 +1045,241 @@ def test_stream_sample_bottomk_duplicate_redelivery(spark, sf_dir, tmp_path):
     assert set(got) == want
     versions = [d for d in os.listdir(state) if d.startswith("v")]
     assert len(versions) == 1  # older versions pruned after commit
+
+
+def test_srp_caps_none_bit_identical_and_widen_metric(spark, sf_dir):
+    """Round-11: (a) ``cap=None`` must be the raw (band, bv) join on
+    BOTH the self and probe sides even on a degenerate corpus the caps
+    would rewrite (full clique / full probe, not star / sub-banded);
+    (b) the widen metric (SRP_WIDEN_LAST + WARNING log) must record
+    over-cap rewrites and record zeros when nothing widens — the
+    round-10 advice: recall loss observable, never silent."""
+    import logging
+
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.operators.dedup import (
+        SRP_BAND_BITS,
+        SRP_BANDS,
+    )
+    from realtimevotingdataengineer_spark.operators.similarity import (
+        srp_band_signatures,
+    )
+    from realtimevotingdataengineer_spark.sources.tables import load_table
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    one = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .limit(1)
+        .collect()[0]
+        .embedding
+    )
+    n = 120
+    dup = spark.createDataFrame(
+        [(i, one) for i in range(n)], "vec_id bigint, embedding array<float>"
+    )
+    mk = lambda df: corpus._srp_sig_bands(  # noqa: E731
+        srp_band_signatures(
+            df, "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+        ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
+    bands = mk(dup)
+    # (a) self side: None == full clique (n choose 2), not the star
+    got = {
+        (r.ia, r.ib)
+        for r in corpus._capped_self_pairs(bands, "vec_id", None).collect()
+    }
+    assert got == {(a, b) for a in range(n) for b in range(a + 1, n)}
+    # probe side: None == every (new, base) combination (identical sigs)
+    base = mk(
+        spark.createDataFrame(
+            [(1000 + i, one) for i in range(5)],
+            "vec_id bigint, embedding array<float>",
+        )
+    )
+    gotp = {
+        (r.vec_new, r.vec_base)
+        for r in corpus._capped_probe_pairs(base, bands, None).collect()
+    }
+    assert gotp == {(a, 1000 + b) for a in range(n) for b in range(5)}
+    # (b) the capped run on the same degenerate corpus must record the
+    # widen and log it; an under-cap run must record zeros
+    logger = logging.getLogger("realtimevotingdataengineer_spark.streaming.corpus")
+    records: list = []
+
+    class _Cap(logging.Handler):
+        def emit(self, rec):
+            records.append(rec.getMessage())
+
+    h = _Cap(level=logging.WARNING)
+    logger.addHandler(h)
+    try:
+        corpus.SRP_WIDEN_LAST.clear()
+        corpus._capped_self_pairs(bands, "vec_id", corpus.SRP_CLIQUE_CAP).count()
+        assert corpus.SRP_WIDEN_LAST["self"]["buckets"] > 0
+        assert corpus.SRP_WIDEN_LAST["self"]["rows"] >= n
+        assert any("widened" in m for m in records)
+        small = mk(
+            spark.createDataFrame(
+                [(0, one)], "vec_id bigint, embedding array<float>"
+            )
+        )
+        corpus._capped_self_pairs(small, "vec_id", corpus.SRP_CLIQUE_CAP).count()
+        assert corpus.SRP_WIDEN_LAST["self"] == {"buckets": 0, "rows": 0}
+    finally:
+        logger.removeHandler(h)
+
+
+def test_bottomk_legacy_flat_state_migrates_to_v0(spark, sf_dir, tmp_path):
+    """Round-10 advice: a pre-versioning FLAT state layout (parquet
+    part files directly under state_path) must migrate to v0 and keep
+    accumulating — not silently restart the sample from empty. A
+    crashed legacy write (no _SUCCESS) must raise, not migrate."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.sources.tables import load_table
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    half = (mx + 1) // 2
+    state = str(tmp_path / "state")
+    # legacy writer: the pre-versioning layout was a plain overwrite
+    # parquet dir of (source, doc_id, h)
+    legacy = docs.filter(F.col("doc_id") < half).select(
+        "source",
+        "doc_id",
+        F.md5(
+            F.concat_ws(":", F.lit("fk"), F.col("doc_id").cast("string"), "source")
+        ).alias("h"),
+    )
+    legacy.write.parquet(state)
+    legacy_set = {(r.source, r.doc_id) for r in legacy.collect()}
+
+    # read path migrates and serves the legacy winners (k-cut applies)
+    got = {
+        (r.source, r.doc_id)
+        for r in corpus.read_bottomk_sample(spark, state).collect()
+    }
+    assert got <= legacy_set and got
+    assert os.path.isdir(os.path.join(state, "v0"))
+
+    # and a subsequent stream batch MERGES onto it (no restart): run the
+    # second half through the stream and compare with the batch sample
+    # over the full corpus
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    sdocs = spark.readStream.schema("doc_id bigint, source string").parquet(
+        str(stream_dir) + "/*"
+    )
+    q = corpus.stream_sample_bottomk(sdocs, state, str(tmp_path / "ck"))
+    docs.filter(F.col("doc_id") >= half).coalesce(1).write.parquet(
+        str(stream_dir / "b0")
+    )
+    q.processAllAvailable()
+    q.stop()
+    import realtimevotingdataengineer_spark.operators  # noqa: F401
+    from realtimevotingdataengineer_spark.registry import QUERIES
+    from realtimevotingdataengineer_spark.sources.tables import Tables
+
+    want = {
+        (r.source, r.doc_id)
+        for r in QUERIES["sample_fixed_k_stratified"](Tables(spark, sf_dir)).collect()
+    }
+    merged = {
+        (r.source, r.doc_id)
+        for r in corpus.read_bottomk_sample(spark, state).collect()
+    }
+    assert merged == want
+
+    # crashed legacy write: flat files, no _SUCCESS -> explicit error
+    state2 = str(tmp_path / "state2")
+    legacy.write.parquet(state2)
+    os.remove(os.path.join(state2, "_SUCCESS"))
+    with pytest.raises(RuntimeError, match="_SUCCESS"):
+        corpus.read_bottomk_sample(spark, state2)
+
+
+def test_srp_gate_legacy_index_without_sig_column(spark, sf_dir, tmp_path):
+    """Round-10 advice: an SRP band index written BEFORE the 'sig'
+    column existed must not fail at probe time — the gate reconstructs
+    the packed signature from the index's own band rows (distinct-first,
+    so replay-duplicated rows don't double-count) and produces the SAME
+    survivors as with the modern index."""
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.sources.tables import load_table
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mx = vecs.agg(F.max("vec_id")).collect()[0][0]
+    cut = (mx + 1) * 4 // 5
+    base = vecs.filter(F.col("vec_id") < cut)
+    batch = vecs.filter(F.col("vec_id") >= cut)
+
+    def run(idx_name, legacy):
+        idx = str(tmp_path / idx_name)
+        corpus.build_srp_stream_index(base, idx)
+        if legacy:
+            bands = spark.read.parquet(f"{idx}/bands")
+            # simulate the old layout: no sig, plus one duplicated row
+            old = bands.drop("sig")
+            dup_rows = old.limit(3)
+            old.union(dup_rows).write.mode("overwrite").parquet(
+                str(tmp_path / f"{idx_name}_flat")
+            )
+            spark.read.parquet(str(tmp_path / f"{idx_name}_flat")).write.mode(
+                "overwrite"
+            ).parquet(f"{idx}/bands")
+        surv = str(tmp_path / f"{idx_name}_surv")
+        corpus._srp_gate_batch(batch, idx, surv)
+        return {r.vec_id for r in spark.read.parquet(surv).collect()}
+
+    assert run("idx_modern", False) == run("idx_legacy", True)
+
+
+def test_minhash_gate_adaptive_admit_switches_on_batch_size(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round-10 verdict ask #1: with distributed_admit=None the gate
+    must pick the admit branch from the MEASURED batch size against
+    ADMIT_DRIVER_MAX — driver walk below, executor-side above — and
+    both runs must produce the identical survivor set (the property the
+    switch rests on). The distributed branch is proven taken by
+    patching the threshold below the batch size and spying the call."""
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.sources.tables import load_table
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    cut = (mx + 1) * 4 // 5
+    base = docs.filter(F.col("doc_id") < cut)
+    batch = docs.filter(F.col("doc_id") >= cut)
+    calls: list = []
+    real = corpus._greedy_admit_frames
+
+    def spy(ids, flagged, pairs):
+        calls.append(1)
+        return real(ids, flagged, pairs)
+
+    monkeypatch.setattr(corpus, "_greedy_admit_frames", spy)
+
+    def run(name, threshold):
+        monkeypatch.setattr(corpus, "ADMIT_DRIVER_MAX", threshold)
+        idx = str(tmp_path / f"{name}_idx")
+        corpus.build_minhash_index(base, idx)
+        surv = str(tmp_path / f"{name}_surv")
+        corpus._minhash_gate_batch(batch, idx, surv)  # adaptive default
+        return {r.doc_id for r in spark.read.parquet(surv).collect()}
+
+    walk = run("walk", 10**9)  # far above batch size -> driver walk
+    assert calls == []
+    dist = run("dist", 1)  # far below -> distributed branch
+    assert calls == [1]
+    assert walk == dist and walk
