@@ -251,18 +251,38 @@ def dedup_ngram_containment(
 # to O(n²)). Trigrams make the shingle space |V|³ — collisions then mean
 # genuine overlap. This mirrors standard MinHash practice (shingle, don't
 # tokenize).
-_SHINGLES_SQL = (
-    f"WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents), "
+_MH_TK_CTE = f"tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents)"
+_MH_SH_CTE = (
     "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1), "
-    "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM tk), "
-    "shingle AS (SELECT doc_id, u.g FROM sh, LATERAL unnest(sh) AS u(g)), "
+    "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM tk)"
+)
+_MH_SHINGLE_CTE = "shingle AS (SELECT doc_id, u.g FROM sh, LATERAL unnest(sh) AS u(g))"
+_MH_SIG_CTE = (
     f"sig AS (SELECT doc_id, s.i, min(md5('s' || CAST(s.i AS VARCHAR) || ':' || g)) AS mh "
-    f"FROM shingle, (SELECT unnest(range(0, {MINHASH_K})) AS i) s GROUP BY doc_id, s.i), "
+    f"FROM shingle, (SELECT unnest(range(0, {MINHASH_K})) AS i) s GROUP BY doc_id, s.i)"
+)
+_MH_BANDS_CTE = (
     "bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band, "
     "max(CASE WHEN i % 2 = 0 THEN mh END) || max(CASE WHEN i % 2 = 1 THEN mh END) AS bv "
-    "FROM sig GROUP BY doc_id, CAST(i // 2 AS INT)), "
+    "FROM sig GROUP BY doc_id, CAST(i // 2 AS INT))"
+)
+_MH_CAND_CTE = (
     "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
-    "JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id) "
+    "JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)"
+)
+_SHINGLES_SQL = (
+    "WITH "
+    + ", ".join(
+        [
+            _MH_TK_CTE,
+            _MH_SH_CTE,
+            _MH_SHINGLE_CTE,
+            _MH_SIG_CTE,
+            _MH_BANDS_CTE,
+            _MH_CAND_CTE,
+        ]
+    )
+    + " "
 )
 
 
@@ -2916,3 +2936,46 @@ def pipeline_clean_corpus_spans(t: Tables) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle fixture blocks (round-10 verdict ask #3): the two CTE chains
+# re-derived by the most oracles — the MinHash shingle/signature chain
+# (10 keys) and the SRP signature chain (5 keys) — declared for local
+# harnesses to materialize once per SF. The registered oracle strings
+# above are untouched (driver-safe); tools/check_oracle.py substitutes
+# these blocks with parquet-backed CTEs built from the SAME text.
+# ---------------------------------------------------------------------------
+from ..registry import register_oracle_fixture_block as _reg_fx  # noqa: E402
+
+_reg_fx(
+    "minhash_chain",
+    block=_SHINGLES_SQL[len("WITH ") :],
+    members={
+        "mh_sh": _SHINGLES_SQL + "SELECT doc_id, sh FROM sh",
+        "mh_sig": _SHINGLES_SQL + "SELECT doc_id, i, mh FROM sig",
+        "mh_bands": _SHINGLES_SQL + "SELECT doc_id, band, bv FROM bands",
+        "mh_cand": _SHINGLES_SQL + "SELECT doc_a, doc_b FROM cand",
+    },
+    # tk/shingle keep their original definitions (an unreferenced CTE
+    # costs nothing; some consumer tails re-use tk for token counts)
+    replacement=(
+        _MH_TK_CTE + ", "
+        "sh AS (SELECT * FROM '{fx}/mh_sh.parquet'), "
+        + _MH_SHINGLE_CTE
+        + ", "
+        "sig AS (SELECT * FROM '{fx}/mh_sig.parquet'), "
+        "bands AS (SELECT * FROM '{fx}/mh_bands.parquet'), "
+        "cand AS (SELECT * FROM '{fx}/mh_cand.parquet') "
+    ),
+)
+
+_SRP_S_CTE_TEXT = (
+    lambda: f"s AS (SELECT vec_id, {_srp_duck_sig()} AS sig FROM embeddings)"
+)()
+_reg_fx(
+    "srp_sig_chain",
+    block=_SRP_S_CTE_TEXT,
+    members={"srp_sig": f"WITH {_SRP_S_CTE_TEXT} SELECT vec_id, sig FROM s"},
+    replacement="s AS (SELECT * FROM '{fx}/srp_sig.parquet')",
+)

@@ -29,6 +29,38 @@ ORACLES: dict[str, str] = {}
 #: ``tools/registry_diff.py`` prints it.
 PAIRED_ORACLE: dict[str, str] = {}
 
+#: Shared oracle derived relations a LOCAL harness may materialize once
+#: per SF (round-10 verdict ask #3: shingle sets, signature chains and
+#: their band/candidate products are re-derived by 10+ oracles each).
+#: Each entry: ``block`` — the EXACT CTE chain text (sans leading
+#: "WITH ") as it appears inside registered oracle SQL; ``members`` —
+#: for each member relation to persist, the standalone SQL (over the
+#: ten base views) that builds it; ``replacement`` — the drop-in CTE
+#: chain reading the persisted members, with the literal token ``{fx}``
+#: standing for the fixture directory. Harness contract
+#: (tools/check_oracle.py): build each member to parquet once per SF
+#: (fixture filenames carry a hash of the member SQL, so a definition
+#: change auto-invalidates), then textually substitute — semantics are
+#: identical by construction (fixtures are built from the same block
+#: text) and the sweep's end-to-end value equality re-verifies every
+#: key. The REGISTERED oracle strings stay fully self-contained: the
+#: driver knows only the ten base views and never sees fixtures.
+ORACLE_FIXTURE_BLOCKS: list[dict] = []
+
+
+def register_oracle_fixture_block(
+    name: str, block: str, members: dict[str, str], replacement: str
+) -> None:
+    ORACLE_FIXTURE_BLOCKS.append(
+        {
+            "name": name,
+            "block": block,
+            "members": members,
+            "replacement": replacement,
+        }
+    )
+
+
 #: Keys whose registered form is the EXACT / BRUTE-FORCE member of a
 #: family — kept deliberately as the verification baseline the family's
 #: recall and correctness claims are measured against — mapped to the

@@ -179,3 +179,59 @@ def test_phash_all_constant_corpus_collapses(spark):
     pairs = multimodal.mm_dedup_phash(small)
     assert pairs.count() == m * (m - 1) // 2
     assert pairs.filter(F.col("hamming") != 0).count() == 0
+
+
+def test_feature_topk_counts_non_ascii_like_oracle(spark):
+    """Round-10 advice: the translate-based histogram must count EVERY
+    character the oracle's ascii(text[i]) % 8 counts — non-ASCII
+    included — not silently narrow the domain to 1..127. Expected
+    values computed per the oracle's semantics (Unicode codepoint % 8)
+    in pure Python on a mixed ASCII/Latin-1/CJK corpus."""
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    texts = [
+        "plain ascii only",
+        "café touché déjà-vu",          # Latin-1 accents
+        "数据 去重 与 相似搜索",            # CJK + spaces
+        "mixed: ÿ€中a b\x7f!",
+        "€€€€",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    t = SimpleNamespace(documents=docs, spark=spark)
+    got = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in multimodal.mm_feature_topk(t).collect()
+    }
+
+    def hist(s):
+        h = [0] * 8
+        for ch in s:
+            h[ord(ch) % 8] += 1
+        return np.array(h, dtype=float)
+
+    feats = {i: hist(s) for i, s in enumerate(texts)}
+    want = {}
+    for q in range(3):  # operator scores query_id < 3
+        scored = sorted(
+            (
+                (
+                    -float(
+                        feats[q]
+                        @ feats[c]
+                        / (np.linalg.norm(feats[q]) * np.linalg.norm(feats[c]))
+                    ),
+                    c,
+                )
+                for c in feats
+                if c != q
+            ),
+        )[:5]
+        for s, c in scored:
+            want[(q, c)] = -s
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
