@@ -50,9 +50,9 @@ HEADLINE = [
     "corpus_prune_semdedup",
     "events_anomaly_zscore",
     # round-4 additions: banded-hamming near-dup, bucket-local kNN graph,
-    # HLL calibration — one per new family
+    # HLL calibration — one per new family (sim_knn_graph moved to
+    # RETIRING_R12 in round 11 — its scale twin below is the tracked key)
     "dedup_simhash_hamming",
-    "sim_knn_graph",
     "agg_approx_distinct",
     # round-5 additions: the BLAS kNN kernel (vs. the codegen plan above),
     # the 64-bit simhash scale dial, and the two former sweep outliers so
@@ -62,11 +62,11 @@ HEADLINE = [
     "dedup_fuzzy_edit",
     "pipeline_export_corpus",
     # late round-5 families: frequent itemsets, exact-bitmap rolling
-    # distincts, incremental dedup, hashed-TF document search
+    # distincts, incremental dedup (sim_doc_topk_hashed moved to
+    # RETIRING_R12 in round 11 — its SRP twin below is the tracked key)
     "lineitem_market_basket",
     "events_rolling_wau_bitmap",
     "dedup_incremental_minhash",
-    "sim_doc_topk_hashed",
     # round-6 additions: the O(delta) nightly export capstone next to
     # the full rebuild it must match, and bucketed text retrieval next
     # to its brute-force baseline
@@ -109,6 +109,27 @@ HEADLINE = [
     # broadcast-vocab DP kernel, the multi-stage key whose sf-scaling
     # should be measured next to the batched BPE trainer above
     "text_viterbi_segment",
+    # round-11 reweighting (round-10 verdict ask #4): the bench tracks
+    # what a 100× user would RUN — the registry's BASELINE_ONLY scale
+    # paths — not the exact baselines they are verified against. Every
+    # BASELINE_ONLY-mapped scale path is now measured:
+    "sim_ivf_topk",
+    "dedup_embedding_bucketed",
+    "corpus_pack_sequences_sharded",
+    "text_ccnet_buckets_approx",
+    "events_value_equidepth_approx",
+]
+
+#: Exact-baseline keys measured THIS round only (appended to the run),
+#: so BENCH_r11 records both the old and new subsets side by side
+#: (continuity per round-10 verdict ask #4). One exact-baseline
+#: representative stays permanently (sim_bruteforce_topk, in HEADLINE
+#: above); these two duplicate scale twins already measured
+#: (sim_knn_graph_arrow, sim_doc_topk_hashed_srp) and leave the bench
+#: in round 12 by emptying this list — PERF.md documents the change.
+RETIRING_R12 = [
+    "sim_knn_graph",
+    "sim_doc_topk_hashed",
 ]
 
 
@@ -195,7 +216,7 @@ def main() -> None:
     construct: dict[str, float] = {}
     execute: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + RETIRING_R12:
         best = float("inf")
         best_parts = (0.0, 0.0)
         try:
