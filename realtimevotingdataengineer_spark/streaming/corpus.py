@@ -111,6 +111,26 @@ GREEDY_DEPTH_MAX = 64
 #: branches pinned equal).
 ADMIT_DRIVER_MAX = 2_000_000
 
+#: Batch-sized-broadcast bound (rows of the BATCH side). The gates hint
+#: F.broadcast on relations that are batch-sized by construction (band
+#: rows, survivor ids, batch vectors) — right for the rate-limited
+#: micro-batches the gates target, but an explicit broadcast hint
+#: bypasses autoBroadcastJoinThreshold entirely, and at 4M-vec batches
+#: the probe's build side is 32M band rows: measured GCLocker
+#: allocation stalls on broadcast-exchange (round 11,
+#: tools/stream_srp_admit_sweep.py). Past this bound the hint is
+#: dropped and Spark plans an ordinary shuffle join — identical
+#: results (a broadcast is only ever a hint), pinned by the existing
+#: gate-equality tests.
+BATCH_BROADCAST_MAX = 1_000_000
+
+
+def _maybe_broadcast(df: DataFrame, n_batch: int) -> DataFrame:
+    """F.broadcast hint only while the batch is small enough that a
+    full copy per executor is the obvious win (see
+    BATCH_BROADCAST_MAX)."""
+    return F.broadcast(df) if n_batch <= BATCH_BROADCAST_MAX else df
+
 
 def _greedy_admit_frames(
     ids: DataFrame, flagged: DataFrame, pairs: DataFrame
@@ -221,9 +241,10 @@ def _minhash_gate_batch(
 
     1. the Arrow kernel computes the batch's shingles + signatures
        (identical bitwise contract as every batch MinHash key);
-    2. candidates vs the PERSISTED index: index bands ⨝ broadcast(batch
-       bands) — the batch side is the small side by construction, so
-       the corpus-sized index is never shuffled, only scanned;
+    2. candidates vs the PERSISTED index: index bands ⨝ batch bands,
+       batch side broadcast while ≤ BATCH_BROADCAST_MAX rows — the
+       batch side is the small side by construction, so the
+       corpus-sized index is never shuffled, only scanned;
     3. candidates within the batch: the usual a<b band self-join
        (batch-sized, trivially small);
     4. both candidate sets are verified with the shared exact-Jaccard
@@ -279,7 +300,7 @@ def _minhash_gate_batch(
     )
     cand_idx = (
         idx_bands.join(
-            F.broadcast(nb),
+            _maybe_broadcast(nb, n_batch),
             (idx_bands.band == nb.band) & (idx_bands.bv == nb.bv),
         )
         .select("doc_new", F.col("doc_id").alias("doc_base"))
@@ -289,7 +310,9 @@ def _minhash_gate_batch(
         # batch against itself, or the replay admits nothing and the
         # survivor rows are lost forever
         .join(
-            F.broadcast(per_doc.select(F.col("doc_id").alias("doc_base"))),
+            _maybe_broadcast(
+                per_doc.select(F.col("doc_id").alias("doc_base")), n_batch
+            ),
             "doc_base",
             "left_anti",
         )
@@ -333,13 +356,14 @@ def _minhash_gate_batch(
         )
     # index rows FIRST, survivors last (see docstring: the index must
     # cover every doc the sink may contain at every crash point)
-    new_bands.join(F.broadcast(surv_ids), "doc_id").write.mode("append").parquet(
+    surv_b = _maybe_broadcast(surv_ids, n_batch)
+    new_bands.join(surv_b, "doc_id").write.mode("append").parquet(
         f"{index_path}/bands"
     )
-    new_sh.join(F.broadcast(surv_ids), "doc_id").write.mode("append").parquet(
+    new_sh.join(surv_b, "doc_id").write.mode("append").parquet(
         f"{index_path}/shingles"
     )
-    batch.join(F.broadcast(surv_ids), "doc_id").write.mode("append").parquet(
+    batch.join(surv_b, "doc_id").write.mode("append").parquet(
         survivors_path
     )
 
@@ -573,7 +597,10 @@ def _capped_self_pairs(
 
 
 def _capped_probe_pairs(
-    idx_bands: DataFrame, bat_bands: DataFrame, cap: int | None
+    idx_bands: DataFrame,
+    bat_bands: DataFrame,
+    cap: int | None,
+    batch_rows: int | None = None,
 ) -> DataFrame:
     """Batch × index band-collision candidates (vec_new, vec_base),
     with per-bucket sub-banding on the JOIN-COST product: a (band,
@@ -586,16 +613,20 @@ def _capped_probe_pairs(
     deeper nibbles (each extra nibble divides the product by ~256).
     The index side is scanned once and joined to two tiny broadcasts —
     never shuffled; the batch side is the broadcast build side of the
-    final join, exactly as the uncapped probe was. ``cap=None`` opts
+    final join while it stays under BATCH_BROADCAST_MAX rows (pass
+    ``batch_rows``) — past that the hint is dropped and Spark shuffles
+    both sides (measured GCLocker stalls broadcasting 32M band rows at
+    4M-vec batches, round 11). ``cap=None`` opts
     out: the raw (band, bv) probe, bit-identical to the batch key.
     Widened buckets are logged and recorded in SRP_WIDEN_LAST."""
     from ..operators.dedup import SRP_BAND_BITS, SRP_BANDS
 
+    nb_rows = batch_rows if batch_rows is not None else 0
     if cap is None:
         nb = bat_bands.select(F.col("vec_id").alias("vec_new"), "band", "bv")
         return (
             idx_bands.join(
-                F.broadcast(nb),
+                _maybe_broadcast(nb, nb_rows),
                 (idx_bands.band == nb.band) & (idx_bands.bv == nb.bv),
             )
             .select("vec_new", F.col("vec_id").alias("vec_base"))
@@ -652,7 +683,7 @@ def _capped_probe_pairs(
         .select(F.col("vec_id").alias("vec_base"), "band", "pw", "k")
     )
     return (
-        probe_i.join(F.broadcast(probe_b), ["band", "pw", "k"])
+        probe_i.join(_maybe_broadcast(probe_b, nb_rows), ["band", "pw", "k"])
         .select("vec_new", "vec_base")
         .distinct()
     )
@@ -749,8 +780,12 @@ def _srp_gate_batch(
         )
         idx_bands = idx_bands.join(sig_map, "vec_id")
     idx_vecs = spark.read.parquet(f"{index_path}/vectors")
-    cand_idx = _capped_probe_pairs(idx_bands, new_bands, probe_cap).join(
-        F.broadcast(vecs.select(F.col("vec_id").alias("vec_base"))),
+    cand_idx = _capped_probe_pairs(
+        idx_bands, new_bands, probe_cap, batch_rows=n_batch
+    ).join(
+        _maybe_broadcast(
+            vecs.select(F.col("vec_id").alias("vec_base")), n_batch
+        ),
         "vec_base",
         "left_anti",  # replay self-exclusion (see docstring)
     )
@@ -762,7 +797,7 @@ def _srp_gate_batch(
     ).withColumn("nb", norm_expr("eb", EMB_DIM))
     cos_idx = dot_expr("ea", "eb", EMB_DIM) / (F.col("na") * F.col("nb"))
     flagged_df = (
-        cand_idx.join(F.broadcast(va), "vec_new")
+        cand_idx.join(_maybe_broadcast(va, n_batch), "vec_new")
         .join(vb, "vec_base")
         .select("vec_new", cos_idx.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_THETA)
@@ -805,13 +840,14 @@ def _srp_gate_batch(
         )
     # index rows FIRST, survivors last (crash-containment: the index
     # must cover every vector the sink may contain)
-    new_bands.join(F.broadcast(surv_ids), "vec_id").write.mode("append").parquet(
+    surv_b = _maybe_broadcast(surv_ids, n_batch)
+    new_bands.join(surv_b, "vec_id").write.mode("append").parquet(
         f"{index_path}/bands"
     )
-    vecs.join(F.broadcast(surv_ids), "vec_id").write.mode("append").parquet(
+    vecs.join(surv_b, "vec_id").write.mode("append").parquet(
         f"{index_path}/vectors"
     )
-    batch.join(F.broadcast(surv_ids), "vec_id").write.mode("append").parquet(
+    batch.join(surv_b, "vec_id").write.mode("append").parquet(
         survivors_path
     )
 

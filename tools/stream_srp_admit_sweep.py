@@ -42,6 +42,12 @@ SIZES = (
     else [250_000, 500_000, 1_000_000, 2_000_000, 4_000_000]
 )
 THRESHOLD = int(sys.argv[2]) if len(sys.argv) > 2 else corpus.ADMIT_DRIVER_MAX
+# local-mode note: the "driver" JVM is also every executor, so its heap
+# must hold the batch's checkpointed blocks (~4 GB at 4M×64-dim) PLUS
+# execution memory — size it like the executors it stands in for. The
+# probe's RSS claim is about the PYTHON process (the admit collects),
+# which /proc/self/status isolates from the JVM.
+DRIVER_MEM = os.environ.get("SWEEP_DRIVER_MEM", "8g")
 VEC_SPACE = 20_000
 EMB_DIM = 64
 
@@ -61,7 +67,7 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", DRIVER_MEM)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
