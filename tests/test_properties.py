@@ -679,6 +679,20 @@ def test_greedy_admit_frames_matches_python_greedy(spark, g):
         for r in corpus._greedy_admit_frames(ids_df, fl_df, pr_df).collect()
     }
     assert got == want
+    # round 11: the same arbitrary graph must ALSO survive the
+    # driver-walk FALLBACK path (round bound patched to 2, so any
+    # example with dependency depth > 2 finishes on the fallback) —
+    # the poison-batch fix may not change a single survivor
+    depth_max = corpus.GREEDY_DEPTH_MAX
+    corpus.GREEDY_DEPTH_MAX = 2
+    try:
+        got2 = {
+            r.doc_id
+            for r in corpus._greedy_admit_frames(ids_df, fl_df, pr_df).collect()
+        }
+    finally:
+        corpus.GREEDY_DEPTH_MAX = depth_max
+    assert got2 == want
 
 
 hash_corpus_strategy = st.lists(
@@ -925,3 +939,44 @@ def test_capped_srp_star_fallback_escape_class_is_real(spark):
     # and the uncapped (batch-identical) join catches it: only root + x
     kept_uncapped, _ = _srp_admit(spark, rows, cap=None)
     assert kept_uncapped == {0, 1}
+
+
+sep_token_corpus_strategy = st.lists(
+    st.lists(
+        # tokens over a tiny alphabet INCLUDING the retired digest
+        # separator byte, so distinct shingle sets collide under the
+        # old encoding with real probability
+        st.sampled_from(["a", "b", "a\x1fb", "b\x1fa", "a\x1fa", "b\x1fb"]),
+        min_size=3,
+        max_size=6,
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(docs_toks=sep_token_corpus_strategy)
+@SET
+def test_minhash_collapse_injective_digest_on_separator_corpora(
+    spark, docs_toks
+):
+    """Round-11 property behind the digest fix: on random corpora whose
+    tokens CONTAIN the retired separator byte (tokens split only on
+    whitespace, so \\x1f is legal content), the collapsed branch must
+    equal the raw band join pair-for-pair. Under the old
+    concat_ws-digest these corpora collide distinct shingle sets with
+    real probability (the fixed regression test holds one such pair);
+    the injective digest must make the branch choice invisible on ALL
+    of them."""
+    from types import SimpleNamespace
+
+    from realtimevotingdataengineer_spark.operators import dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_toks)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    t = SimpleNamespace(documents=docs, spark=spark)
+    _sh, _sig, raw = dedup.minhash_parts(t, collapse=False)
+    want = {(r.doc_a, r.doc_b) for r in raw.collect()}
+    _sh, _sig, col = dedup.minhash_parts(t, collapse=True)
+    got = {(r.doc_a, r.doc_b) for r in col.collect()}
+    assert got == want
