@@ -2979,3 +2979,21 @@ _reg_fx(
     members={"srp_sig": f"WITH {_SRP_S_CTE_TEXT} SELECT vec_id, sig FROM s"},
     replacement="s AS (SELECT * FROM '{fx}/srp_sig.parquet')",
 )
+
+_reg_fx(
+    "simhash32_chain",
+    block=_SIMHASH_CTES[len("WITH ") :],
+    members={
+        "simhash32": _SIMHASH_CTES + " SELECT doc_id, simhash FROM sh32"
+    },
+    # tk/toks/bits are internal to the chain — no consumer tail
+    # references them, so the replacement defines only sh32
+    replacement="sh32 AS (SELECT * FROM '{fx}/simhash32.parquet')",
+)
+
+_reg_fx(
+    "simhash64_chain",
+    block=_SIMHASH64_CTES[len("WITH ") :],
+    members={"simhash64": _SIMHASH64_CTES + " SELECT doc_id, lo, hi FROM sh64"},
+    replacement="sh64 AS (SELECT * FROM '{fx}/simhash64.parquet')",
+)
