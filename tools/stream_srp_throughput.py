@@ -120,6 +120,10 @@ def main() -> None:
                 "survivors": n_surv,
                 "index_band_rows": n_bands,
                 "bands_per_survivor": SRP_BANDS,
+                # round 11: last-batch widen observability — nonzero
+                # buckets means the run was in the documented sub-banding
+                # approximation regime (see corpus.SRP_CLIQUE_CAP)
+                "widen_last_batch": dict(corpus.SRP_WIDEN_LAST),
             }
         )
     )
