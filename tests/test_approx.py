@@ -128,8 +128,8 @@ def test_knn_graph_bucket_local_with_full_fanout(t):
     from collections import Counter
 
     from realtimevotingdataengineer_spark.operators.similarity import (
-        KNN_CENTROIDS,
         KNN_K,
+        derived_n_cent,
         ivf_assign_fixed,
         sim_knn_graph,
     )
@@ -139,7 +139,9 @@ def test_knn_graph_bucket_local_with_full_fanout(t):
     assert max(fanout.values()) <= KNN_K
     assign = {
         r.vec_id: r.cent_id
-        for r in ivf_assign_fixed(t.embeddings, 1, KNN_CENTROIDS).collect()
+        for r in ivf_assign_fixed(
+            t.embeddings, 1, derived_n_cent(t.embeddings)
+        ).collect()
     }
     for r in rows:
         assert assign[r.src_id] == assign[r.dst_id]

@@ -599,11 +599,14 @@ def test_sample_to_budget_follows_schedule(t):
 
 
 def test_embedding_bucketed_subset_with_recall(t):
-    """dedup_embedding_bucketed (2-probe IVF candidate generation) must
-    be a subset of the brute-force pair set with bitwise-equal cosines —
-    bucketing may only LOSE pairs, never invent or perturb them. The
-    recall floor is a regression tripwire under the deterministic
-    codebook (measured 0.79 at sf0.001), not a statistical tolerance."""
+    """dedup_embedding_bucketed (4-probe IVF candidate generation over
+    the corpus-derived codebook) must be a subset of the brute-force
+    pair set with bitwise-equal cosines — bucketing may only LOSE pairs,
+    never invent or perturb them. The recall floor is a regression
+    tripwire under the deterministic codebook (round-12 re-measure per
+    rung: 0.80 at sf0.01/k=32, 0.66 at sf0.1/k=64 with DEDUP_N_PROBE=4;
+    p=2 at the derived rungs measured 0.42/0.34 — too low, hence p=4),
+    not a statistical tolerance."""
     exact = {
         (r.vec_a, r.vec_b): r.cosine
         for r in QUERIES["dedup_embedding_cosine"](t).collect()
