@@ -89,11 +89,13 @@ def _greedy_admit(ids, flagged, in_pairs) -> set:
 #: least the minimum undecided id, and a round's frontier is the
 #: conflict graph's dependency depth — 1 for the clique/star buckets
 #: near-dup batches actually produce, pathological alternating CHAINS
-#: (a~b~c~d where a,c survive) need depth rounds. 64 covers any real
-#: batch; past it the REMAINING (much-shrunk) subproblem finishes on
-#: the driver walk — never an error: a deterministic raise under
-#: exactly-once replay would poison the batch forever (round-10
-#: advice), and the leftover chain tail is depth-bounded small.
+#: (a~b~c~d where a,c survive) need depth rounds and decide only ~2 ids
+#: per round — so the post-bound leftover is NOT depth-bounded small
+#: (round-11 advice; the old comment claimed it was). 64 covers any
+#: real batch; past it rounds CONTINUE until the undecided count fits
+#: ADMIT_DRIVER_MAX, and only then does the driver walk finish the
+#: tail — never an error: a deterministic raise under exactly-once
+#: replay would poison the batch forever (round-10 advice).
 GREEDY_DEPTH_MAX = 64
 
 #: Adaptive admit switch point (admit-input ids per micro-batch). Below
@@ -152,17 +154,23 @@ def _greedy_admit_frames(
 
     The minimum undecided id is decided every round, and the round
     count equals the dependency depth of the graph — 1 for cliques and
-    stars (the shape near-dup buckets take), bounded by
-    GREEDY_DEPTH_MAX for adversarial chains; a deeper-than-bound chain
-    (≥ ~128 incrementally-edited docs in one batch) finishes on the
-    driver walk over the REMAINING undecided subgraph — at ≥1 decided
-    id per round the leftover is batch-minus-128 at most, in practice
-    the thin tail of a pathological chain, so the collect is bounded
-    and the batch can never become a deterministic poison batch under
-    replay (round-10 advice). Per-round state is eagerly
-    localCheckpoint'ed (the repo's iterative-plan lesson: graph.py BFS
-    collapsed 30 scans → 1 the same way). Returns a DataFrame with the
-    admitted ids under the input id column name."""
+    stars (the shape near-dup buckets take). Adversarial chains need
+    depth rounds, and an ALTERNATING chain decides only ~2 ids per
+    round, so after GREEDY_DEPTH_MAX rounds the undecided leftover can
+    still be nearly batch-sized (round-11 advice — the earlier
+    "depth-bounded small" claim was wrong). The driver-walk fallback is
+    therefore gated on the MEASURED leftover: rounds continue past
+    GREEDY_DEPTH_MAX until the undecided count is ≤ ADMIT_DRIVER_MAX
+    (each round decides ≥1 id, so this terminates), and only then does
+    the walk collect — the same driver-memory contract as the adaptive
+    admit switch. Leftover pairs reach the driver through JOINS against
+    the undecided/admitted frames (never a multi-million-term isin()
+    expression), so every collect is bounded by the undecided subgraph.
+    Never an error: a deterministic raise under exactly-once replay
+    would poison the batch forever (round-10 advice). Per-round state
+    is eagerly localCheckpoint'ed (the repo's iterative-plan lesson:
+    graph.py BFS collapsed 30 scans → 1 the same way). Returns a
+    DataFrame with the admitted ids under the input id column name."""
     id_col = ids.columns[0]
     und = ids.join(
         flagged.toDF(id_col).distinct(), id_col, "left_anti"
@@ -171,9 +179,16 @@ def _greedy_admit_frames(
     # the hardcoded bigint broke non-bigint id streams)
     adm = und.limit(0).localCheckpoint(eager=True)
     pr = pairs.toDF("a", "b").localCheckpoint(eager=True)
-    for _ in range(GREEDY_DEPTH_MAX):
+    rounds = 0
+    while True:
         if und.isEmpty():
             return adm
+        # driver-walk fallback only once the leftover provably fits the
+        # driver contract; above it keep deciding distributedly (≥1 id
+        # per round — terminates) instead of collecting a near-batch
+        # undecided set (round-11 advice)
+        if rounds >= GREEDY_DEPTH_MAX and und.count() <= ADMIT_DRIVER_MAX:
+            break
         active_a = und.toDF("a").union(adm.toDF("a")).distinct()
         blocked = pr.join(active_a, "a").select(F.col("b").alias(id_col)).distinct()
         adm_new = und.join(blocked, id_col, "left_anti").localCheckpoint(eager=True)
@@ -186,25 +201,25 @@ def _greedy_admit_frames(
             .join(drop_new, id_col, "left_anti")
             .localCheckpoint(eager=True)
         )
-    if und.isEmpty():  # decided exactly on the last allowed round
-        return adm
+        rounds += 1
     # Chain deeper than the bound: finish the leftover on the driver
     # walk. Only pairs BOTH of whose endpoints are still undecided can
     # change the outcome, except that an undecided id is also blocked
     # by an already-ADMITTED smaller neighbor — fold those in as
-    # pre-flagged. The collects are bounded by the (shrunken) leftover.
-    und_ids = sorted(r[0] for r in und.collect())
-    und_set = set(und_ids)
-    kept_pre = {r[0] for r in adm.collect()}
+    # pre-flagged. Leftover pairs are carved out by JOINS against the
+    # undecided/admitted frames (an isin() over the id list would build
+    # a near-batch-sized IN expression on the driver — round-11
+    # advice), so each collect is bounded by the undecided subgraph.
+    und_b = und.toDF("b")
+    rel_b_und = pr.join(und_b, "b").localCheckpoint(eager=True)
+    pre_blocked = {
+        r.b for r in rel_b_und.join(adm.toDF("a"), "a").select("b").distinct().collect()
+    }
     rel = [
-        (a, b)
-        for a, b in (
-            (r.a, r.b) for r in pr.filter(F.col("b").isin(und_ids)).collect()
-        )
-        if b in und_set and (a in und_set or a in kept_pre)
+        (r.a, r.b) for r in rel_b_und.join(und.toDF("a"), "a").select("a", "b").collect()
     ]
-    pre_blocked = {b for a, b in rel if a in kept_pre}
-    tail = _greedy_admit(und_ids, pre_blocked, [p for p in rel if p[0] in und_set])
+    und_ids = sorted(r[0] for r in und.collect())
+    tail = _greedy_admit(und_ids, pre_blocked, rel)
     spark = und.sparkSession
     if tail:
         adm = adm.union(
@@ -298,9 +313,16 @@ def _minhash_gate_batch(
     nb = new_bands.select(
         F.col("doc_id").alias("doc_new"), "band", "bv"
     )
+    # the hinted relation is EXPLODED band rows, not documents — gate
+    # the hint on its actual row count (round-11 advice: n_batch alone
+    # under-counts by the bands-per-doc factor, so a just-under-cap
+    # batch still force-broadcast millions of band rows)
+    from ..operators.dedup import MINHASH_K
+
+    n_band_rows = n_batch * (MINHASH_K // 2)
     cand_idx = (
         idx_bands.join(
-            _maybe_broadcast(nb, n_batch),
+            _maybe_broadcast(nb, n_band_rows),
             (idx_bands.band == nb.band) & (idx_bands.bv == nb.bv),
         )
         .select("doc_new", F.col("doc_id").alias("doc_base"))
@@ -570,8 +592,16 @@ def _capped_self_pairs(
         width.otherwise(F.lit(SRP_BANDS)).alias("width"),
         (F.col("c_full") > cap).alias("deg"),
     ).localCheckpoint(eager=True)
-    wb, wr = wmap.filter((F.col("width") > 1) | F.col("deg")).agg(
-        F.count(F.lit(1)), F.coalesce(F.sum("c_full"), F.lit(0))
+    # metric counts DISTINCT widened (band, key-at-chosen-width) buckets,
+    # not (band, full-signature) groups — several full-sig groups share
+    # one widened bucket and the group count overstated it (round-11
+    # advice); rows = batch rows living in those buckets
+    widened = wmap.filter((F.col("width") > 1) | F.col("deg")).withColumn(
+        "k",
+        F.expr(f"rot & (shiftleft(CAST(1 AS BIGINT), {SRP_BAND_BITS} * width) - 1)"),
+    )
+    wb, wr = widened.agg(
+        F.countDistinct("band", "k"), F.coalesce(F.sum("c_full"), F.lit(0))
     ).first()
     _note_widen("self", int(wb), int(wr))
     keyed = rows.join(wmap.drop("c_full"), ["band", "rot"]).withColumn(
@@ -621,7 +651,10 @@ def _capped_probe_pairs(
     Widened buckets are logged and recorded in SRP_WIDEN_LAST."""
     from ..operators.dedup import SRP_BAND_BITS, SRP_BANDS
 
-    nb_rows = batch_rows if batch_rows is not None else 0
+    # hinted relations below are band ROWS (SRP_BANDS per vector), so
+    # the broadcast gate compares their actual row count, not the raw
+    # vector count (round-11 advice)
+    nb_rows = (batch_rows if batch_rows is not None else 0) * SRP_BANDS
     if cap is None:
         nb = bat_bands.select(F.col("vec_id").alias("vec_new"), "band", "bv")
         return (
@@ -666,9 +699,20 @@ def _capped_probe_pairs(
     wmap = comb.select(
         "band", "kd", "bcnt", width.alias("pw")
     ).localCheckpoint(eager=True)
-    wb, wr = wmap.filter(F.col("pw") > 1).agg(
-        F.count(F.lit(1)), F.coalesce(F.sum("bcnt"), F.lit(0.0))
-    ).first()
+    # metric: distinct widened (band, key-at-chosen-width) buckets among
+    # buckets that actually carry BATCH rows — index-only buckets
+    # (bcnt=0) contribute no probe rows and lose no recall, and the raw
+    # (band, kd) row count double-counted buckets that widen to a
+    # shared shorter key (round-11 advice)
+    wb, wr = (
+        wmap.filter((F.col("pw") > 1) & (F.col("bcnt") > 0))
+        .withColumn(
+            "wk",
+            F.expr(f"kd & (shiftleft(CAST(1 AS BIGINT), {SRP_BAND_BITS} * pw) - 1)"),
+        )
+        .agg(F.countDistinct("band", "wk"), F.coalesce(F.sum("bcnt"), F.lit(0.0)))
+        .first()
+    )
     _note_widen("probe", int(wb), int(wr))
     wmap = wmap.drop("bcnt")
     key = F.expr(f"rot & (shiftleft(CAST(1 AS BIGINT), {SRP_BAND_BITS} * pw) - 1)")
@@ -753,21 +797,35 @@ def _srp_gate_batch(
         vecs, "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
     ).localCheckpoint(eager=True)
     new_bands = _srp_sig_bands(sigs).localCheckpoint(eager=True)
-    idx_bands = spark.read.parquet(f"{index_path}/bands")
+    # mergeSchema: after ONE batch appended sig-carrying files to a
+    # legacy (pre-'sig') bands dir the dir is mixed-schema, and a plain
+    # read may infer the schema from either kind of footer — legacy
+    # rows would then surface with sig NULL and silently drop out of
+    # the rot/kd probe keys (round-11 advice: the 'sig not in columns'
+    # gate never fires on a mixed dir)
+    idx_bands = (
+        spark.read.option("mergeSchema", "true").parquet(f"{index_path}/bands")
+    )
+    # legacy (pre-sub-banding) rows without the packed signature:
+    # reconstruct it — sig is by construction Σ bv_j << 4j over the
+    # vector's DISTINCT band rows (replay may have duplicated rows;
+    # each vector has exactly one bv per band, so distinct first, then
+    # sum — round-10 advice: old indexes must not fail at probe time).
+    # Repair is row-level (coalesce), not column-presence-gated, so a
+    # mixed legacy+new dir heals too; the rebuild scans only the
+    # NULL-sig rows, which is empty (and free at plan time via the
+    # isEmpty short-circuit) on a fully-migrated index. Rebuild the
+    # artifact with build_srp_stream_index to stop paying the check.
     if "sig" not in idx_bands.columns:
-        # legacy (pre-sub-banding) index without the packed signature:
-        # reconstruct it — sig is by construction Σ bv_j << 4j over the
-        # vector's DISTINCT band rows (replay may have duplicated rows;
-        # each vector has exactly one bv per band, so distinct first,
-        # then sum — round-10 advice: old indexes must not fail at
-        # probe time). Per-batch rebuild cost; rebuild the artifact
-        # with build_srp_stream_index to stop paying it.
+        idx_bands = idx_bands.withColumn("sig", F.lit(None).cast("bigint"))
+    legacy = idx_bands.filter(F.col("sig").isNull())
+    if not legacy.isEmpty():
         _LOG.warning(
-            "SRP index at %s predates the 'sig' column — reconstructing "
+            "SRP index at %s carries pre-'sig' rows — reconstructing "
             "per batch; rebuild the index to persist it", index_path
         )
         sig_map = (
-            idx_bands.select("vec_id", "band", "bv")
+            legacy.select("vec_id", "band", "bv")
             .distinct()
             .groupBy("vec_id")
             .agg(
@@ -775,10 +833,15 @@ def _srp_gate_batch(
                     F.expr(
                         f"shiftleft(CAST(bv AS BIGINT), {SRP_BAND_BITS} * band)"
                     )
-                ).alias("sig")
+                ).alias("sig_rebuilt")
             )
         )
-        idx_bands = idx_bands.join(sig_map, "vec_id")
+        idx_bands = idx_bands.join(sig_map, "vec_id", "left").select(
+            "vec_id",
+            "band",
+            "bv",
+            F.coalesce(F.col("sig"), F.col("sig_rebuilt")).alias("sig"),
+        )
     idx_vecs = spark.read.parquet(f"{index_path}/vectors")
     cand_idx = _capped_probe_pairs(
         idx_bands, new_bands, probe_cap, batch_rows=n_batch
@@ -797,7 +860,11 @@ def _srp_gate_batch(
     ).withColumn("nb", norm_expr("eb", EMB_DIM))
     cos_idx = dot_expr("ea", "eb", EMB_DIM) / (F.col("na") * F.col("nb"))
     flagged_df = (
-        cand_idx.join(_maybe_broadcast(va, n_batch), "vec_new")
+        # va carries the EMB_DIM-double payload (~32× an id row), so
+        # weight the broadcast gate by payload, same rationale as the
+        # band-row scaling above: the cap was calibrated in row-sized
+        # units and a hint bypasses autoBroadcastJoinThreshold entirely
+        cand_idx.join(_maybe_broadcast(va, n_batch * (EMB_DIM // 2)), "vec_new")
         .join(vb, "vec_base")
         .select("vec_new", cos_idx.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_THETA)
@@ -966,8 +1033,21 @@ def _migrate_legacy_bottomk_state(spark, state_path: str) -> None:
         return
     flat = [st.getPath() for st in fs.listStatus(root) if st.isFile()]
     names = {p.getName() for p in flat}
+    jvm0 = spark._jvm
+    v0_probe = jvm0.org.apache.hadoop.fs.Path(root, "v0")
     if not any(n.startswith("part-") and ".parquet" in n for n in names):
-        return  # empty/new state dir — nothing legacy to migrate
+        # resume tail of a crashed migration: every part already moved,
+        # only the trailing _SUCCESS rename remains (it moves LAST, so
+        # an uncommitted v0 with a flat _SUCCESS is exactly this state)
+        if "_SUCCESS" in names and fs.exists(v0_probe):
+            fs.rename(
+                jvm0.org.apache.hadoop.fs.Path(root, "_SUCCESS"),
+                jvm0.org.apache.hadoop.fs.Path(v0_probe, "_SUCCESS"),
+            )
+            _LOG.warning(
+                "completed interrupted legacy state migration at %s", state_path
+            )
+        return  # otherwise: empty/new state dir — nothing legacy to migrate
     if "_SUCCESS" not in names:
         raise RuntimeError(
             f"legacy (flat) sample state under {state_path} has no "
@@ -977,7 +1057,15 @@ def _migrate_legacy_bottomk_state(spark, state_path: str) -> None:
     jvm = spark._jvm
     v0 = jvm.org.apache.hadoop.fs.Path(root, "v0")
     fs.mkdirs(v0)
-    for p in flat:
+    # crash ordering: data part files move FIRST, the _SUCCESS commit
+    # marker moves LAST (round-11 advice — listStatus order could move
+    # _SUCCESS early, and a crash mid-loop would leave v0 carrying the
+    # commit marker over partial data while the un-moved flat parts are
+    # never revisited: silent sample truncation). With _SUCCESS last, a
+    # crashed migration leaves v0 uncommitted — _latest_state_version
+    # ignores it and the re-run migrates the remainder (renames of
+    # already-moved names are skipped by the flat re-list).
+    for p in sorted(flat, key=lambda p: p.getName() == "_SUCCESS"):
         if not fs.rename(p, jvm.org.apache.hadoop.fs.Path(v0, p.getName())):
             raise RuntimeError(f"legacy state migration failed moving {p}")
     _LOG.warning("migrated legacy flat sample state at %s to v0", state_path)

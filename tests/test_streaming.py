@@ -1209,7 +1209,14 @@ def test_srp_gate_legacy_index_without_sig_column(spark, sf_dir, tmp_path):
     column existed must not fail at probe time — the gate reconstructs
     the packed signature from the index's own band rows (distinct-first,
     so replay-duplicated rows don't double-count) and produces the SAME
-    survivors as with the modern index."""
+    survivors as with the modern index.
+
+    Round-11 advice: the gate APPENDS sig-carrying band files, so after
+    one batch a legacy dir is MIXED-schema — a later batch must still
+    see the legacy rows (sig repaired row-level via coalesce, not
+    column-presence-gated), or duplicates vs the old corpus are
+    silently admitted. The two-batch leg pins that: batch 2 runs
+    against the migrated-then-appended index."""
     from pyspark.sql import functions as F
 
     from realtimevotingdataengineer_spark.sources.tables import load_table
@@ -1217,9 +1224,11 @@ def test_srp_gate_legacy_index_without_sig_column(spark, sf_dir, tmp_path):
 
     vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     mx = vecs.agg(F.max("vec_id")).collect()[0][0]
-    cut = (mx + 1) * 4 // 5
+    cut = (mx + 1) * 3 // 5
+    cut2 = (mx + 1) * 4 // 5
     base = vecs.filter(F.col("vec_id") < cut)
-    batch = vecs.filter(F.col("vec_id") >= cut)
+    batch1 = vecs.filter((F.col("vec_id") >= cut) & (F.col("vec_id") < cut2))
+    batch2 = vecs.filter(F.col("vec_id") >= cut2)
 
     def run(idx_name, legacy):
         idx = str(tmp_path / idx_name)
@@ -1236,10 +1245,76 @@ def test_srp_gate_legacy_index_without_sig_column(spark, sf_dir, tmp_path):
                 "overwrite"
             ).parquet(f"{idx}/bands")
         surv = str(tmp_path / f"{idx_name}_surv")
-        corpus._srp_gate_batch(batch, idx, surv)
+        # batch 1 appends sig-carrying files → the legacy dir is now
+        # mixed-schema; batch 2 must still probe the legacy rows
+        corpus._srp_gate_batch(batch1, idx, surv)
+        corpus._srp_gate_batch(batch2, idx, surv)
         return {r.vec_id for r in spark.read.parquet(surv).collect()}
 
     assert run("idx_modern", False) == run("idx_legacy", True)
+
+
+def test_bottomk_migration_crash_resume_commits_success_last(
+    spark, sf_dir, tmp_path
+):
+    """Round-11 advice: the legacy→v0 migration must move data part
+    files FIRST and the _SUCCESS marker LAST, so a crash mid-migration
+    leaves v0 UNCOMMITTED (invisible to _latest_state_version) and the
+    re-run finishes the move — never a committed v0 over partial data.
+    Simulates the worst crash points by hand-arranging the dir."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.sources.tables import load_table
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    legacy = docs.select(
+        "source",
+        "doc_id",
+        F.md5(
+            F.concat_ws(":", F.lit("fk"), F.col("doc_id").cast("string"), "source")
+        ).alias("h"),
+    ).repartition(4)
+    legacy_set = {(r.source, r.doc_id) for r in legacy.collect()}
+
+    def crash_state(name, move_parts, move_success):
+        state = str(tmp_path / name)
+        legacy.write.parquet(state)
+        parts = sorted(
+            f for f in os.listdir(state) if f.startswith("part-")
+        )
+        os.makedirs(os.path.join(state, "v0"), exist_ok=True)
+        for f in parts[:move_parts]:
+            shutil.move(os.path.join(state, f), os.path.join(state, "v0", f))
+        if move_success:
+            shutil.move(
+                os.path.join(state, "_SUCCESS"),
+                os.path.join(state, "v0", "_SUCCESS"),
+            )
+        return state
+
+    # crash mid-parts: v0 has some parts, no _SUCCESS anywhere in v0
+    st = crash_state("mid", move_parts=2, move_success=False)
+    assert corpus._latest_state_version(spark, st) is None  # uncommitted
+    got = {
+        (r.source, r.doc_id)
+        for r in corpus.read_bottomk_sample(spark, st).collect()
+    }
+    assert got and got <= legacy_set
+    assert os.path.exists(os.path.join(st, "v0", "_SUCCESS"))
+    assert corpus._latest_state_version(spark, st) == 0
+
+    # crash after the last part, before the marker: only _SUCCESS flat
+    st2 = crash_state("tail", move_parts=4, move_success=False)
+    got2 = {
+        (r.source, r.doc_id)
+        for r in corpus.read_bottomk_sample(spark, st2).collect()
+    }
+    assert got2 == got
+    assert corpus._latest_state_version(spark, st2) == 0
 
 
 def test_minhash_gate_adaptive_admit_switches_on_batch_size(
