@@ -120,17 +120,14 @@ HEADLINE = [
     "events_value_equidepth_approx",
 ]
 
-#: Exact-baseline keys measured THIS round only (appended to the run),
-#: so BENCH_r11 records both the old and new subsets side by side
-#: (continuity per round-10 verdict ask #4). One exact-baseline
-#: representative stays permanently (sim_bruteforce_topk, in HEADLINE
-#: above); these two duplicate scale twins already measured
-#: (sim_knn_graph_arrow, sim_doc_topk_hashed_srp) and leave the bench
-#: in round 12 by emptying this list — PERF.md documents the change.
-RETIRING_R12 = [
-    "sim_knn_graph",
-    "sim_doc_topk_hashed",
-]
+#: Emptied in round 12 (round-11 verdict ask #2): sim_knn_graph and
+#: sim_doc_topk_hashed left the bench — BENCH_r11 recorded both subsets
+#: side by side, so r12-vs-r11 drift comparisons use the common keys
+#: (tools/bench_drift.py). One exact-baseline representative stays
+#: permanently (sim_bruteforce_topk, in HEADLINE above); the retired
+#: keys' scale twins (sim_knn_graph_arrow, sim_doc_topk_hashed_srp)
+#: remain measured. PERF.md documents the composition.
+RETIRING_R12: list = []
 
 
 def bench_stream(spark) -> float:

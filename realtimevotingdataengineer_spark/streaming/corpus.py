@@ -454,9 +454,11 @@ def stream_dedup_minhash(
 #: OVER-CAP buckets are widened, so well-clustered corpora keep the
 #: stock 1-nibble recall while degenerate ones trade tail recall for a
 #: bounded join. Identical-signature buckets (width 8, still over cap)
-#: cannot be split; the within-batch join falls back to STAR pairs
-#: (each member vs the bucket's min id) — exact for the dominant
-#: identical-vector case, an approximation of the clique otherwise.
+#: cannot be split; the within-batch join falls back to CHAIN-AUGMENTED
+#: STAR pairs (each member vs the bucket's min id, plus each member vs
+#: its id-order successor — round 12, still linear per group) — exact
+#: for the dominant identical-vector case; otherwise the approximation
+#: is confined to NON-ADJACENT member pairs of the group.
 #:
 #: Honest framing (round-10 advice): batches past ~cap×16 vectors — or
 #: probes against any sizable index — routinely exceed the caps, so at
@@ -473,6 +475,52 @@ def stream_dedup_minhash(
 #: band, i.e. LINEAR in the batch at constant cap — scaling the cap
 #: with the batch restores the quadratic the cap exists to prevent.
 SRP_CLIQUE_CAP = 64
+
+#: Auto-dial of the within-batch clique cap from the batch's
+#: distinct-signature ratio (round-11 verdict ask #4). The capped
+#: self-join's measured worst case is a dup factor sitting just UNDER
+#: the cap: identical-signature groups of size c ≤ cap emit full
+#: C(c,2) cliques, so the 1M-vector sweep batch (~50 copies/content,
+#: under cap=64) paid 24.5M verify pairs (1024.9s) while the 2M batch
+#: (~100 copies, over cap) crossed into the linear star regime
+#: (442.5s) — tools/admit_sweep_r11.json. The dial: when the batch's
+#: MEAN dup factor d = rows / distinct-signatures exceeds
+#: SRP_AUTODIAL_MIN_DUP, the effective cap drops to ⌈d/2⌉ (floored at
+#: SRP_AUTODIAL_CAP_FLOOR, never raised above the configured cap) so
+#: the modal identical-signature group lands in the star regime and
+#: verify volume collapses from ~rows·d/2 to ~rows. Below the
+#: threshold the cap is UNTOUCHED — bit-identical to the undialed
+#: gate (the adaptive-switch discipline: regime-dependent plan changes
+#: switch on a measured quantity, the no-change branch property-
+#: pinned). The recall trade stays inside the two documented,
+#: observable classes (sub-banding widen + identical-signature star),
+#: both logged via SRP_WIDEN_LAST; identical-VECTOR duplication — the
+#: regime that produces heavy dup factors in practice — is exact under
+#: stars. clique_cap=None still opts out of everything.
+SRP_AUTODIAL_MIN_DUP = 8
+SRP_AUTODIAL_CAP_FLOOR = 8
+
+
+def _autodial_clique_cap(cap: int, n_rows: int, n_distinct_sigs: int) -> int:
+    """Effective within-batch clique cap for this batch (see
+    SRP_AUTODIAL_MIN_DUP). Pure integer rule so tests can pin it."""
+    dup = n_rows / max(1, n_distinct_sigs)
+    if dup <= SRP_AUTODIAL_MIN_DUP:
+        return cap
+    dialed = min(cap, max(SRP_AUTODIAL_CAP_FLOOR, -(-int(dup) // 2)))
+    if dialed < cap:
+        SRP_WIDEN_LAST["autodial"] = {"dup": round(dup, 2), "cap": dialed}
+        _LOG.warning(
+            "SRP gate auto-dialed clique cap %d -> %d (batch dup factor "
+            "%.1f): heavy identical-signature duplication, star regime "
+            "engaged early (see SRP_AUTODIAL_MIN_DUP)",
+            cap,
+            dialed,
+            dup,
+        )
+    return dialed
+
+
 #: Product cap (batch-bucket × index-bucket rows) for the index-probe
 #: join; widths beyond SRP_PREFIX_NIBBLES are estimated assuming
 #: uniform deeper nibbles (the index is aggregated at a FIXED prefix
@@ -557,8 +605,11 @@ def _capped_self_pairs(
     are EXACT at every width — one aggregate at the full-signature
     level, rolled up per width over the small distinct-signature
     frame). Buckets still over cap at the full signature are
-    identical-signature groups and cannot split: they emit STAR pairs
-    (min id vs each member) instead of the clique. ``cap=None`` opts
+    identical-signature groups and cannot split: they emit CHAIN-
+    AUGMENTED STAR pairs (min id vs each member, PLUS each member vs
+    its id-order successor — 2c-3 pairs, still linear) instead of the
+    clique; the remaining approximation is non-adjacent member pairs
+    only. ``cap=None`` opts
     out entirely: the raw (band, bv) self-join, bit-identical to the
     batch SRP key. When any bucket widens, the count is logged and
     recorded in SRP_WIDEN_LAST (round-10 advice: recall loss must be
@@ -623,7 +674,23 @@ def _capped_self_pairs(
         .filter(F.col(id_col) != F.col("ia"))
         .select("ia", F.col(id_col).alias("ib"))
     )
-    return clique.union(star).distinct()
+    # chain augmentation (round-12, repo backlog #3): besides
+    # root-vs-member, pair each member with its id-order SUCCESSOR in
+    # the group — +1 pair/member, and the documented escape class
+    # shrinks from "any non-root member pair" to "non-ADJACENT member
+    # pairs" (in particular the 3-vector null-space escape pin is now
+    # caught: its two members are consecutive). The per-group verify
+    # volume stays linear: 2c-3 pairs vs the clique's c(c-1)/2.
+    from pyspark.sql import Window as _W
+
+    chain = (
+        dg.withColumn(
+            "ia", F.lag(id_col).over(_W.partitionBy("band", "rot").orderBy(id_col))
+        )
+        .filter(F.col("ia").isNotNull())
+        .select("ia", F.col(id_col).alias("ib"))
+    )
+    return clique.union(star).union(chain).distinct()
 
 
 def _capped_probe_pairs(
@@ -871,7 +938,15 @@ def _srp_gate_batch(
         .select("vec_new")
         .distinct()
     )
-    cand_in = _capped_self_pairs(new_bands, "vec_id", clique_cap).select(
+    eff_cap = clique_cap
+    if clique_cap is not None:
+        # auto-dial from the batch's distinct-signature ratio: one cheap
+        # agg over the checkpointed signature frame (see
+        # SRP_AUTODIAL_MIN_DUP for the measured worst case this removes)
+        eff_cap = _autodial_clique_cap(
+            clique_cap, n_batch, sigs.drop("vec_id").distinct().count()
+        )
+    cand_in = _capped_self_pairs(new_bands, "vec_id", eff_cap).select(
         F.col("ia").alias("vec_a"), F.col("ib").alias("vec_b")
     )
     wa = vecs.select(

@@ -835,9 +835,12 @@ def test_capped_srp_admit_escapes_confined_to_documented_class(
     near-dup) clusters: every admitted pair still within COSINE_THETA —
     an 'escape' — must belong to the one documented approximation
     class: identical packed signatures whose full-signature bucket was
-    over cap (the star fallback pairs members only against the root).
-    Any escape with distinct signatures or an under-cap bucket would be
-    a bug in the sub-banding, not the documented trade."""
+    over cap, AND (round 12, chain-augmented star) the pair must be
+    NON-ADJACENT in the bucket's id order — root pairs come from the
+    star and successor pairs from the chain, so neither can escape.
+    Any escape with distinct signatures, an under-cap bucket, a root
+    endpoint, or id-order adjacency would be a bug in the sub-banding,
+    not the documented trade."""
     import numpy as np
 
     from realtimevotingdataengineer_spark.operators.dedup import (
@@ -873,21 +876,31 @@ def test_capped_srp_admit_escapes_confined_to_documented_class(
             if cos >= COSINE_THETA:  # an escape: must be the documented class
                 assert sig_map[a] == sig_map[b], (a, b, cos)
                 assert sig_count[sig_map[a]] > cap, (a, b, cos)
+                group = sorted(
+                    i for i, s in sig_map.items() if s == sig_map[a]
+                )
+                assert a != group[0], (a, b)  # root pairs are candidates
+                assert group.index(b) != group.index(a) + 1, (a, b)  # chain
 
 
 def test_capped_srp_star_fallback_escape_class_is_real(spark):
-    """Deterministic pin of the docstring's 'approximation of the
-    clique otherwise' sentence: three vectors CONSTRUCTED to share one
-    full SRP signature (all in the interior of the same hyperplane
-    cone, built from the sign matrix's null space) where the two
-    non-root members are near-dups of each other but neither near-dups
-    the root. With the bucket forced over cap (cap=1), the star
-    fallback emits only (root, x) and (root, m), both failing the
-    cosine verify — so x and m are BOTH admitted although the batch
-    key's clique would have caught (x, m). This is the exact, bounded
-    recall trade the cap constants document; if this test ever starts
-    failing because (x, m) IS caught, the approximation was removed
-    and the docs should change with it."""
+    """Deterministic pin of the capped fallback's remaining escape
+    class, updated for the round-12 CHAIN-AUGMENTED star (repo backlog
+    #3). Vectors are CONSTRUCTED to share one full SRP signature (all
+    in the interior of the same hyperplane cone, built from the sign
+    matrix's null space).
+
+    Leg (a) — the halving is real: the OLD 3-vector escape (members x,
+    m adjacent in id order, near-dups of each other, neither near the
+    root) is now CAUGHT — the chain pair (x, m) is a candidate, the
+    verify fires, m is dropped.
+
+    Leg (b) — the remaining class is real: with a far-from-everything
+    spacer y BETWEEN x and m in id order, (x, m) is non-adjacent —
+    neither star (root pairs) nor chain (successor pairs) emits it, so
+    both are admitted although the batch key's clique catches it. If
+    leg (b) ever starts failing because (x, m) IS caught, the
+    approximation was removed and the docs should change with it."""
     import numpy as np
 
     from realtimevotingdataengineer_spark.operators.dedup import (
@@ -916,29 +929,95 @@ def test_capped_srp_star_fallback_escape_class_is_real(spark):
     n1 /= np.linalg.norm(n1)
     n2 = null[1] - (null[1] @ u) * u - (null[1] @ n1) * n1
     n2 /= np.linalg.norm(n2)
-    # r far from both members (cos ~ 1/sqrt(1+9) = .32 < theta);
-    # x, m near each other (cos ~ .97 >= theta), far from r
+    n3 = null[2] - (null[2] @ u) * u - (null[2] @ n1) * n1 - (null[2] @ n2) * n2
+    n3 /= np.linalg.norm(n3)
+    # r and y far from everything (cos ~ 1/sqrt(10) = .32 < theta);
+    # x, m near each other (cos ~ .97 >= theta)
     r = u + 3.0 * n1
     x = u
+    y = u + 3.0 * n3
     m = u + 0.25 * n2
     cos = lambda a, b: float(  # noqa: E731
         a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
     )
     assert cos(x, m) >= COSINE_THETA
     assert cos(r, x) < COSINE_THETA and cos(r, m) < COSINE_THETA
-    rows = [(0, [float(v) for v in r]), (1, [float(v) for v in x]),
-            (2, [float(v) for v in m])]
-    kept, sig_map = _srp_admit(spark, rows, cap=1)
+    assert cos(y, x) < COSINE_THETA and cos(y, m) < COSINE_THETA
+    assert cos(r, y) < COSINE_THETA
+
+    # leg (a): adjacent members — the chain catches the old escape
+    rows3 = [(0, [float(v) for v in r]), (1, [float(v) for v in x]),
+             (2, [float(v) for v in m])]
+    kept3, sig_map3 = _srp_admit(spark, rows3, cap=1)
+    assert len(set(sig_map3.values())) == 1, sig_map3
+    assert kept3 == {0, 1}, kept3  # m dropped via the chain pair (x, m)
+
+    # leg (b): spacer y makes (x, m) non-adjacent — the escape remains
+    rows4 = [(0, [float(v) for v in r]), (1, [float(v) for v in x]),
+             (2, [float(v) for v in y]), (3, [float(v) for v in m])]
+    kept4, sig_map4 = _srp_admit(spark, rows4, cap=1)
     # precondition: the construction really produced one signature
     # (float32 ingestion must not flip a projection sign)
-    assert len(set(sig_map.values())) == 1, sig_map
-    # the documented escape: root admitted alone would be the exact
-    # answer's shape; instead root + both members survive because the
-    # star pairs fail the verify and (x, m) was never a candidate
-    assert kept == {0, 1, 2}
-    # and the uncapped (batch-identical) join catches it: only root + x
-    kept_uncapped, _ = _srp_admit(spark, rows, cap=None)
-    assert kept_uncapped == {0, 1}
+    assert len(set(sig_map4.values())) == 1, sig_map4
+    # star pairs (0,1)(0,2)(0,3) and chain pairs (1,2)(2,3) all fail
+    # the verify; (1,3) was never a candidate -> everything admitted
+    assert kept4 == {0, 1, 2, 3}, kept4
+    # and the uncapped (batch-identical) join catches it: m dropped
+    kept_uncapped, _ = _srp_admit(spark, rows4, cap=None)
+    assert kept_uncapped == {0, 1, 2}
+
+
+def test_autodial_clique_cap_pure_rule():
+    """Round-11 verdict ask #4: the clique-cap auto-dial is a pure
+    integer rule, pinned point-by-point. Below SRP_AUTODIAL_MIN_DUP the
+    cap is UNTOUCHED (the bit-identical no-change branch of the
+    adaptive-switch discipline); above it the effective cap is ⌈d/2⌉
+    clamped to [SRP_AUTODIAL_CAP_FLOOR, cap] — in particular the sweep's
+    measured worst case (dup ≈ 50, just under cap=64) lands at 25, below
+    the modal group size, so those groups take the linear star path."""
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    assert corpus._autodial_clique_cap(64, 1000, 1000) == 64  # d=1
+    assert corpus._autodial_clique_cap(64, 8000, 1000) == 64  # d=8: boundary, untouched
+    assert corpus._autodial_clique_cap(64, 9000, 1000) == 8  # d=9 → ⌈9/2⌉=5 → floor 8
+    assert corpus._autodial_clique_cap(64, 50_000, 1000) == 25  # the sweep worst case
+    assert corpus._autodial_clique_cap(64, 100_000, 1000) == 50
+    assert corpus._autodial_clique_cap(64, 1_000_000, 1000) == 64  # d≫cap: already star
+    assert corpus._autodial_clique_cap(64, 1, 0) == 64  # empty-distinct guard
+
+
+@given(sizes=cluster_sizes_strategy)
+@SET
+def test_autodialed_cap_identical_vector_clusters_one_survivor(spark, sizes):
+    """The dialed-cap branch keeps the one-survivor-per-cluster
+    guarantee on identical-vector clusters (the regime that produces
+    heavy dup factors — stars are EXACT for it), and equals the
+    undialed run: scaling each cluster 8× pushes the mean dup factor
+    past SRP_AUTODIAL_MIN_DUP, the dial lowers the cap, and the admit
+    result must be the same survivor set the configured cap produces."""
+    from realtimevotingdataengineer_spark.operators.similarity import EMB_DIM
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    # cap above the dial floor so mid-range dup factors actually lower
+    # it (8 < d < 2·cap); examples outside that window exercise the
+    # untouched branch
+    cap = 12
+    rows, want, nid = [], set(), 0
+    big_sizes = [s * 8 for s in sizes]  # dup factor ≥ 8 ⇒ dial engages
+    for c, size in enumerate(big_sizes):
+        base = [0.0] * EMB_DIM
+        base[c] = 1.0
+        want.add(nid)
+        for _ in range(size):
+            rows.append((nid, base))
+            nid += 1
+    n = len(rows)
+    dialed = corpus._autodial_clique_cap(cap, n, len(big_sizes))
+    kept_dialed, _ = _srp_admit(spark, rows, dialed)
+    assert kept_dialed == want, (big_sizes, sorted(kept_dialed))
+    if dialed != cap:  # the equality leg the switch discipline demands
+        kept_plain, _ = _srp_admit(spark, rows, cap)
+        assert kept_plain == kept_dialed
 
 
 sep_token_corpus_strategy = st.lists(

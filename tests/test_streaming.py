@@ -852,7 +852,8 @@ def test_srp_capped_self_pairs_star_fallback_bounded(spark, sf_dir):
     """The degenerate regime the round-9 weak named: a batch whose
     signatures are IDENTICAL (all-constant corpus) cannot be split by
     any number of extra nibbles — the capped stage must fall back to
-    STAR pairs (min id vs each member), emitting O(n) candidates
+    CHAIN-AUGMENTED STAR pairs (min id vs each member plus each member
+    vs its id-order successor — round 12), emitting 2n-3 candidates
     instead of the O(n^2) clique, and the gate's greedy must still
     reject every copy but the first."""
     from pyspark.sql import functions as F
@@ -884,8 +885,10 @@ def test_srp_capped_self_pairs_star_fallback_bounded(spark, sf_dir):
     bands = corpus._srp_sig_bands(sigs).localCheckpoint(eager=True)
     pairs = corpus._capped_self_pairs(bands, "vec_id", corpus.SRP_CLIQUE_CAP)
     got = {(r.ia, r.ib) for r in pairs.collect()}
-    # star, not clique: exactly n-1 pairs, all rooted at the min id
-    assert got == {(0, i) for i in range(1, n)}
+    # chain-augmented star, not clique: 2n-3 pairs — the root star plus
+    # the id-order successor chain — still linear in the group
+    want = {(0, i) for i in range(1, n)} | {(i, i + 1) for i in range(1, n - 1)}
+    assert got == want
     kept = corpus._greedy_admit(range(n), set(), sorted(got))
     assert kept == {0}
 
