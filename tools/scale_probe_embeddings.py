@@ -80,7 +80,13 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "true")
-        .config("spark.driver.memory", "16g")
+        # 16g covers 1x-10x; the 30x point (~112M candidate pairs at the
+        # shared k=256 rung) needs more execution memory on a single
+        # JVM — override via SPARK_GRAFT_DRIVER_MEM (a real cluster has
+        # this memory as a matter of course; the probe box has 128 GiB)
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
