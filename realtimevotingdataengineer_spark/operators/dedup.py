@@ -1488,9 +1488,19 @@ def dedup_embedding_cosine(t: Tables) -> DataFrame:
 #: p²·n²/k = 16·n^1.5 (measured 52.7k of 124.8k brute pairs at sf0.01,
 #: 456k of 2.0M at sf0.1 — the brute/candidate ratio WIDENS with n).
 #: Known design limit, documented honestly: IVF border loss grows with
-#: k, so at very large corpora the higher-recall near-dup path is
-#: dedup_embedding_srp (hyperplane LSH — collision probability depends
-#: on the pair's angle only, not the corpus size).
+#: k (planted-pair probe, tools/scale_probe_srp_vs_ivf_r12.log: recall
+#: 0.890 → 0.805 → 0.782 at n = 2.5k/6.5k/20.5k, the loss concentrated
+#: in the low-cosine bands). dedup_embedding_srp's per-PAIR recall is
+#: corpus-size-independent (measured EXACTLY flat, 0.935 at all three
+#: n) — but that does NOT make it the large-n path as parameterized:
+#: its fixed 4-bit bands admit a constant ~40.7% of ALL pairs as
+#: candidates on near-orthogonal backgrounds (1-(1-2^-4)^8 ≈ 0.40,
+#: measured 0.406/0.408/0.407), i.e. Θ(n²) verify work — 862s vs this
+#: path's 80s at n=20.5k for +15 recall points. The genuine very-large-n
+#: SRP dial is band width growing ~log₂(n) with band count compensating
+#: recall (classic LSH tuning; at θ=0.4, ρ = ln(1/p₁)/ln(1/p₂) ≈ 0.585
+#: → ~n^1.585 candidates, comparable to this path's n^1.5) — a future
+#: derived-width rung ladder, not the current fixed-band key.
 DEDUP_N_PROBE = 4
 
 #: Verify-stage sizing: one partition per this many candidate pairs
@@ -1720,10 +1730,19 @@ def dedup_embedding_srp(t: Tables) -> DataFrame:
     Honesty posture matches sim_ivf_topk: recall < 1 BY DESIGN at the
     fixture's theta=0.4 regime (66 deg — hyperplane LSH shines at small
     angles); the oracle states the banded semantics exactly, and pytest
-    measures recall against the brute-force key. At 100 TB the dial is
-    signature length and band width (wider bands = fewer, sharper
-    candidates), plus re-banding only the corpus delta on refresh —
-    signatures are pure narrow map work, one shuffle on (band, bv)."""
+    measures recall against the brute-force key. Scale posture MEASURED
+    round 12 (tools/scale_probe_srp_vs_ivf_r12.log, planted pairs over
+    near-orthogonal backgrounds): per-pair recall is corpus-size-
+    independent (exactly 0.935 at n = 2.5k/6.5k/20.5k) but the fixed
+    4-bit bands admit a constant ~40.7% of all pairs as candidates
+    (1-(1-2^-4)^8), so total verify work is Θ(n²) — at 100 TB the dial
+    is band WIDTH growing ~log₂(n) (with band count compensating
+    recall: ρ ≈ 0.585 at θ=0.4 → ~n^1.585 candidates), plus re-banding
+    only the corpus delta on refresh — signatures are pure narrow map
+    work, one shuffle on (band, bv). Until a derived-width ladder
+    exists, the measured large-n near-dup path is the derived-k IVF
+    key (dedup_embedding_bucketed: n^1.5 candidates, 80s vs this key's
+    862s at n=20.5k, recall 0.782 vs 0.935)."""
     from .similarity import srp_band_signatures
 
     # Round 6: band values come from the srp_band_signatures Arrow
