@@ -1499,8 +1499,11 @@ def dedup_embedding_cosine(t: Tables) -> DataFrame:
 #: path's 80s at n=20.5k for +15 recall points. The genuine very-large-n
 #: SRP dial is band width growing ~log₂(n) with band count compensating
 #: recall (classic LSH tuning; at θ=0.4, ρ = ln(1/p₁)/ln(1/p₂) ≈ 0.585
-#: → ~n^1.585 candidates, comparable to this path's n^1.5) — a future
-#: derived-width rung ladder, not the current fixed-band key.
+#: → ~n^1.585 candidates, comparable to this path's n^1.5) — shipped
+#: later the same round as srp_width_rung (8-bit × 32-band past
+#: SRP_WIDE_MIN_N, background fraction 0.407 → 0.134 measured at
+#: n=20.5k, 862s → 275s at recall 0.935 → 0.925, rung derived from the
+#: corpus count in engine and oracle alike).
 DEDUP_N_PROBE = 4
 
 #: Verify-stage sizing: one partition per this many candidate pairs
@@ -1678,6 +1681,37 @@ SRP_BITS = 32
 SRP_BAND_BITS = 4
 SRP_BANDS = SRP_BITS // SRP_BAND_BITS
 
+#: Derived band-width rung (round 12, from the crossover measurement in
+#: tools/scale_probe_srp_vs_ivf_r12.log): the 4-bit × 8-band layout's
+#: background collision fraction is a CONSTANT ~40.7% of all pairs
+#: (1-(1-2⁻⁴)⁸), so past SRP_WIDE_MIN_N vectors the batch key switches
+#: to 8-bit × 32-band signatures (256 projections over the same pinned
+#: md5 basis — _rp_sign is j-unbounded): the per-band collision
+#: probability on near-orthogonal backgrounds drops 2⁻⁴ per extra
+#: nibble (0.134 measured for this rung at n=20.5k) while the 4× band
+#: count compensates recall (MEASURED on the planted mix: 0.925 vs the
+#: narrow arm's 0.935, at 275s vs 862s — 3.1× faster for one recall
+#: point; tools/scale_probe_srp_vs_ivf_r12_wide.log; the loss sits
+#: entirely in the 0.45-0.55 cosine band, ≥0.65 is ≥0.96 on both
+#: arms). The rung derives from the same
+#: corpus count in engine (df.count()) and oracle (count(*) branch) —
+#: the codebook_rung discipline. Below the threshold the narrow arm is
+#: byte-identical to the pre-rung key: higher recall AND cheaper while
+#: n² · 0.407 pairs are affordable. Extending the ladder = appending a
+#: (width+4, bands×4) rung with re-measured recall, same as the IVF
+#: rung ladder's clamp ends.
+SRP_WIDE_BAND_BITS = 8
+SRP_WIDE_BANDS = 32
+SRP_WIDE_MIN_N = 16384
+
+
+def srp_width_rung(n: int) -> tuple[int, int]:
+    """(band_bits, n_bands) for a corpus of ``n`` vectors — pure rule,
+    computed identically by the oracle's count(*) branch."""
+    if n >= SRP_WIDE_MIN_N:
+        return SRP_WIDE_BAND_BITS, SRP_WIDE_BANDS
+    return SRP_BAND_BITS, SRP_BANDS
+
 
 def _srp_duck_sig() -> str:
     """DuckDB 32-bit SRP signature: sum of sign bits of the same pinned
@@ -1691,19 +1725,58 @@ def _srp_duck_sig() -> str:
     )
 
 
-def _srp_sql() -> str:
+def _srp_duck_band_exprs(band_bits: int, n_bands: int) -> list[str]:
+    """Per-band DuckDB band values for the wide rung: band k packs the
+    sign bits of projections band_bits·k .. band_bits·k+band_bits-1
+    (the SAME pinned md5 chains the Arrow kernel folds, so every bit
+    agrees bitwise). Emitted per band instead of as one packed bigint
+    because band_bits × n_bands may exceed 63 bits."""
+    from .similarity import _rp_chain
+
+    exprs = []
+    for k in range(n_bands):
+        bits = " + ".join(
+            f"(CASE WHEN ({_rp_chain(band_bits * k + b, 'CAST(embedding[{i}] AS DOUBLE)')}) >= 0 "
+            f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for b in range(band_bits)
+        )
+        exprs.append(f"({bits})")
+    return exprs
+
+
+def _srp_sql(wide_min_n: int | None = None) -> str:
+    """Oracle for dedup_embedding_srp. The band layout branches on the
+    corpus count exactly as the engine's srp_width_rung does: below
+    ``wide_min_n`` (default SRP_WIDE_MIN_N) the original 4-bit × 8-band
+    packed-signature arm (its ``s`` CTE text unchanged — the srp_sig
+    fixture block still substitutes); at or above it, the 8-bit ×
+    32-band arm emits band values from a per-band list (256 projections
+    over the same pinned basis). Both oracle SFs sit on the narrow arm,
+    so registered behavior there is byte-identical to the pre-rung key;
+    the wide arm is verified by the forced-threshold parity pytest."""
     from .similarity import EMB_DIM
 
+    thr = SRP_WIDE_MIN_N if wide_min_n is None else wide_min_n
     duck_sig = _srp_duck_sig()
+    wide_bvs = ", ".join(
+        _srp_duck_band_exprs(SRP_WIDE_BAND_BITS, SRP_WIDE_BANDS)
+    )
     cos = (
         f"({dot_sql('ea.embedding', 'eb.embedding', EMB_DIM)}) / "
         f"(({norm_sql('ea.embedding', EMB_DIM)}) * ({norm_sql('eb.embedding', EMB_DIM)}))"
     )
     return (
-        f"WITH s AS (SELECT vec_id, {duck_sig} AS sig FROM embeddings), "
+        "WITH c AS (SELECT count(*) AS n FROM embeddings), "
+        f"s AS (SELECT vec_id, {duck_sig} AS sig FROM embeddings), "
         "bands AS MATERIALIZED (SELECT vec_id, u.j AS band, "
         f"(sig >> ({SRP_BAND_BITS} * u.j)) & {(1 << SRP_BAND_BITS) - 1} AS bv "
-        f"FROM s, (SELECT unnest(range(0, {SRP_BANDS})) AS j) u), "
+        f"FROM s, (SELECT unnest(range(0, {SRP_BANDS})) AS j) u "
+        f"WHERE (SELECT n FROM c) < {thr} "
+        "UNION ALL "
+        "SELECT vec_id, u.j AS band, bvs[u.j + 1] AS bv "
+        f"FROM (SELECT vec_id, [{wide_bvs}] AS bvs FROM embeddings "
+        f"WHERE (SELECT n FROM c) >= {thr}) s8, "
+        f"(SELECT unnest(range(0, {SRP_WIDE_BANDS})) AS j) u), "
         "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
         "FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv "
         "AND a.vec_id < b.vec_id) "
@@ -1739,10 +1812,13 @@ def dedup_embedding_srp(t: Tables) -> DataFrame:
     is band WIDTH growing ~log₂(n) (with band count compensating
     recall: ρ ≈ 0.585 at θ=0.4 → ~n^1.585 candidates), plus re-banding
     only the corpus delta on refresh — signatures are pure narrow map
-    work, one shuffle on (band, bv). Until a derived-width ladder
-    exists, the measured large-n near-dup path is the derived-k IVF
-    key (dedup_embedding_bucketed: n^1.5 candidates, 80s vs this key's
-    862s at n=20.5k, recall 0.782 vs 0.935)."""
+    work, one shuffle on (band, bv). That ladder shipped later the
+    same round: srp_width_rung switches to 8-bit × 32-band signatures
+    past SRP_WIDE_MIN_N vectors (engine df.count() ≡ oracle count(*)
+    branch — the codebook_rung discipline), cutting the background
+    fraction to a measured 0.134 (862s → 275s at n=20.5k, recall
+    0.935 → 0.925 — tools/scale_probe_srp_vs_ivf_r12_wide.log); both
+    oracle SFs sit on the narrow arm, whose behavior is unchanged."""
     from .similarity import srp_band_signatures
 
     # Round 6: band values come from the srp_band_signatures Arrow
@@ -1767,6 +1843,10 @@ def dedup_embedding_srp(t: Tables) -> DataFrame:
     # at the all-distinct sf0.1 fixture (25.1s collapsed vs 25.6s raw
     # — the per-distinct kernel saving offsets the expansion stages),
     # so the collapsed form is unconditionally the better plan.
+    # Round 12: band layout derives from the FULL corpus count (not the
+    # distinct-vector count — the oracle's count(*) branch sees every
+    # row, and the rung must agree bitwise with it)
+    bb, nb = srp_width_rung(t.embeddings.count())
     grp = t.embeddings.select(
         "vec_id", F.md5(F.to_json("embedding")).alias("ek")
     )
@@ -1775,7 +1855,7 @@ def dedup_embedding_srp(t: Tables) -> DataFrame:
         "vec_id", "ek", "embedding"
     )
     sigs = srp_band_signatures(
-        spread(rep_vecs, "vec_id"), "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+        spread(rep_vecs, "vec_id"), "vec_id", "embedding", bb, nb
     ).localCheckpoint(eager=True)
     bands = (
         sigs.select(
@@ -1784,7 +1864,7 @@ def dedup_embedding_srp(t: Tables) -> DataFrame:
                 F.array(
                     *[
                         F.struct(F.lit(j).alias("band"), F.col(f"bv{j}").alias("bv"))
-                        for j in range(SRP_BANDS)
+                        for j in range(nb)
                     ]
                 )
             ).alias("b"),

@@ -222,6 +222,60 @@ def test_srp_lsh_subset_with_measured_recall(t):
     assert len(srp) / max(len(exact), 1) >= 0.6
 
 
+def test_srp_width_rung_rule_and_registered_threshold():
+    """srp_width_rung is the pure integer rule the oracle's count(*)
+    branch mirrors (round 12: wide 8-bit × 32-band signatures past
+    SRP_WIDE_MIN_N — the crossover probe measured the fixed 4-bit
+    layout's constant ~40.7% background candidate fraction). The
+    REGISTERED oracle must be the builder at the module threshold, so
+    engine and driver SQL always branch at the same count."""
+    from realtimevotingdataengineer_spark.operators import dedup
+    from realtimevotingdataengineer_spark.registry import ORACLES
+
+    assert dedup.srp_width_rung(0) == (dedup.SRP_BAND_BITS, dedup.SRP_BANDS)
+    assert dedup.srp_width_rung(dedup.SRP_WIDE_MIN_N - 1) == (
+        dedup.SRP_BAND_BITS,
+        dedup.SRP_BANDS,
+    )
+    assert dedup.srp_width_rung(dedup.SRP_WIDE_MIN_N) == (
+        dedup.SRP_WIDE_BAND_BITS,
+        dedup.SRP_WIDE_BANDS,
+    )
+    assert ORACLES["dedup_embedding_srp"] == dedup._srp_sql()
+    assert f"< {dedup.SRP_WIDE_MIN_N} " in ORACLES["dedup_embedding_srp"]
+
+
+def test_srp_wide_rung_engine_oracle_parity(t, sf_dir, monkeypatch):
+    """The wide (8-bit × 32-band) SRP arm, which no oracle SF reaches
+    naturally: force the rung (threshold → 1) in BOTH engine and
+    builder oracle and require bitwise equality — pairs and cosines —
+    the same contract the sweeps pin on the narrow arm. The wide arm
+    must also stay a subset of brute force with identical verify
+    cosines (banding can only prune)."""
+    import duckdb
+
+    from realtimevotingdataengineer_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "SRP_WIDE_MIN_N", 1)
+    eng = sorted(
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in QUERIES["dedup_embedding_srp"](t).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    ora = sorted(tuple(r) for r in con.execute(dedup._srp_sql(wide_min_n=1)).fetchall())
+    assert eng == ora
+    assert eng, "wide arm found no pairs at the test SF"
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in QUERIES["dedup_embedding_cosine"](t).collect()
+    }
+    assert {(a, b) for a, b, _ in eng} <= set(exact)
+    assert all(exact[(a, b)] == c for a, b, c in eng)
+
+
 def test_fuzzy_edit_gate_lossless(spark):
     """The count-sketch gate inside dedup_fuzzy_edit must be LOSSLESS:
     crafted pairs within <=16 edits of each other (substitutions,

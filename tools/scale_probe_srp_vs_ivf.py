@@ -17,11 +17,14 @@ Per (n, key) the probe records:
   by-band curve is where the two paths genuinely differ),
 - candidate-pair volume (the bucket/band join before verify) and its
   fraction of brute n(n-1)/2 — the scale story: IVF at the derived
-  k≈sqrt(n) codebook is ~n^1.5, while SRP at the FIXED 4-bit band
+  k≈sqrt(n) codebook is ~n^1.5, while SRP at a FIXED 4-bit band
   width keeps a constant background collision fraction (~0.40 of all
   pairs at theta=90-degree backgrounds: 1-(1-2^-4)^8), i.e. Theta(n^2)
   — n-independent per-pair recall does NOT make it the large-n path
-  unless band width grows ~log n,
+  unless band width grows ~log n. (The first run of this probe
+  established exactly that; srp_width_rung shipped in response — past
+  SRP_WIDE_MIN_N vectors the key runs 8-bit x 32-band signatures, and
+  this probe's 20k point measures THAT arm on reruns.)
 - wall time.
 
 Usage: python tools/scale_probe_srp_vs_ivf.py [n ...]  (default 2000 6000 20000)
@@ -113,8 +116,7 @@ def cand_volume(spark, t, key: str) -> int:
     """Candidate pairs the verify stage pays, per path."""
     from realtimevotingdataengineer_spark.operators.dedup import (
         DEDUP_N_PROBE,
-        SRP_BAND_BITS,
-        SRP_BANDS,
+        srp_width_rung,
     )
     from realtimevotingdataengineer_spark.operators.similarity import (
         derived_n_cent,
@@ -137,8 +139,9 @@ def cand_volume(spark, t, key: str) -> int:
             .distinct()
             .count()
         )
+    bb, nb = srp_width_rung(t.embeddings.count())
     sigs = srp_band_signatures(
-        t.embeddings, "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+        t.embeddings, "vec_id", "embedding", bb, nb
     ).localCheckpoint(eager=True)
     bands = sigs.select(
         "vec_id",
@@ -146,7 +149,7 @@ def cand_volume(spark, t, key: str) -> int:
             F.array(
                 *[
                     F.struct(F.lit(j).alias("band"), F.col(f"bv{j}").alias("bv"))
-                    for j in range(SRP_BANDS)
+                    for j in range(nb)
                 ]
             )
         ).alias("s"),
