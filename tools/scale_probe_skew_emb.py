@@ -20,7 +20,15 @@ the engine question is whether the hot bucket serializes onto one task
 (max/median >> 1 in the verify stage) or whether the row-count
 repartition before the cosine stage (PAIRS_PER_PARTITION) spreads it.
 
-Usage: python tools/scale_probe_skew_emb.py [head_copies]  (default 2000)
+A second mode (round-12 backlog (a)) makes the hot group NEAR-dup
+instead of identical: each copy is base + eps*u with a hash-derived
+direction and a copy-indexed eps spread so pairwise cosines straddle
+the theta=0.4 verify boundary. Near-dup copies no longer share all
+centroid assignments (the hot group SPLITS across buckets) and every
+surviving pair pays the exact-cosine verify at the boundary — the
+failure shape identical replication cannot produce.
+
+Usage: python tools/scale_probe_skew_emb.py [head_copies] [identical|neardup]
 """
 
 from __future__ import annotations
@@ -40,8 +48,10 @@ from scale_probe_10x import rest, stage_metrics  # noqa: E402
 from scale_probe_skew import heaviest_stage_skew  # noqa: E402
 
 HEAD = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+MODE = sys.argv[2] if len(sys.argv) > 2 else "identical"
+assert MODE in ("identical", "neardup"), MODE
 SRC = "/root/testdata/sf0.1"
-WORK = f"/tmp/scale_probe_skew_emb_{HEAD}"
+WORK = f"/tmp/scale_probe_skew_emb_{HEAD}_{MODE}"
 BASE_N = 20_000  # real 2k + synthetic tail, before head copies
 EMB_DIM = 64
 COPY_STRIDE = 1_000_000  # copy ids: vec_id + c * COPY_STRIDE
@@ -75,14 +85,30 @@ def build_corpus(spark) -> dict:
             f"CASE WHEN vec_id < {HEAD} THEN "
             f"CAST(ceil({HEAD} / (vec_id + 1)) AS INT) ELSE 0 END"
         )
-        extra = (
+        exploded = (
             real.withColumn("n_copies", copies)
             .filter(F.col("n_copies") > 0)
             .withColumn("c", F.explode(F.sequence(F.lit(1), F.col("n_copies"))))
-            .select(
-                (F.col("vec_id") + F.col("c") * COPY_STRIDE).alias("vec_id"),
-                "embedding",
+        )
+        if MODE == "neardup":
+            # copy c of vector v: v + eps_c * u_c, u hash-derived per
+            # (vec_id, copy, dim), eps spread over [0.2, 1.1] by copy
+            # index — pairwise copy-copy and copy-base cosines then
+            # straddle the theta=0.4 verify boundary instead of all
+            # sitting at 1.0
+            pert = (
+                "transform(embedding, (x, j) -> CAST(x + "
+                "(0.2 + 0.9 * (CAST(c AS DOUBLE) / n_copies)) * "
+                "((pmod(xxhash64(concat(cast(vec_id as string), '_', "
+                "cast(c as string), '_', cast(j as string))), 2000) - 1000)"
+                " / 1000.0) AS FLOAT))"
             )
+            emb_col = F.expr(pert)
+        else:
+            emb_col = F.col("embedding")
+        extra = exploded.select(
+            (F.col("vec_id") + F.col("c") * COPY_STRIDE).alias("vec_id"),
+            emb_col.alias("embedding"),
         )
         real.unionByName(tail).unionByName(extra).repartition(
             32
@@ -143,6 +169,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "scale_probe_skew_emb",
+                "mode": MODE,
                 "head_copies": HEAD,
                 **shape,
                 "load_avg": list(os.getloadavg()),
