@@ -37,7 +37,7 @@ from ..functions import (
     tokens,
 )
 from ..registry import register
-from ..sources.tables import Tables
+from ..sources.tables import Tables, corpus_count
 
 #: Jaccard threshold for near-dup pairs (bigram sets).
 JACCARD_THETA = 0.85
@@ -1744,6 +1744,78 @@ def _srp_duck_band_exprs(band_bits: int, n_bands: int) -> list[str]:
     return exprs
 
 
+def _srp_wbands_cte(thr: int) -> str:
+    """``wbands(vec_id, band, bv)`` — the wide srp_width_rung arm's
+    band relation: 256 pinned projection chains packed as 32 8-bit
+    band values per vector, EMPTY below ``thr`` (the count filter sits
+    UNDER the projection so a narrow-arm corpus never evaluates the
+    chains). Requires a preceding ``c AS (SELECT count(*) AS n FROM
+    embeddings)``. At the module default threshold this text is a
+    registered oracle fixture block (round-13): five oracles share it,
+    so fixtured sweeps replace the ~600 KB chain text with one parquet
+    read instead of re-parsing it per key (round-12 ADVICE #2)."""
+    wide_bvs = ", ".join(
+        _srp_duck_band_exprs(SRP_WIDE_BAND_BITS, SRP_WIDE_BANDS)
+    )
+    return (
+        "wbands AS (SELECT vec_id, u.j AS band, bvs[u.j + 1] AS bv "
+        f"FROM (SELECT vec_id, [{wide_bvs}] AS bvs FROM embeddings "
+        f"WHERE (SELECT n FROM c) >= {thr}) s8, "
+        f"(SELECT unnest(range(0, {SRP_WIDE_BANDS})) AS j) u)"
+    )
+
+
+def _srp_runged_bands_cte(thr: int) -> str:
+    """Leading CTE chain ``c, s, wbands, bands`` shared by every
+    embedding-SRP oracle (round-13): ``bands(vec_id, band, bv)`` at
+    the srp_width_rung layout for the corpus count — the narrow
+    4-bit × 8-band arm slices the 32-bit signature CTE ``s`` (its text
+    unchanged, so the srp_sig fixture block still substitutes), the
+    wide arm reads ``wbands``. MATERIALIZED: every consumer references
+    bands at least twice (query side + corpus side of the band
+    join)."""
+    duck_sig = _srp_duck_sig()
+    return (
+        "c AS (SELECT count(*) AS n FROM embeddings), "
+        f"s AS (SELECT vec_id, {duck_sig} AS sig FROM embeddings), "
+        + _srp_wbands_cte(thr)
+        + ", "
+        "bands AS MATERIALIZED (SELECT vec_id, u.j AS band, "
+        f"(sig >> ({SRP_BAND_BITS} * u.j)) & {(1 << SRP_BAND_BITS) - 1} AS bv "
+        f"FROM s, (SELECT unnest(range(0, {SRP_BANDS})) AS j) u "
+        f"WHERE (SELECT n FROM c) < {thr} "
+        "UNION ALL SELECT vec_id, band, bv FROM wbands)"
+    )
+
+
+def _srp_q_cte(thr: int, n_queries: int, multiprobe: bool) -> str:
+    """Query-side CTE ``q(vec_id, band, bv)`` over ``bands``. With
+    ``multiprobe`` the Hamming-1 probe list branches on the SAME count
+    rung as the band layout: the narrow arm flips each of 4 band bits,
+    the wide arm each of 8 — multiprobe's semantics ("every one-bit
+    perturbation of the band value") follow the band geometry."""
+    if not multiprobe:
+        return (
+            f"q AS (SELECT vec_id, band, bv FROM bands "
+            f"WHERE vec_id < {n_queries})"
+        )
+    pn = ", ".join(
+        ["bv"] + [f"xor(bv, {1 << b})" for b in range(SRP_BAND_BITS)]
+    )
+    pw = ", ".join(
+        ["bv"] + [f"xor(bv, {1 << b})" for b in range(SRP_WIDE_BAND_BITS)]
+    )
+    return (
+        f"qb AS (SELECT vec_id, band, bv FROM bands "
+        f"WHERE vec_id < {n_queries}), "
+        "q AS (SELECT vec_id, band, u.pv AS bv FROM qb, "
+        f"LATERAL unnest([{pn}]) AS u(pv) WHERE (SELECT n FROM c) < {thr} "
+        "UNION ALL "
+        "SELECT vec_id, band, u.pv AS bv FROM qb, "
+        f"LATERAL unnest([{pw}]) AS u(pv) WHERE (SELECT n FROM c) >= {thr})"
+    )
+
+
 def _srp_sql(wide_min_n: int | None = None) -> str:
     """Oracle for dedup_embedding_srp. The band layout branches on the
     corpus count exactly as the engine's srp_width_rung does: below
@@ -1757,26 +1829,12 @@ def _srp_sql(wide_min_n: int | None = None) -> str:
     from .similarity import EMB_DIM
 
     thr = SRP_WIDE_MIN_N if wide_min_n is None else wide_min_n
-    duck_sig = _srp_duck_sig()
-    wide_bvs = ", ".join(
-        _srp_duck_band_exprs(SRP_WIDE_BAND_BITS, SRP_WIDE_BANDS)
-    )
     cos = (
         f"({dot_sql('ea.embedding', 'eb.embedding', EMB_DIM)}) / "
         f"(({norm_sql('ea.embedding', EMB_DIM)}) * ({norm_sql('eb.embedding', EMB_DIM)}))"
     )
     return (
-        "WITH c AS (SELECT count(*) AS n FROM embeddings), "
-        f"s AS (SELECT vec_id, {duck_sig} AS sig FROM embeddings), "
-        "bands AS MATERIALIZED (SELECT vec_id, u.j AS band, "
-        f"(sig >> ({SRP_BAND_BITS} * u.j)) & {(1 << SRP_BAND_BITS) - 1} AS bv "
-        f"FROM s, (SELECT unnest(range(0, {SRP_BANDS})) AS j) u "
-        f"WHERE (SELECT n FROM c) < {thr} "
-        "UNION ALL "
-        "SELECT vec_id, u.j AS band, bvs[u.j + 1] AS bv "
-        f"FROM (SELECT vec_id, [{wide_bvs}] AS bvs FROM embeddings "
-        f"WHERE (SELECT n FROM c) >= {thr}) s8, "
-        f"(SELECT unnest(range(0, {SRP_WIDE_BANDS})) AS j) u), "
+        "WITH " + _srp_runged_bands_cte(thr) + ", "
         "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
         "FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv "
         "AND a.vec_id < b.vec_id) "
@@ -1845,8 +1903,11 @@ def dedup_embedding_srp(t: Tables) -> DataFrame:
     # so the collapsed form is unconditionally the better plan.
     # Round 12: band layout derives from the FULL corpus count (not the
     # distinct-vector count — the oracle's count(*) branch sees every
-    # row, and the rung must agree bitwise with it)
-    bb, nb = srp_width_rung(t.embeddings.count())
+    # row, and the rung must agree bitwise with it). Round 13: the
+    # count is cached per Tables binding (round-12 ADVICE #1 — one
+    # count job per table per session, shared with the point-query
+    # SRP keys, valid under the static-fixture contract).
+    bb, nb = srp_width_rung(corpus_count(t, "embeddings"))
     grp = t.embeddings.select(
         "vec_id", F.md5(F.to_json("embedding")).alias("ek")
     )
@@ -2155,34 +2216,26 @@ def dedup_fuzzy_edit(t: Tables) -> DataFrame:
     )
 
 
-def _srp_topk_sql(probe_bits: int = 0) -> str:
+def _srp_topk_sql(multiprobe: bool = False, wide_min_n: int | None = None) -> str:
+    """Oracle for sim_srp_topk / sim_srp_multiprobe_topk. Round 13:
+    the band layout (and, for multiprobe, the probe width) branches on
+    the corpus count exactly as the engine's srp_width_rung does —
+    the same count(*)-rung pattern _srp_sql shipped in round 12. Both
+    oracle SFs sit on the narrow arm, so registered behavior there is
+    byte-identical to the pre-rung keys; the wide arm is pinned by the
+    forced-threshold parity pytest and its recall@k measured in
+    tools/probe_srp_pointquery_recall_r13_n20k.log."""
     from .similarity import EMB_DIM, N_QUERIES, TOP_K
 
-    duck_sig = _srp_duck_sig()
+    thr = SRP_WIDE_MIN_N if wide_min_n is None else wide_min_n
     cos = (
         f"({dot_sql('ea.embedding', 'eb.embedding', EMB_DIM)}) / "
         f"(({norm_sql('ea.embedding', EMB_DIM)}) * ({norm_sql('eb.embedding', EMB_DIM)}))"
     )
-    if probe_bits:
-        probe_list = ", ".join(
-            ["bv"] + [f"xor(bv, {1 << b})" for b in range(probe_bits)]
-        )
-        qside = (
-            f"qb AS (SELECT vec_id, band, bv FROM bands WHERE vec_id < {N_QUERIES}), "
-            f"q AS (SELECT vec_id, band, u.pv AS bv FROM qb, "
-            f"LATERAL unnest([{probe_list}]) AS u(pv)), "
-        )
-    else:
-        qside = (
-            f"q AS (SELECT vec_id, band, bv FROM bands WHERE vec_id < {N_QUERIES}), "
-        )
     return (
-        f"WITH s AS (SELECT vec_id, {duck_sig} AS sig FROM embeddings), "
-        "bands AS (SELECT vec_id, u.j AS band, "
-        f"(sig >> ({SRP_BAND_BITS} * u.j)) & {(1 << SRP_BAND_BITS) - 1} AS bv "
-        f"FROM s, (SELECT unnest(range(0, {SRP_BANDS})) AS j) u), "
-        + qside
-        + "cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id "
+        "WITH " + _srp_runged_bands_cte(thr) + ", "
+        + _srp_q_cte(thr, N_QUERIES, multiprobe) + ", "
+        "cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id "
         "FROM q JOIN bands c ON q.band = c.band AND q.bv = c.bv "
         "AND c.vec_id <> q.vec_id), "
         f"scored AS (SELECT query_id, neighbor_id, {cos} AS cosine FROM cand "
@@ -2208,18 +2261,31 @@ def sim_srp_topk(t: Tables) -> DataFrame:
     hyperplanes) give the banded semantics an exact oracle; pytest
     measures recall against brute force. Same scale shape as
     dedup_embedding_srp: narrow signature map, one (band, bv) shuffle,
-    verify on candidates only."""
+    verify on candidates only.
+
+    Round 13: signs at srp_width_rung(corpus count) — the round-12
+    audit measured the fixed 4-bit bands admitting a flat ~40% of the
+    corpus as candidates PER QUERY at every n (2.5× brute force
+    forever); the wide 8-bit × 32-band arm cuts that to a measured
+    0.133 at n=20k. Recall@10 vs brute force at the rung (100-query
+    probe, tools/probe_srp_pointquery_recall_r13_n20k.log): 0.948 when
+    true neighbors sit at cos 0.55-0.95 (a retrieval corpus), 0.581 on
+    a pure near-orthogonal background whose "neighbors" are cos-~0.5
+    noise (narrow arm: 0.765) — the loss lives entirely below cos
+    0.55, the regime where top-k is ill-defined anyway. Next rung if
+    ever needed: (12-bit, 128 bands), re-measured first."""
     from .similarity import srp_band_signatures
 
     # Arrow-kernel signatures (see dedup_embedding_srp — bitwise-equal
     # to the retired expression chains, one pass, no Janino fallback)
+    bb, nb = srp_width_rung(corpus_count(t, "embeddings"))
     sigs = srp_band_signatures(
-        spread(t.embeddings, "vec_id"), "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+        spread(t.embeddings, "vec_id"), "vec_id", "embedding", bb, nb
     ).localCheckpoint(eager=True)
     return _srp_search_from_sigs(t, sigs)
 
 
-@register("sim_srp_multiprobe_topk", _srp_topk_sql(probe_bits=SRP_BAND_BITS))
+@register("sim_srp_multiprobe_topk", _srp_topk_sql(multiprobe=True))
 def sim_srp_multiprobe_topk(t: Tables) -> DataFrame:
     """LSH MULTIPROBE (Lv et al. 2007) through the SRP band index: each
     query probes its own band value PLUS every Hamming-1 perturbation
@@ -2234,13 +2300,22 @@ def sim_srp_multiprobe_topk(t: Tables) -> DataFrame:
     the dial on the LSH leg. Candidates only grow, so recall ≥ the
     single-probe key's by construction (pytest-asserted, and measured
     against brute force every round); exact pinned-cosine re-rank keeps
-    the whole thing bitwise-oracled."""
+    the whole thing bitwise-oracled.
+
+    Round 13: signs at srp_width_rung(corpus count), probing one flip
+    per band bit at whichever width the rung picks. For THIS key the
+    rung is a strict win, not a recall trade: the narrow 4-bit
+    multiprobe's flip set admits a measured 0.94 of the corpus per
+    query at n=20k — brute force wearing an index costume — while the
+    wide arm's multiprobe admits 0.665 at recall@10 ≥ 0.994 on both
+    probe regimes (tools/probe_srp_pointquery_recall_r13_n20k.log)."""
     from .similarity import srp_band_signatures
 
+    bb, nb = srp_width_rung(corpus_count(t, "embeddings"))
     sigs = srp_band_signatures(
-        spread(t.embeddings, "vec_id"), "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+        spread(t.embeddings, "vec_id"), "vec_id", "embedding", bb, nb
     ).localCheckpoint(eager=True)
-    return _srp_search_from_sigs(t, sigs, probe_bits=SRP_BAND_BITS)
+    return _srp_search_from_sigs(t, sigs, probe_bits=bb)
 
 
 def _srp_scored(t: Tables, sigs: DataFrame, probe_bits: int = 0) -> DataFrame:
@@ -2252,16 +2327,23 @@ def _srp_scored(t: Tables, sigs: DataFrame, probe_bits: int = 0) -> DataFrame:
     With ``probe_bits`` > 0 the (bounded) query side also probes every
     Hamming-1 perturbation of each band value's low ``probe_bits`` bits
     — LSH MULTIPROBE: recall of extra hash tables at the cost of a few
-    more bucket lookups, with the corpus side untouched."""
+    more bucket lookups, with the corpus side untouched.
+
+    The band COUNT is read off the signature frame's own ``bv*``
+    columns (round 13): the same search core serves the narrow
+    4-bit × 8-band layout, the wide srp_width_rung layout, and a
+    persisted index built at either — the signature table carries its
+    own geometry, so search never has to guess which rung built it."""
     from .similarity import EMB_DIM, N_QUERIES
 
+    n_bands = sum(1 for c in sigs.columns if c.startswith("bv"))
     bands = sigs.select(
         "vec_id",
         F.explode(
             F.array(
                 *[
                     F.struct(F.lit(j).alias("band"), F.col(f"bv{j}").alias("bv"))
-                    for j in range(SRP_BANDS)
+                    for j in range(n_bands)
                 ]
             )
         ).alias("b"),
@@ -2371,26 +2453,18 @@ def search_srp_index(t: Tables, path: str) -> DataFrame:
 HN_K = 5
 
 
-def _hard_neg_sql() -> str:
+def _hard_neg_sql(wide_min_n: int | None = None) -> str:
     from .similarity import EMB_DIM, N_QUERIES
 
-    duck_sig = _srp_duck_sig()
+    thr = SRP_WIDE_MIN_N if wide_min_n is None else wide_min_n
     cos = (
         f"({dot_sql('ea.embedding', 'eb.embedding', EMB_DIM)}) / "
         f"(({norm_sql('ea.embedding', EMB_DIM)}) * "
         f"({norm_sql('eb.embedding', EMB_DIM)}))"
     )
-    probe_list = ", ".join(
-        ["bv"] + [f"xor(bv, {1 << b})" for b in range(SRP_BAND_BITS)]
-    )
     return (
-        f"WITH s AS (SELECT vec_id, {duck_sig} AS sig FROM embeddings), "
-        "bands AS MATERIALIZED (SELECT vec_id, u.j AS band, "
-        f"(sig >> ({SRP_BAND_BITS} * u.j)) & {(1 << SRP_BAND_BITS) - 1} AS bv "
-        f"FROM s, (SELECT unnest(range(0, {SRP_BANDS})) AS j) u), "
-        f"qb AS (SELECT vec_id, band, bv FROM bands WHERE vec_id < {N_QUERIES}), "
-        f"q AS (SELECT vec_id, band, u.pv AS bv FROM qb, "
-        f"LATERAL unnest([{probe_list}]) AS u(pv)), "
+        "WITH " + _srp_runged_bands_cte(thr) + ", "
+        + _srp_q_cte(thr, N_QUERIES, multiprobe=True) + ", "
         "bcand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id "
         "FROM q JOIN bands c ON q.band = c.band AND q.bv = c.bv "
         "AND c.vec_id <> q.vec_id), "
@@ -2422,13 +2496,16 @@ def sim_hard_negatives(t: Tables) -> DataFrame:
     concentrated SRP buckets are exactly where hard negatives live, so
     the index IS the miner; one narrow signature map, one (band, bv)
     shuffle, exact cosine on colliders only, nothing corpus×corpus.
-    Deterministic end to end → full bitwise oracle."""
+    Deterministic end to end → full bitwise oracle. Round 13: signs at
+    srp_width_rung(corpus count) like every _srp_scored consumer — see
+    sim_srp_multiprobe_topk for the measured strict win."""
     from .similarity import srp_band_signatures
 
+    bb, nb = srp_width_rung(corpus_count(t, "embeddings"))
     sigs = srp_band_signatures(
-        spread(t.embeddings, "vec_id"), "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+        spread(t.embeddings, "vec_id"), "vec_id", "embedding", bb, nb
     ).localCheckpoint(eager=True)
-    scored = _srp_scored(t, sigs, probe_bits=SRP_BAND_BITS)
+    scored = _srp_scored(t, sigs, probe_bits=bb)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.filter(F.col("cosine") < COSINE_THETA)
@@ -2439,32 +2516,25 @@ def sim_hard_negatives(t: Tables) -> DataFrame:
     )
 
 
-def _mmr_srp_pool_sql() -> str:
+def _mmr_srp_pool_sql(wide_min_n: int | None = None) -> str:
     """Leading WITH text ending in ``cand(query_id, neighbor_id,
     cosine)`` = the SRP-MULTIPROBE top-MMR_CAND retrieval — the pool
-    CTE _mmr_sql composes its unrolled greedy tail onto. Same band/
-    probe/re-rank text as _srp_topk_sql(probe_bits=SRP_BAND_BITS),
-    cut at MMR_CAND instead of TOP_K; internal CTEs renamed (bcand/
-    pscored) so the MMR tail's names stay free."""
+    CTE _mmr_sql composes its unrolled greedy tail onto. Same runged
+    band/probe/re-rank text as _srp_topk_sql(multiprobe=True), cut at
+    MMR_CAND instead of TOP_K; internal CTEs renamed (bcand/pscored)
+    so the MMR tail's names stay free (the tail's ``c`` is only a
+    table ALIAS over cand, so the count CTE ``c`` does not collide)."""
     from .similarity import EMB_DIM, MMR_CAND, N_QUERIES
 
-    duck_sig = _srp_duck_sig()
+    thr = SRP_WIDE_MIN_N if wide_min_n is None else wide_min_n
     cos = (
         f"({dot_sql('ea.embedding', 'eb.embedding', EMB_DIM)}) / "
         f"(({norm_sql('ea.embedding', EMB_DIM)}) * "
         f"({norm_sql('eb.embedding', EMB_DIM)}))"
     )
-    probe_list = ", ".join(
-        ["bv"] + [f"xor(bv, {1 << b})" for b in range(SRP_BAND_BITS)]
-    )
     return (
-        f"WITH s AS (SELECT vec_id, {duck_sig} AS sig FROM embeddings), "
-        "bands AS MATERIALIZED (SELECT vec_id, u.j AS band, "
-        f"(sig >> ({SRP_BAND_BITS} * u.j)) & {(1 << SRP_BAND_BITS) - 1} AS bv "
-        f"FROM s, (SELECT unnest(range(0, {SRP_BANDS})) AS j) u), "
-        f"qb AS (SELECT vec_id, band, bv FROM bands WHERE vec_id < {N_QUERIES}), "
-        f"q AS (SELECT vec_id, band, u.pv AS bv FROM qb, "
-        f"LATERAL unnest([{probe_list}]) AS u(pv)), "
+        "WITH " + _srp_runged_bands_cte(thr) + ", "
+        + _srp_q_cte(thr, N_QUERIES, multiprobe=True) + ", "
         "bcand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id "
         "FROM q JOIN bands c ON q.band = c.band AND q.bv = c.bv "
         "AND c.vec_id <> q.vec_id), "
@@ -2483,10 +2553,10 @@ def _mmr_srp_pool_sql() -> str:
     )
 
 
-def _mmr_srp_sql() -> str:
+def _mmr_srp_sql(wide_min_n: int | None = None) -> str:
     from .similarity import _mmr_sql
 
-    return _mmr_sql(pool=_mmr_srp_pool_sql())
+    return _mmr_sql(pool=_mmr_srp_pool_sql(wide_min_n))
 
 
 @register("sim_mmr_rerank_srp", _mmr_srp_sql())
@@ -2510,11 +2580,12 @@ def sim_mmr_rerank_srp(t: Tables) -> DataFrame:
     their shared pool prefix."""
     from .similarity import MMR_CAND, _mmr_over_pool, srp_band_signatures
 
+    bb, nb = srp_width_rung(corpus_count(t, "embeddings"))
     sigs = srp_band_signatures(
-        spread(t.embeddings, "vec_id"), "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+        spread(t.embeddings, "vec_id"), "vec_id", "embedding", bb, nb
     ).localCheckpoint(eager=True)
     cand = _srp_search_from_sigs(
-        t, sigs, probe_bits=SRP_BAND_BITS, k=MMR_CAND
+        t, sigs, probe_bits=bb, k=MMR_CAND
     ).localCheckpoint(eager=True)
     return _mmr_over_pool(t, cand)
 
@@ -3118,6 +3189,28 @@ _reg_fx(
     block=_SRP_S_CTE_TEXT,
     members={"srp_sig": f"WITH {_SRP_S_CTE_TEXT} SELECT vec_id, sig FROM s"},
     replacement="s AS (SELECT * FROM '{fx}/srp_sig.parquet')",
+)
+
+# Round 13: the wide srp_width_rung band relation — shared verbatim by
+# five oracles (dedup_embedding_srp, sim_srp_topk,
+# sim_srp_multiprobe_topk, sim_hard_negatives, sim_mmr_rerank_srp's
+# pool) since the point-query keys joined the rung. The member builds
+# EMPTY parquet at every registered SF (both sit on the narrow arm) —
+# what the fixture saves is re-parsing the ~600 KB of 256 pinned
+# 64-term projection chains once per consumer oracle evaluation
+# (round-12 ADVICE #2: ~1.8 s DuckDB parse per eval).
+_SRP_WBANDS_CTE_TEXT = _srp_wbands_cte(SRP_WIDE_MIN_N)
+_reg_fx(
+    "srp_wide_bands",
+    block=_SRP_WBANDS_CTE_TEXT,
+    members={
+        "srp_wbands": (
+            "WITH c AS (SELECT count(*) AS n FROM embeddings), "
+            + _SRP_WBANDS_CTE_TEXT
+            + " SELECT vec_id, band, bv FROM wbands"
+        )
+    },
+    replacement="wbands AS (SELECT * FROM '{fx}/srp_wbands.parquet')",
 )
 
 _reg_fx(

@@ -61,6 +61,7 @@ class Tables:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = configure_for_queries(spark)
         self.sf_dir = sf_dir
+        self._counts: dict[str, int] = {}
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLE_NAMES:
@@ -68,3 +69,29 @@ class Tables:
             setattr(self, name, df)  # cache: parquet scans are cheap to re-plan but this keeps plans stable
             return df
         raise AttributeError(name)
+
+    def cached_count(self, name: str) -> int:
+        """Row count of a base table, computed once per Tables instance.
+
+        Derived-dial operators (codebook_rung / srp_width_rung) size
+        their layouts from the corpus count at query-CONSTRUCTION time
+        — the count picks the columns and joins the plan is built from,
+        so it is necessarily an eager job. Caching it here means a
+        sweep (or a plan-only audit) that constructs many derived-dial
+        keys over the same Tables pays one count per table, not one per
+        key (round-12 ADVICE: dedup_embedding_srp's construction-time
+        count). The static-fixture contract holds: within one Tables
+        binding the source does not change, so the cached count equals
+        the oracle's count(*)-at-execution."""
+        if name not in self._counts:
+            self._counts[name] = getattr(self, name).count()
+        return self._counts[name]
+
+
+def corpus_count(t, name: str) -> int:
+    """``t.cached_count(name)`` with a fallback for the bare test
+    stubs (``class _T: embeddings = df``) operators accept — derived-
+    dial keys call this so a stub pays a plain ``count()`` while a
+    real Tables binding shares one cached count across every key."""
+    cc = getattr(t, "cached_count", None)
+    return cc(name) if cc is not None else getattr(t, name).count()
