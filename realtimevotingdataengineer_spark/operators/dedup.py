@@ -41,6 +41,24 @@ from ..sources.tables import Tables, corpus_count
 
 #: Jaccard threshold for near-dup pairs (bigram sets).
 JACCARD_THETA = 0.85
+
+# --- SRP band-layout constants (doc comment at the SRP section below;
+# defined up here so similarity.py can import them during the
+# dedup→similarity circular import — round 13) ---
+SRP_BITS = 32
+SRP_BAND_BITS = 4
+SRP_BANDS = SRP_BITS // SRP_BAND_BITS
+SRP_WIDE_BAND_BITS = 8
+SRP_WIDE_BANDS = 32
+SRP_WIDE_MIN_N = 16384
+
+
+def srp_width_rung(n: int) -> tuple[int, int]:
+    """(band_bits, n_bands) for a corpus of ``n`` vectors — pure rule,
+    computed identically by the oracle's count(*) branch."""
+    if n >= SRP_WIDE_MIN_N:
+        return SRP_WIDE_BAND_BITS, SRP_WIDE_BANDS
+    return SRP_BAND_BITS, SRP_BANDS
 #: Default document-frequency cap for the n-gram inverted-index self-join
 #: (the 100 TB skew bound): grams appearing in more than this many docs
 #: are dropped before the join, since a gram with df=d contributes d²
@@ -1677,9 +1695,10 @@ def dedup_embedding_clusters(t: Tables) -> DataFrame:
 # signature bit bitwise.
 # ---------------------------------------------------------------------------
 
-SRP_BITS = 32
-SRP_BAND_BITS = 4
-SRP_BANDS = SRP_BITS // SRP_BAND_BITS
+#: (SRP layout constants + srp_width_rung moved to the top of this
+#: module in round 13 so similarity.py can import them mid-circular-
+#: import — dedup's body triggers similarity's while building oracle
+#: strings, and the MIPS-SRP rung needs these before that point.)
 
 #: Derived band-width rung (round 12, from the crossover measurement in
 #: tools/scale_probe_srp_vs_ivf_r12.log): the 4-bit × 8-band layout's
@@ -1700,17 +1719,6 @@ SRP_BANDS = SRP_BITS // SRP_BAND_BITS
 #: n² · 0.407 pairs are affordable. Extending the ladder = appending a
 #: (width+4, bands×4) rung with re-measured recall, same as the IVF
 #: rung ladder's clamp ends.
-SRP_WIDE_BAND_BITS = 8
-SRP_WIDE_BANDS = 32
-SRP_WIDE_MIN_N = 16384
-
-
-def srp_width_rung(n: int) -> tuple[int, int]:
-    """(band_bits, n_bands) for a corpus of ``n`` vectors — pure rule,
-    computed identically by the oracle's count(*) branch."""
-    if n >= SRP_WIDE_MIN_N:
-        return SRP_WIDE_BAND_BITS, SRP_WIDE_BANDS
-    return SRP_BAND_BITS, SRP_BANDS
 
 
 def _srp_duck_sig() -> str:
@@ -1725,18 +1733,24 @@ def _srp_duck_sig() -> str:
     )
 
 
-def _srp_duck_band_exprs(band_bits: int, n_bands: int) -> list[str]:
+def _srp_duck_band_exprs(
+    band_bits: int,
+    n_bands: int,
+    elem: str = "CAST(embedding[{i}] AS DOUBLE)",
+) -> list[str]:
     """Per-band DuckDB band values for the wide rung: band k packs the
     sign bits of projections band_bits·k .. band_bits·k+band_bits-1
     (the SAME pinned md5 chains the Arrow kernel folds, so every bit
     agrees bitwise). Emitted per band instead of as one packed bigint
-    because band_bits × n_bands may exceed 63 bits."""
+    because band_bits × n_bands may exceed 63 bits. ``elem`` is the
+    per-coordinate SQL template — the hashed-TF twin renders the same
+    chains over its vec CTE's ``v[i]``."""
     from .similarity import _rp_chain
 
     exprs = []
     for k in range(n_bands):
         bits = " + ".join(
-            f"(CASE WHEN ({_rp_chain(band_bits * k + b, 'CAST(embedding[{i}] AS DOUBLE)')}) >= 0 "
+            f"(CASE WHEN ({_rp_chain(band_bits * k + b, elem)}) >= 0 "
             f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
             for b in range(band_bits)
         )

@@ -1663,7 +1663,32 @@ def _mips_chain(j: int, elem_fmt: str, aug_term: str) -> str:
     return " ".join(parts)
 
 
-def _mips_srp_sql() -> str:
+def _mips_duck_band_exprs(band_bits: int, n_bands: int, aug: str) -> list[str]:
+    """Per-band DuckDB band values over the 65-dim AUGMENTED vector —
+    the MIPS twin of dedup._srp_duck_band_exprs (same pinned basis,
+    _mips_chain appends the augmentation as element 65)."""
+    elem = "CAST(embedding[{i}] AS DOUBLE)"
+    exprs = []
+    for k in range(n_bands):
+        bits = " + ".join(
+            f"(CASE WHEN ({_mips_chain(band_bits * k + b, elem, aug)}) >= 0 "
+            f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for b in range(band_bits)
+        )
+        exprs.append(f"({bits})")
+    return exprs
+
+
+def _mips_srp_sql(wide_min_n: int | None = None) -> str:
+    """Oracle for sim_mips_srp_topk — round 13: the band layout over
+    the AUGMENTED vectors branches on count(*) exactly as the engine's
+    srp_width_rung does (narrow 4-bit × 8-band arm textually unchanged;
+    wide 8-bit × 32-band arm renders the same _mips_chain basis
+    per-band). Both count filters sit UNDER the projections so only
+    the active arm's chains ever evaluate."""
+    from .dedup import SRP_WIDE_BAND_BITS, SRP_WIDE_BANDS, SRP_WIDE_MIN_N
+
+    thr = SRP_WIDE_MIN_N if wide_min_n is None else wide_min_n
     sqnorm = dot_sql("embedding", "embedding", EMB_DIM)
     aug_c = f"sqrt(greatest(m2 - ({sqnorm}), 0))"
     aug_q = "CAST(0 AS DOUBLE)"
@@ -1681,13 +1706,31 @@ def _mips_srp_sql() -> str:
         f"(sig >> ({MIPS_BAND_BITS} * u.j)) & {(1 << MIPS_BAND_BITS) - 1} AS bv "
         f"FROM {{src}}, (SELECT unnest(range(0, {MIPS_BANDS})) AS j) u)"
     )
+    wc = ", ".join(
+        _mips_duck_band_exprs(SRP_WIDE_BAND_BITS, SRP_WIDE_BANDS, aug_c)
+    )
+    wq = ", ".join(
+        _mips_duck_band_exprs(SRP_WIDE_BAND_BITS, SRP_WIDE_BANDS, aug_q)
+    )
+    wband_tail = f"(SELECT unnest(range(0, {SRP_WIDE_BANDS})) AS j) u"
     return (
         f"WITH m AS (SELECT max({sqnorm}) AS m2 FROM embeddings), "
-        f"sc AS (SELECT vec_id, {sig(aug_c)} AS sig FROM embeddings, m), "
+        "cemb AS (SELECT count(*) AS n FROM embeddings), "
+        f"sc AS (SELECT vec_id, {sig(aug_c)} AS sig FROM embeddings, m "
+        f"WHERE (SELECT n FROM cemb) < {thr}), "
         f"sq AS (SELECT vec_id, {sig(aug_q)} AS sig FROM embeddings "
-        f"WHERE vec_id < {N_QUERIES}), "
-        "bc AS " + bands.format(src="sc") + ", "
-        "bq AS " + bands.format(src="sq") + ", "
+        f"WHERE vec_id < {N_QUERIES} AND (SELECT n FROM cemb) < {thr}), "
+        "wbc AS (SELECT vec_id, u.j AS band, bvs[u.j + 1] AS bv "
+        f"FROM (SELECT vec_id, [{wc}] AS bvs FROM embeddings, m "
+        f"WHERE (SELECT n FROM cemb) >= {thr}) s8, {wband_tail}), "
+        "wbq AS (SELECT vec_id, u.j AS band, bvs[u.j + 1] AS bv "
+        f"FROM (SELECT vec_id, [{wq}] AS bvs FROM embeddings "
+        f"WHERE vec_id < {N_QUERIES} AND (SELECT n FROM cemb) >= {thr}) s8, "
+        f"{wband_tail}), "
+        "bc AS " + bands.format(src="sc")[:-1]
+        + " UNION ALL SELECT vec_id, band, bv FROM wbc), "
+        "bq AS " + bands.format(src="sq")[:-1]
+        + " UNION ALL SELECT vec_id, band, bv FROM wbq), "
         "cand AS (SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS neighbor_id "
         "FROM bq JOIN bc ON bq.band = bc.band AND bq.bv = bc.bv "
         "AND bc.vec_id <> bq.vec_id), "
@@ -1745,6 +1788,15 @@ def sim_mips_srp_topk(t: Tables) -> DataFrame:
         ).alias("av"),
     )
 
+    # Round 13: the augmented-vector band layout derives from the same
+    # srp_width_rung(corpus count) as the cosine-SRP family (the
+    # narrow rung equals the historical MIPS_BAND_BITS × MIPS_BANDS,
+    # so both oracle SFs are byte-identical to the pre-rung key).
+    from .dedup import srp_width_rung
+    from ..sources.tables import corpus_count
+
+    bb, nb = srp_width_rung(corpus_count(t, "embeddings"))
+
     def to_bands(sigs):
         return sigs.select(
             "vec_id",
@@ -1752,7 +1804,7 @@ def sim_mips_srp_topk(t: Tables) -> DataFrame:
                 F.array(
                     *[
                         F.struct(F.lit(j).alias("band"), F.col(f"bv{j}").alias("bv"))
-                        for j in range(MIPS_BANDS)
+                        for j in range(nb)
                     ]
                 )
             ).alias("b"),
@@ -1760,12 +1812,12 @@ def sim_mips_srp_topk(t: Tables) -> DataFrame:
 
     bc = to_bands(
         srp_band_signatures(
-            items, "vec_id", "av", MIPS_BAND_BITS, MIPS_BANDS, dim=MIPS_AUG_DIM
+            items, "vec_id", "av", bb, nb, dim=MIPS_AUG_DIM
         ).localCheckpoint(eager=True)
     )
     bq = to_bands(
         srp_band_signatures(
-            queries, "vec_id", "av", MIPS_BAND_BITS, MIPS_BANDS, dim=MIPS_AUG_DIM
+            queries, "vec_id", "av", bb, nb, dim=MIPS_AUG_DIM
         )
     )
     cand = (

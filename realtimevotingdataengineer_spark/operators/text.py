@@ -916,20 +916,47 @@ def _htf_srp_duck_sig() -> str:
     )
 
 
-def _htf_srp_topk_sql() -> str:
+def _htf_srp_topk_sql(wide_min_n: int | None = None) -> str:
+    """Oracle for sim_doc_topk_hashed_srp — round 13: the band layout
+    branches on count(*) FROM documents exactly as the engine's
+    srp_width_rung call does (the RAW documents count, not the vec
+    count: hashing_tf_vectors drops token-less docs, and the rung must
+    read the same number on both sides). Both oracle SFs (500 / 5,000
+    docs) sit on the narrow arm; the wide arm is pinned by the
+    forced-threshold parity pytest."""
     from ..functions import dot_sql, norm_sql
-    from .dedup import SRP_BAND_BITS, SRP_BANDS
+    from .dedup import (
+        SRP_BAND_BITS,
+        SRP_BANDS,
+        SRP_WIDE_BAND_BITS,
+        SRP_WIDE_BANDS,
+        SRP_WIDE_MIN_N,
+        _srp_duck_band_exprs,
+    )
 
+    thr = SRP_WIDE_MIN_N if wide_min_n is None else wide_min_n
     cos = (
         f"({dot_sql('q.v', 'c.v', HTF_DIM)}) / "
         f"(({norm_sql('q.v', HTF_DIM)}) * ({norm_sql('c.v', HTF_DIM)}))"
     )
+    wide_bvs = ", ".join(
+        _srp_duck_band_exprs(
+            SRP_WIDE_BAND_BITS, SRP_WIDE_BANDS, elem="CAST(v[{i}] AS DOUBLE)"
+        )
+    )
     return (
         _htf_vec_cte()
-        + f", s AS (SELECT doc_id, {_htf_srp_duck_sig()} AS sig FROM vec), "
-        "bands AS (SELECT doc_id, u.j AS band, "
+        + ", cdoc AS (SELECT count(*) AS n FROM documents), "
+        f"s AS (SELECT doc_id, {_htf_srp_duck_sig()} AS sig FROM vec), "
+        "wbands AS (SELECT doc_id, u.j AS band, bvs[u.j + 1] AS bv "
+        f"FROM (SELECT doc_id, [{wide_bvs}] AS bvs FROM vec "
+        f"WHERE (SELECT n FROM cdoc) >= {thr}) s8, "
+        f"(SELECT unnest(range(0, {SRP_WIDE_BANDS})) AS j) u), "
+        "bands AS MATERIALIZED (SELECT doc_id, u.j AS band, "
         f"(sig >> ({SRP_BAND_BITS} * u.j)) & {(1 << SRP_BAND_BITS) - 1} AS bv "
-        f"FROM s, (SELECT unnest(range(0, {SRP_BANDS})) AS j) u), "
+        f"FROM s, (SELECT unnest(range(0, {SRP_BANDS})) AS j) u "
+        f"WHERE (SELECT n FROM cdoc) < {thr} "
+        "UNION ALL SELECT doc_id, band, bv FROM wbands), "
         "cand AS (SELECT DISTINCT qb.doc_id AS query_id, cb.doc_id AS neighbor_id "
         "FROM bands qb JOIN bands cb ON qb.band = cb.band AND qb.bv = cb.bv "
         f"AND qb.doc_id < {HTF_N_QUERIES} AND cb.doc_id <> qb.doc_id), "
@@ -959,10 +986,16 @@ def sim_doc_topk_hashed_srp(t: Tables) -> DataFrame:
     candidates only — sublinear candidate volume at any corpus size.
     Note for all-positive TF vectors the angular spread is narrower
     than for centered embeddings, so band collision rates run higher
-    (recall up, pruning down); the dial is SRP_BAND_BITS, same as the
-    embedding family."""
-    from .dedup import SRP_BAND_BITS, SRP_BANDS
+    (recall up, pruning down) — which makes the round-13 width rung
+    matter MORE here: the layout derives from srp_width_rung(raw
+    documents count — the same number the oracle's count(*) branch
+    reads; hashing_tf_vectors drops token-less docs so the vec count
+    would not match), widening bands past SRP_WIDE_MIN_N docs instead
+    of letting the 4-bit collision floor admit most of an all-positive
+    corpus forever."""
+    from .dedup import srp_width_rung
     from .similarity import srp_band_signatures
+    from ..sources.tables import corpus_count
 
     from ..functions import dot_expr, norm_expr
 
@@ -972,8 +1005,9 @@ def sim_doc_topk_hashed_srp(t: Tables) -> DataFrame:
 
     # Arrow-kernel signatures (see dedup_embedding_srp — bitwise-equal
     # to the retired expression chains, one pass, no Janino fallback)
+    bb, nb = srp_width_rung(corpus_count(t, "documents"))
     sigs = srp_band_signatures(
-        spread(v, "doc_id"), "doc_id", "v", SRP_BAND_BITS, SRP_BANDS, dim=HTF_DIM
+        spread(v, "doc_id"), "doc_id", "v", bb, nb, dim=HTF_DIM
     ).localCheckpoint(eager=True)
     bands = sigs.select(
         "doc_id",
@@ -981,7 +1015,7 @@ def sim_doc_topk_hashed_srp(t: Tables) -> DataFrame:
             F.array(
                 *[
                     F.struct(F.lit(j).alias("band"), F.col(f"bv{j}").alias("bv"))
-                    for j in range(SRP_BANDS)
+                    for j in range(nb)
                 ]
             )
         ).alias("b"),

@@ -308,6 +308,11 @@ def test_srp_pointquery_wide_rung_engine_oracle_parity(t, sf_dir, monkeypatch):
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
     )
+    from realtimevotingdataengineer_spark.operators import similarity, text
+
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
     cases = {
         "sim_srp_topk": dedup._srp_topk_sql(wide_min_n=1),
         "sim_srp_multiprobe_topk": dedup._srp_topk_sql(
@@ -315,6 +320,8 @@ def test_srp_pointquery_wide_rung_engine_oracle_parity(t, sf_dir, monkeypatch):
         ),
         "sim_hard_negatives": dedup._hard_neg_sql(wide_min_n=1),
         "sim_mmr_rerank_srp": dedup._mmr_srp_sql(wide_min_n=1),
+        "sim_mips_srp_topk": similarity._mips_srp_sql(wide_min_n=1),
+        "sim_doc_topk_hashed_srp": text._htf_srp_topk_sql(wide_min_n=1),
     }
     for key, sql in cases.items():
         eng = sorted(tuple(r) for r in QUERIES[key](t).collect())
