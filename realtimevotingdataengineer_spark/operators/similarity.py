@@ -85,14 +85,46 @@ def derived_n_cent(emb: DataFrame) -> int:
     return codebook_rung(emb.count())
 
 
-def assign_sql_derived(n_probe: int = 1) -> str:
+def probe_rung(n: int) -> int:
+    """Probe width p = log₂(codebook_rung(n)) — NOTES backlog #3's
+    p ≈ log₂(k) rule (round-13 verdict ask #2): a fixed p=4 measured
+    recall 0.80/0.66 at the sf0.01/sf0.1 rungs because each widening of
+    the codebook splits true near-dup pairs across more cell borders;
+    probing m = log₂(k) cells restores a measured 0.898/0.903. Pure
+    integer on both sides: k is 2^m by construction, so p is the SAME
+    ladder index the oracle's CASE computes — no float log anywhere.
+    Candidate scale stays sub-quadratic: p²n²/k = (m²/2^m)·n² with
+    2^m ≈ √n, i.e. ~n^1.5 · polylog (fraction of brute: 0.25 at n=60k,
+    0.10 at n=1M, 0.012 at n=100M on the ladder)."""
+    return codebook_rung(n).bit_length() - 1
+
+
+def probe_rung_sql(table: str = "embeddings") -> str:
+    """CTE text `pp(p)` computing probe_rung(count(*)) — the SAME CASE
+    ladder as rung_sql but yielding the exponent m instead of 2^m."""
+    ladder = " ".join(
+        f"WHEN n <= {4**m} THEN {m}" for m in range(RUNG_MIN_M, RUNG_MAX_M)
+    )
+    return (
+        f"pp AS (SELECT CASE {ladder} ELSE {RUNG_MAX_M} END AS p "
+        f"FROM (SELECT count(*) AS n FROM {table}))"
+    )
+
+
+def assign_sql_derived(n_probe: int | None = 1) -> str:
     """assign_sql with the codebook width DERIVED from the corpus count
     via the kk rung ladder instead of a pinned literal — the oracle twin
     of ivf_assign_fixed(emb, n_probe, derived_n_cent(emb)). Used by the
     self-join consumers (k-NN graph family, embedding dedup) where k
-    must grow ≈√n to keep per-bucket pair work linear."""
+    must grow ≈√n to keep per-bucket pair work linear. ``n_probe=None``
+    derives the probe width too (probe_rung — the embedding-dedup
+    path), as a second integer CASE ladder."""
+    probe = (
+        "(SELECT p FROM pp)" if n_probe is None else str(n_probe)
+    )
+    pp = (probe_rung_sql() + ", ") if n_probe is None else ""
     return (
-        f"WITH {rung_sql()}, "
+        f"WITH {pp}{rung_sql()}, "
         "cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings "
         "WHERE vec_id < (SELECT k FROM kk)), "
         "assign_scored AS (SELECT c.vec_id, q.cent_id, "
@@ -102,7 +134,7 @@ def assign_sql_derived(n_probe: int = 1) -> str:
         "assign AS (SELECT vec_id, cent_id FROM ("
         "SELECT vec_id, cent_id, row_number() OVER ("
         "PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM assign_scored) "
-        f"WHERE rn <= {n_probe}) "
+        f"WHERE rn <= {probe}) "
     )
 
 _COS = (

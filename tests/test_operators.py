@@ -728,14 +728,15 @@ def test_sample_to_budget_follows_schedule(t):
 
 
 def test_embedding_bucketed_subset_with_recall(t):
-    """dedup_embedding_bucketed (4-probe IVF candidate generation over
-    the corpus-derived codebook) must be a subset of the brute-force
-    pair set with bitwise-equal cosines — bucketing may only LOSE pairs,
-    never invent or perturb them. The recall floor is a regression
-    tripwire under the deterministic codebook (round-12 re-measure per
-    rung: 0.80 at sf0.01/k=32, 0.66 at sf0.1/k=64 with DEDUP_N_PROBE=4;
-    p=2 at the derived rungs measured 0.42/0.34 — too low, hence p=4),
-    not a statistical tolerance."""
+    """dedup_embedding_bucketed (derived-probe IVF candidate generation
+    over the corpus-derived codebook) must be a subset of the
+    brute-force pair set with bitwise-equal cosines — bucketing may
+    only LOSE pairs, never invent or perturb them. The recall floor is
+    a regression tripwire under the deterministic codebook (round-13
+    re-measure per rung with p = probe_rung = log₂(k): 0.898 at
+    sf0.01/k=32/p=5, 0.903 at sf0.1/k=64/p=6; the fixed p=4 had
+    measured 0.80/0.66 — the round-13 verdict ask), not a statistical
+    tolerance."""
     exact = {
         (r.vec_a, r.vec_b): r.cosine
         for r in QUERIES["dedup_embedding_cosine"](t).collect()
@@ -748,7 +749,7 @@ def test_embedding_bucketed_subset_with_recall(t):
     assert all(exact[k] == v for k, v in buck.items()), "cosine mismatch on shared pair"
     assert exact, "brute-force baseline found no pairs"
     recall = len(buck) / len(exact)
-    assert recall >= 0.6, f"bucketed recall regressed: {recall:.3f}"
+    assert recall >= 0.8, f"bucketed recall regressed: {recall:.3f}"
 
 
 def test_label_centroid_is_exact_ordered_mean(spark):

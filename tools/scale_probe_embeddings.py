@@ -92,10 +92,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     import realtimevotingdataengineer_spark.operators  # noqa: F401
-    from realtimevotingdataengineer_spark.operators.dedup import DEDUP_N_PROBE
     from realtimevotingdataengineer_spark.operators.similarity import (
         codebook_rung,
         ivf_assign_fixed,
+        probe_rung,
     )
     from realtimevotingdataengineer_spark.registry import QUERIES
     from realtimevotingdataengineer_spark.sources.tables import Tables
@@ -108,7 +108,7 @@ def main() -> None:
         t = Tables(spark, work)
         k = codebook_rung(n)
         # candidate volume: the bucket self-join the verify stage pays
-        assign = ivf_assign_fixed(t.embeddings, DEDUP_N_PROBE, k).localCheckpoint(
+        assign = ivf_assign_fixed(t.embeddings, probe_rung(n), k).localCheckpoint(
             eager=True
         )
         aa, ab = assign.alias("aa"), assign.alias("ab")

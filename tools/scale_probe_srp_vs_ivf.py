@@ -114,19 +114,18 @@ def build_corpus(spark, n: int, work: str) -> list:
 
 def cand_volume(spark, t, key: str) -> int:
     """Candidate pairs the verify stage pays, per path."""
-    from realtimevotingdataengineer_spark.operators.dedup import (
-        DEDUP_N_PROBE,
-        srp_width_rung,
-    )
+    from realtimevotingdataengineer_spark.operators.dedup import srp_width_rung
     from realtimevotingdataengineer_spark.operators.similarity import (
-        derived_n_cent,
+        codebook_rung,
         ivf_assign_fixed,
+        probe_rung,
         srp_band_signatures,
     )
 
     if key == "dedup_embedding_bucketed":
+        nn = t.embeddings.count()
         assign = ivf_assign_fixed(
-            t.embeddings, DEDUP_N_PROBE, derived_n_cent(t.embeddings)
+            t.embeddings, probe_rung(nn), codebook_rung(nn)
         ).localCheckpoint(eager=True)
         aa, ab = assign.alias("aa"), assign.alias("ab")
         return (
