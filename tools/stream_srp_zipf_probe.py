@@ -19,8 +19,19 @@ Batch construction is executor-side (content ids exploded to copies,
 hash-derived 64-dim vectors per content); the driver never holds the
 batch.
 
-Usage: python tools/stream_srp_zipf_probe.py [n_total] [head ...]
-       (default: 500000 vectors, head runs at 2000 and 20000)
+Round 13 (--index-mult M, verdict ask #4 / round-12 backlog #2): the
+same Zipf batch against a GROWN index — the production posture is a
+head-heavy batch probing a MULTI-EPOCH index where the band join and
+any widened buckets scale with INDEX size, not batch size. With M > 0
+the probe first direct-builds the index from M × n_total unique
+background vectors (build_srp_stream_index — one Arrow-kernel pass;
+content ids offset past the batch's range so nothing collides), runs
+one small warm-up batch through the gate so per-bucket widening state
+exists, then measures the Zipf batch. Recorded extras: index rows,
+index build time, and the same widen/RSS/wall fields.
+
+Usage: python tools/stream_srp_zipf_probe.py [n_total] [head ...] [--index-mult M]
+       (default: 500000 vectors, head runs at 2000 and 20000, M=0)
 """
 
 from __future__ import annotations
@@ -39,10 +50,17 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from realtimevotingdataengineer_spark.streaming import corpus  # noqa: E402
 
-N_TOTAL = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
-HEADS = [int(a) for a in sys.argv[2:]] or [2000, 20000]
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+INDEX_MULT = 0
+if "--index-mult" in sys.argv:
+    INDEX_MULT = int(sys.argv[sys.argv.index("--index-mult") + 1])
+    _args = [a for a in _args if a != str(INDEX_MULT)]
+N_TOTAL = int(_args[0]) if _args else 500_000
+HEADS = [int(a) for a in _args[1:]] or [2000, 20000]
 EMB_DIM = 64
 CONTENT_STRIDE = 100_000_000
+#: grown-index background contents start far past any batch content id
+INDEX_BASE = 10_000_000_000
 
 
 def vm_rss_mb() -> float:
@@ -111,10 +129,36 @@ def main() -> None:
         n_distinct = N_TOTAL - n_head + head
         work = tempfile.mkdtemp(prefix="srp_zipf_")
         idx, surv = f"{work}/idx", f"{work}/surv"
-        corpus.build_srp_stream_index(
-            spark.createDataFrame([], "vec_id bigint, embedding array<double>"),
-            idx,
-        )
+        idx_rows, idx_build_s, warmup_s = 0, 0.0, 0.0
+        if INDEX_MULT > 0:
+            # multi-epoch posture: the index holds INDEX_MULT batches'
+            # worth of unique background vectors BEFORE this batch
+            base = spark.range(INDEX_MULT * N_TOTAL).select(
+                (F.col("id") + INDEX_BASE).alias("vec_id"),
+                (F.col("id") + INDEX_BASE).alias("content"),
+                emb.alias("embedding"),
+            ).drop("content")
+            tb = time.perf_counter()
+            corpus.build_srp_stream_index(base, idx)
+            idx_build_s = time.perf_counter() - tb
+            idx_rows = INDEX_MULT * N_TOTAL
+            # one small warm-up batch so per-bucket widening state is
+            # real before the measured run
+            warm = spark.range(1000).select(
+                (F.col("id") + INDEX_BASE - 10_000).alias("vec_id"),
+                (F.col("id") + INDEX_BASE - 10_000).alias("content"),
+                emb.alias("embedding"),
+            ).drop("content")
+            tw = time.perf_counter()
+            corpus._srp_gate_batch(warm, idx, f"{work}/warm_surv")
+            warmup_s = time.perf_counter() - tw
+        else:
+            corpus.build_srp_stream_index(
+                spark.createDataFrame(
+                    [], "vec_id bigint, embedding array<double>"
+                ),
+                idx,
+            )
         corpus.SRP_WIDEN_LAST.clear()
         rss0 = vm_rss_mb()
         t0 = time.perf_counter()
@@ -127,6 +171,9 @@ def main() -> None:
             {
                 "n_total": N_TOTAL,
                 "head": head,
+                "index_rows": idx_rows,
+                "index_build_s": round(idx_build_s, 1),
+                "warmup_gate_s": round(warmup_s, 1),
                 "max_group": head + 1,
                 "distinct_contents": n_distinct,
                 "mean_dup": round(N_TOTAL / n_distinct, 3),
