@@ -2453,11 +2453,16 @@ def build_srp_index(t: Tables, path: str) -> None:
     Build-once / search-many — at 100 TB the signature table is a
     maintained corpus artifact refreshed with the crawl delta (pure
     narrow map work per new doc; no codebook to re-fit, unlike IVF),
-    and every search reads it instead of re-kerneling the corpus."""
+    and every search reads it instead of re-kerneling the corpus.
+    Round 13: builds at srp_width_rung(corpus count) — the index
+    carries its own geometry (search reads the band count off the
+    bv* columns), so an index built past SRP_WIDE_MIN_N serves wide
+    searches without a rebuild flag anywhere."""
     from .similarity import srp_band_signatures
 
+    bb, nb = srp_width_rung(corpus_count(t, "embeddings"))
     srp_band_signatures(
-        spread(t.embeddings, "vec_id"), "vec_id", "embedding", SRP_BAND_BITS, SRP_BANDS
+        spread(t.embeddings, "vec_id"), "vec_id", "embedding", bb, nb
     ).write.mode("overwrite").parquet(f"{path}/signatures")
 
 
