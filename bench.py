@@ -129,6 +129,16 @@ HEADLINE = [
 #: remain measured. PERF.md documents the composition.
 RETIRING_R12: list = []
 
+#: Round-13 variance policy (PERF.md "export-corpus variance,
+#: attributed"): the multi-stage export capstones' session-COLD first
+#: run costs up to ~4x their warm number (classload/codegen + cold
+#: page cache over the widest stage graph in the registry), while
+#: their warm in-session spread is tight (measured 1.16x over 5 warm
+#: reruns at idle). One extra rep gives the best-of window two warm
+#: runs instead of one, so a single cold-straggler rep can't set the
+#: recorded number.
+EXTRA_REP = {"pipeline_export_corpus", "pipeline_export_corpus_incremental"}
+
 
 def bench_stream(spark) -> float:
     """Structured-Streaming throughput: the full vote pipeline
@@ -217,7 +227,9 @@ def main() -> None:
         best = float("inf")
         best_parts = (0.0, 0.0)
         try:
-            for _ in range(2):  # best-of-2: first run absorbs codegen/JIT noise
+            # best-of-2 (first run absorbs codegen/JIT noise); the
+            # export capstones get best-of-3 — see EXTRA_REP
+            for _ in range(3 if name in EXTRA_REP else 2):
                 spark.catalog.clearCache()
                 # construction INSIDE the timer: operators that eagerly
                 # localCheckpoint shared intermediates (minhash shingles,
