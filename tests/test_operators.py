@@ -245,6 +245,25 @@ def test_srp_width_rung_rule_and_registered_threshold():
     assert f"< {dedup.SRP_WIDE_MIN_N} " in ORACLES["dedup_embedding_srp"]
 
 
+def test_probe_rung_rule_and_registered_ladder():
+    """probe_rung is the pure integer rule p = log₂(codebook_rung(n))
+    (round-13 verdict ask #2), and the registered embedding-dedup
+    oracles must carry its CASE-ladder twin so engine and driver SQL
+    derive the SAME p from the same count — the codebook_rung
+    discipline extended to the probe width."""
+    from realtimevotingdataengineer_spark.operators import similarity
+    from realtimevotingdataengineer_spark.registry import ORACLES
+
+    for n, k in ((0, 8), (500, 32), (2000, 64), (20000, 256), (10**9, 32768)):
+        assert similarity.codebook_rung(n) == k
+        assert similarity.probe_rung(n) == k.bit_length() - 1
+        assert 2 ** similarity.probe_rung(n) == k  # p IS the ladder index
+    pp = similarity.probe_rung_sql()
+    for key in ("dedup_embedding_bucketed", "dedup_embedding_clusters"):
+        assert pp in ORACLES[key], f"{key} oracle missing the pp ladder"
+        assert "(SELECT p FROM pp)" in ORACLES[key]
+
+
 def test_srp_wide_rung_engine_oracle_parity(t, sf_dir, monkeypatch):
     """The wide (8-bit × 32-band) SRP arm, which no oracle SF reaches
     naturally: force the rung (threshold → 1) in BOTH engine and
