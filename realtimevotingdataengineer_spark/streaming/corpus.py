@@ -529,6 +529,25 @@ def _autodial_clique_cap(cap: int, n_rows: int, n_distinct_sigs: int) -> int:
 SRP_PROBE_CAP = 4096
 SRP_PREFIX_NIBBLES = 3
 
+#: Round 13 (grown-index profile, tools/profile_srp_gate_grown_r13.log):
+#: ~91% of the gate's task time was the batch×index exact-cosine
+#: verify — one stage shuffling 11.5 GB of 64-double index payloads.
+#: The pre-screen replaces that join's index side with a NARROW int8
+#: sketch (per-vector max-abs scale, quantized coords, exact norm —
+#: ~6× fewer bytes per row) and decides every pair whose quantized
+#: dot-product BOUNDS clear θ by more than the guard: with
+#: b = s·q + e, |e_i| ≤ s/2, the true dot lies in
+#: s·dot(a,q) ± (s/2)·‖a‖₁, so a pair whose upper bound is below
+#: (θ−g)·‖a‖‖b‖ is provably a non-dup and a pair whose lower bound is
+#: above (θ+g)·‖a‖‖b‖ is provably a dup — ONLY the margin between the
+#: bounds pays the full-payload exact verify, and the flag decisions
+#: are bit-identical to the exact path (the guard g = 1e-9 on the
+#: cosine scale is ~5 orders above the float64 fold error of the
+#: 64-term chains, and the margin it adds is ~1e-9/0.016 ≈ 0.006% of
+#: the bound interval). Lossless by construction; pinned by
+#: tests/test_streaming.py::test_srp_gate_prescreen_lossless.
+SRP_PRESCREEN_GUARD = 1e-9
+
 #: Last-batch widen observability (see SRP_CLIQUE_CAP): updated by the
 #: capped joins each call, logged at WARNING when any bucket widened.
 #: {"self": {"buckets": n, "rows": n}, "probe": {"buckets": n, "rows": n}}
@@ -820,6 +839,99 @@ def build_srp_stream_index(vecs: DataFrame, path: str) -> None:
     )
 
 
+def _prescreened_flags(
+    cand_idx: DataFrame, va: DataFrame, vb: DataFrame, n_batch: int
+) -> DataFrame:
+    """flagged vec_new set for the batch×index candidates, decided
+    through the int8 bound pre-screen (SRP_PRESCREEN_GUARD doc): the
+    shuffled index side is a ~6×-narrower sketch (sb, qb int8[], nb),
+    bound-certain pairs are decided WITHOUT touching the full payload,
+    and only the margin re-joins ``vb`` for the exact pinned-chain
+    cosine — whose text is identical to the non-prescreen branch, so
+    flag decisions are bit-identical by construction. Zero vectors
+    (nb·na = 0) are never bound-decided (the den > 0 guard): they
+    route to the exact branch, which under Spark 4's ANSI default
+    throws on the 0/0 cosine exactly as the non-prescreen branch does
+    — zero-norm vectors are outside the gate's contract in BOTH
+    arms, not a behavior this screen changes."""
+    from ..functions import dot_expr
+    from ..operators.dedup import COSINE_THETA
+    from ..operators.similarity import EMB_DIM
+
+    g = SRP_PRESCREEN_GUARD
+    va2 = va.withColumn(
+        "l1a",
+        F.expr("aggregate(ea, 0D, (acc, x) -> acc + abs(CAST(x AS DOUBLE)))"),
+    )
+    qb = vb.select(
+        "vec_base",
+        "nb",
+        F.expr(
+            "aggregate(eb, 0D, (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+        ).alias("mx"),
+        "eb",
+    ).select(
+        "vec_base",
+        "nb",
+        (F.col("mx") / F.lit(127.0)).alias("sb"),
+        F.expr(
+            "transform(eb, x -> CAST(round(CAST(x AS DOUBLE) "
+            "/ (greatest(mx, 1e-300) / 127.0)) AS TINYINT))"
+        ).alias("qv"),
+    )
+    qdot = F.expr(
+        "aggregate(zip_with(ea, qv, (x, y) -> CAST(x AS DOUBLE) "
+        "* CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    )
+    den = F.col("na") * F.col("nb")
+    # JOIN ORDER IS THE OPTIMIZATION: the narrow qb sketch joins the
+    # bare candidate ids FIRST (the shuffle ships ~100 B/pair), and the
+    # batch payload arrives LAST via broadcast hash join (no shuffle).
+    # The other order — payload join first — replicates the 64-double
+    # ea onto every candidate pair BEFORE the vec_base shuffle, which
+    # is exactly the 11.5 GB/stage the round-13 profile measured in
+    # the pre-screen-less branch (the bytes were the BATCH payload per
+    # pair, not the index payload — tools/profile_srp_gate_grown_r13*).
+    # Deliberately LAZY (no checkpoint) despite two consumers: the
+    # rows are pair-cardinality (tens of millions against a grown
+    # index), and checkpoint blocks holding them squeezed the distinct
+    # aggregation into AGGREGATE_OUT_OF_MEMORY at probe sizing —
+    # recomputing the narrow join twice is cheap because the expensive
+    # upstream (the capped-probe width maps) is checkpointed inside
+    # _capped_probe_pairs.
+    scored = (
+        cand_idx.join(qb, "vec_base")
+        .join(_maybe_broadcast(va2, n_batch * (EMB_DIM // 2)), "vec_new")
+        .select(
+            "vec_new",
+            "vec_base",
+            (F.col("sb") * qdot).alias("qd"),
+            (F.lit(0.5) * F.col("sb") * F.col("l1a")).alias("slack"),
+            den.alias("den"),
+        )
+    )
+    certain = scored.filter(
+        (F.col("den") > 0)
+        & (F.col("qd") - F.col("slack") >= (COSINE_THETA + g) * F.col("den"))
+    ).select("vec_new")
+    margin = scored.filter(
+        ~(
+            (F.col("den") > 0)
+            & (F.col("qd") - F.col("slack") >= (COSINE_THETA + g) * F.col("den"))
+        )
+        & (F.col("qd") + F.col("slack") >= (COSINE_THETA - g) * F.col("den"))
+    ).select("vec_new", "vec_base")
+    cos_idx = dot_expr("ea", "eb", EMB_DIM) / (F.col("na") * F.col("nb"))
+    verified = (
+        margin.join(_maybe_broadcast(va, n_batch * (EMB_DIM // 2)), "vec_new")
+        .join(vb, "vec_base")
+        .select("vec_new", cos_idx.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_THETA)
+        .select("vec_new")
+    )
+    return certain.union(verified).distinct()
+
+
 def _srp_gate_batch(
     batch: DataFrame,
     index_path: str,
@@ -827,6 +939,7 @@ def _srp_gate_batch(
     clique_cap: int | None = SRP_CLIQUE_CAP,
     probe_cap: int | None = SRP_PROBE_CAP,
     distributed_admit: bool | None = None,
+    prescreen: bool = True,
 ) -> None:
     """One micro-batch through the online EMBEDDING near-dup gate —
     the vector twin of _minhash_gate_batch, same five steps with the
@@ -926,18 +1039,23 @@ def _srp_gate_batch(
         F.col("vec_id").alias("vec_base"), F.col("embedding").alias("eb")
     ).withColumn("nb", norm_expr("eb", EMB_DIM))
     cos_idx = dot_expr("ea", "eb", EMB_DIM) / (F.col("na") * F.col("nb"))
-    flagged_df = (
-        # va carries the EMB_DIM-double payload (~32× an id row), so
-        # weight the broadcast gate by payload, same rationale as the
-        # band-row scaling above: the cap was calibrated in row-sized
-        # units and a hint bypasses autoBroadcastJoinThreshold entirely
-        cand_idx.join(_maybe_broadcast(va, n_batch * (EMB_DIM // 2)), "vec_new")
-        .join(vb, "vec_base")
-        .select("vec_new", cos_idx.alias("cosine"))
-        .filter(F.col("cosine") >= COSINE_THETA)
-        .select("vec_new")
-        .distinct()
-    )
+    if prescreen:
+        flagged_df = _prescreened_flags(cand_idx, va, vb, n_batch)
+    else:
+        flagged_df = (
+            # va carries the EMB_DIM-double payload (~32× an id row), so
+            # weight the broadcast gate by payload, same rationale as the
+            # band-row scaling above: the cap was calibrated in row-sized
+            # units and a hint bypasses autoBroadcastJoinThreshold entirely
+            cand_idx.join(
+                _maybe_broadcast(va, n_batch * (EMB_DIM // 2)), "vec_new"
+            )
+            .join(vb, "vec_base")
+            .select("vec_new", cos_idx.alias("cosine"))
+            .filter(F.col("cosine") >= COSINE_THETA)
+            .select("vec_new")
+            .distinct()
+        )
     eff_cap = clique_cap
     if clique_cap is not None:
         # auto-dial from the batch's distinct-signature ratio: one cheap
@@ -956,9 +1074,17 @@ def _srp_gate_batch(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
     ).withColumn("nb", norm_expr("eb", EMB_DIM))
     cos_in = dot_expr("ea", "eb", EMB_DIM) / (F.col("na") * F.col("nb"))
+    # Broadcast the batch payload sides (weighted by payload, like the
+    # probe path's va hint): without the hint both 64-double relations
+    # exceed autoBroadcastJoinThreshold at typical batch sizes and the
+    # candidate pairs shuffle CARRYING ea after the first join — the
+    # same replicated-payload shape the round-13 profile measured on
+    # the probe side. With both sides broadcast the pair list never
+    # shuffles payloads at all.
+    pay = n_batch * (EMB_DIM // 2)
     in_pairs_df = (
-        cand_in.join(wa, "vec_a")
-        .join(wb, "vec_b")
+        cand_in.join(_maybe_broadcast(wa, pay), "vec_a")
+        .join(_maybe_broadcast(wb, pay), "vec_b")
         .select("vec_a", "vec_b", cos_in.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_THETA)
         .select("vec_a", "vec_b")

@@ -1361,3 +1361,62 @@ def test_minhash_gate_adaptive_admit_switches_on_batch_size(
     dist = run("dist", 1)  # far below -> distributed branch
     assert calls == [1]
     assert walk == dist and walk
+
+
+def test_srp_gate_prescreen_lossless(spark, sf_dir, tmp_path):
+    """Round 13: the int8 bound pre-screen on the batch×index verify
+    must be LOSSLESS — the gate's survivor set with prescreen on must
+    equal the exact-join branch's bit for bit, on a corpus built to be
+    adversarial for a bound screen: planted batch↔index pairs at exact
+    cosines straddling θ by ±1e-6 / ±1e-3 / ±0.02 (deep inside any
+    honest margin), plus certain-dup (0.9) and certain-non-dup (0.1)
+    pairs that exercise both bound-decided branches. (Zero-norm
+    vectors are outside the gate's contract either way: under Spark
+    4's ANSI default the exact cosine's 0/0 throws in BOTH branches
+    identically, so there is nothing to compare.)"""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from realtimevotingdataengineer_spark.operators.dedup import COSINE_THETA
+    from realtimevotingdataengineer_spark.streaming import corpus
+
+    rng = np.random.default_rng(7)
+    dim = 64
+
+    def planted(base, c):
+        vn = base / np.linalg.norm(base)
+        u = rng.standard_normal(dim)
+        u -= (u @ vn) * vn
+        u /= np.linalg.norm(u)
+        return (c * vn + np.sqrt(1 - c * c) * u) * np.linalg.norm(base)
+
+    idx_rows, bat_rows = [], []
+    offsets = [-2e-2, -1e-3, -1e-6, 1e-6, 1e-3, 2e-2]
+    targets = [COSINE_THETA + o for o in offsets] + [0.9, 0.1]
+    for i, c in enumerate(targets):
+        base = rng.standard_normal(dim) * rng.uniform(0.5, 2.0)
+        idx_rows.append((1000 + i, [float(x) for x in base]))
+        bat_rows.append((i, [float(x) for x in planted(base, c)]))
+    # background + zero vectors on both sides
+    for j in range(40):
+        idx_rows.append((2000 + j, [float(x) for x in rng.standard_normal(dim)]))
+        bat_rows.append((100 + j, [float(x) for x in rng.standard_normal(dim)]))
+    idx_df = spark.createDataFrame(idx_rows, "vec_id bigint, embedding array<double>")
+    survs = {}
+    for mode in (True, False):
+        ip = str(tmp_path / f"idx_{mode}")
+        sp = str(tmp_path / f"surv_{mode}")
+        corpus.build_srp_stream_index(idx_df, ip)
+        batch = spark.createDataFrame(
+            bat_rows, "vec_id bigint, embedding array<double>"
+        )
+        corpus._srp_gate_batch(batch, ip, sp, prescreen=mode)
+        survs[mode] = sorted(
+            r.vec_id
+            for r in spark.read.parquet(sp).select("vec_id").distinct().collect()
+        )
+    assert survs[True] == survs[False]
+    # vacuity guards: the corpus must exercise both outcomes
+    assert survs[True], "nothing admitted — test corpus degenerate"
+    assert len(survs[True]) < len(bat_rows), "nothing flagged — no dups hit"
