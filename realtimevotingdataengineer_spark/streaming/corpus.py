@@ -879,6 +879,16 @@ def _prescreened_flags(
             "/ (greatest(mx, 1e-300) / 127.0)) AS TINYINT))"
         ).alias("qv"),
     )
+    # aggregate(zip_with(...)) deliberately, NOT the unrolled dot_expr
+    # chain: MEASURED the other way in round 13 — inlining the 64-term
+    # chain into this post-join projection ran the 1M-index profile at
+    # 498.5s vs 152.7s with the lambda form (one 10,852s stage; the
+    # generated method for chain+joins grows past what codegen handles
+    # well, while the higher-order form keeps the stage compiled and
+    # only the lambda interpreted). Bound math is order-insensitive,
+    # so nothing pins this shape except that measurement; if the bound
+    # evaluation ever tops a profile again, the next rung is an Arrow
+    # kernel over (ea, qv) batches, not expression surgery.
     qdot = F.expr(
         "aggregate(zip_with(ea, qv, (x, y) -> CAST(x AS DOUBLE) "
         "* CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
