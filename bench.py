@@ -222,14 +222,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     construct: dict[str, float] = {}
     execute: dict[str, float] = {}
+    reps: dict[str, int] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE + RETIRING_R12:
         best = float("inf")
         best_parts = (0.0, 0.0)
+        # rep count is recorded per key (round-13 advice: the EXTRA_REP
+        # asymmetry must be visible in the record itself so cross-round
+        # comparisons of a best-of-3 key vs an older best-of-2 figure
+        # are adjudicated with the methodology in-band, not from memory)
+        reps[name] = 3 if name in EXTRA_REP else 2
         try:
             # best-of-2 (first run absorbs codegen/JIT noise); the
             # export capstones get best-of-3 — see EXTRA_REP
-            for _ in range(3 if name in EXTRA_REP else 2):
+            for _ in range(reps[name]):
                 spark.catalog.clearCache()
                 # construction INSIDE the timer: operators that eagerly
                 # localCheckpoint shared intermediates (minhash shingles,
@@ -280,6 +286,7 @@ def main() -> None:
         "queries": timings,
         "construct": construct,
         "execute": execute,
+        "reps": reps,
         "sf": sf_val,
         # Host-drift normalizer (round-8 verdict ask #4): the box's load
         # BEFORE and AFTER the run, so a judge can separate code

@@ -873,7 +873,14 @@ def _prescreened_flags(
     ).select(
         "vec_base",
         "nb",
-        (F.col("mx") / F.lit(127.0)).alias("sb"),
+        # sb MUST be the same guarded scale the quantization divides by:
+        # with sb = mx/127 but qv = round(x / (greatest(mx,1e-300)/127)),
+        # a vector with 0 < mx < 1e-300 would quantize against the 1e-300
+        # floor while the bound assumed the (smaller) true mx — the
+        # |e_i| <= sb/2 error model breaks and a true dup could be
+        # bound-dropped (round-13 advice).  Guarded identically, the
+        # bound holds for every nonzero vector.
+        (F.expr("greatest(mx, 1e-300)") / F.lit(127.0)).alias("sb"),
         F.expr(
             "transform(eb, x -> CAST(round(CAST(x AS DOUBLE) "
             "/ (greatest(mx, 1e-300) / 127.0)) AS TINYINT))"

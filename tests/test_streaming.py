@@ -1398,7 +1398,10 @@ def test_srp_gate_prescreen_lossless(spark, sf_dir, tmp_path):
         base = rng.standard_normal(dim) * rng.uniform(0.5, 2.0)
         idx_rows.append((1000 + i, [float(x) for x in base]))
         bat_rows.append((i, [float(x) for x in planted(base, c)]))
-    # background + zero vectors on both sides
+    # background vectors on both sides (no zero vectors: zero-norm is
+    # outside the gate's contract in BOTH arms — see
+    # test_ansi_double_div_by_zero_throws for the measured behavior the
+    # gate docstrings rely on)
     for j in range(40):
         idx_rows.append((2000 + j, [float(x) for x in rng.standard_normal(dim)]))
         bat_rows.append((100 + j, [float(x) for x in rng.standard_normal(dim)]))
@@ -1420,3 +1423,28 @@ def test_srp_gate_prescreen_lossless(spark, sf_dir, tmp_path):
     # vacuity guards: the corpus must exercise both outcomes
     assert survs[True], "nothing admitted — test corpus degenerate"
     assert len(survs[True]) < len(bat_rows), "nothing flagged — no dups hit"
+
+
+def test_ansi_double_div_by_zero_throws(spark):
+    """Pins the MEASURED Spark 4.1.2 ANSI contract the SRP-gate
+    docstrings rely on: DOUBLE division by zero THROWS (DIVIDE_BY_ZERO)
+    — it does NOT follow IEEE to ±Inf/NaN. Round-13 advice claimed the
+    IEEE behavior (0/0 → NaN, silently flagged via NaN >= θ); tested
+    round 14 on this build, both 1.0/0.0 and 0.0/0.0 throw at runtime
+    (non-constant operands, so no constant-folding shortcut). Hence a
+    zero-norm vector makes the exact cosine THROW in both the prescreen
+    and the exact gate arm identically — 'zero-norm is outside the
+    contract' stays the accurate description. If a Spark upgrade flips
+    this test, re-audit _prescreened_flags' zero-norm routing: under
+    IEEE semantics zero vectors would be silently NaN-flagged instead
+    (NaN >= θ is true under Spark's NaN ordering — also measured)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(0.0, 0.0), (1.0, 0.0)], "a double, b double")
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        df.select((F.col("a") / F.col("b")).alias("c")).collect()
+    nan = spark.createDataFrame(
+        [(float("nan"),)], "c double"
+    ).select((F.col("c") >= F.lit(0.4)).alias("x"))
+    assert nan.collect()[0].x is True
