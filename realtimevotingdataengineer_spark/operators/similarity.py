@@ -1711,16 +1711,27 @@ def _mips_duck_band_exprs(band_bits: int, n_bands: int, aug: str) -> list[str]:
     return exprs
 
 
-def _mips_srp_sql(wide_min_n: int | None = None) -> str:
+def _mips_srp_sql(
+    wide_min_n: int | None = None, xwide_min_n: int | None = None
+) -> str:
     """Oracle for sim_mips_srp_topk — round 13: the band layout over
     the AUGMENTED vectors branches on count(*) exactly as the engine's
     srp_width_rung does (narrow 4-bit × 8-band arm textually unchanged;
     wide 8-bit × 32-band arm renders the same _mips_chain basis
-    per-band). Both count filters sit UNDER the projections so only
-    the active arm's chains ever evaluate."""
-    from .dedup import SRP_WIDE_BAND_BITS, SRP_WIDE_BANDS, SRP_WIDE_MIN_N
+    per-band; round 14 adds the data-driven xwide 12-bit × 128-band
+    arm over the same augmented 65-dim vectors — dedup._srp_xwide_ctes
+    doc has the bitwise argument). All count filters sit UNDER the
+    projections so only the active arm's chains ever evaluate."""
+    from .dedup import (
+        SRP_WIDE_BAND_BITS,
+        SRP_WIDE_BANDS,
+        SRP_WIDE_MIN_N,
+        SRP_XWIDE_MIN_N,
+        _srp_xwide_ctes,
+    )
 
     thr = SRP_WIDE_MIN_N if wide_min_n is None else wide_min_n
+    thr2 = SRP_XWIDE_MIN_N if xwide_min_n is None else xwide_min_n
     sqnorm = dot_sql("embedding", "embedding", EMB_DIM)
     aug_c = f"sqrt(greatest(m2 - ({sqnorm}), 0))"
     aug_q = "CAST(0 AS DOUBLE)"
@@ -1745,6 +1756,27 @@ def _mips_srp_sql(wide_min_n: int | None = None) -> str:
         _mips_duck_band_exprs(SRP_WIDE_BAND_BITS, SRP_WIDE_BANDS, aug_q)
     )
     wband_tail = f"(SELECT unnest(range(0, {SRP_WIDE_BANDS})) AS j) u"
+    aug_list = (
+        "list_append(list_transform(range(1, 65), "
+        "i -> CAST(embedding[i] AS DOUBLE)), CAST({aug} AS DOUBLE))"
+    )
+    xarms = _srp_xwide_ctes(
+        MIPS_AUG_DIM,
+        [
+            (
+                "xbc",
+                f"SELECT vec_id, {aug_list.format(aug=aug_c)} AS xv "
+                "FROM embeddings, m "
+                f"WHERE (SELECT n FROM cemb) >= {thr2}",
+            ),
+            (
+                "xbq",
+                f"SELECT vec_id, {aug_list.format(aug=aug_q)} AS xv "
+                f"FROM embeddings WHERE vec_id < {N_QUERIES} "
+                f"AND (SELECT n FROM cemb) >= {thr2}",
+            ),
+        ],
+    )
     return (
         f"WITH m AS (SELECT max({sqnorm}) AS m2 FROM embeddings), "
         "cemb AS (SELECT count(*) AS n FROM embeddings), "
@@ -1754,15 +1786,21 @@ def _mips_srp_sql(wide_min_n: int | None = None) -> str:
         f"WHERE vec_id < {N_QUERIES} AND (SELECT n FROM cemb) < {thr}), "
         "wbc AS (SELECT vec_id, u.j AS band, bvs[u.j + 1] AS bv "
         f"FROM (SELECT vec_id, [{wc}] AS bvs FROM embeddings, m "
-        f"WHERE (SELECT n FROM cemb) >= {thr}) s8, {wband_tail}), "
+        f"WHERE (SELECT n FROM cemb) >= {thr} "
+        f"AND (SELECT n FROM cemb) < {thr2}) s8, {wband_tail}), "
         "wbq AS (SELECT vec_id, u.j AS band, bvs[u.j + 1] AS bv "
         f"FROM (SELECT vec_id, [{wq}] AS bvs FROM embeddings "
-        f"WHERE vec_id < {N_QUERIES} AND (SELECT n FROM cemb) >= {thr}) s8, "
+        f"WHERE vec_id < {N_QUERIES} AND (SELECT n FROM cemb) >= {thr} "
+        f"AND (SELECT n FROM cemb) < {thr2}) s8, "
         f"{wband_tail}), "
+        + xarms
+        + ", "
         "bc AS " + bands.format(src="sc")[:-1]
-        + " UNION ALL SELECT vec_id, band, bv FROM wbc), "
+        + " UNION ALL SELECT vec_id, band, bv FROM wbc"
+        + " UNION ALL SELECT vec_id, band, bv FROM xbc), "
         "bq AS " + bands.format(src="sq")[:-1]
-        + " UNION ALL SELECT vec_id, band, bv FROM wbq), "
+        + " UNION ALL SELECT vec_id, band, bv FROM wbq"
+        + " UNION ALL SELECT vec_id, band, bv FROM xbq), "
         "cand AS (SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS neighbor_id "
         "FROM bq JOIN bc ON bq.band = bc.band AND bq.bv = bc.bv "
         "AND bc.vec_id <> bq.vec_id), "

@@ -916,14 +916,16 @@ def _htf_srp_duck_sig() -> str:
     )
 
 
-def _htf_srp_topk_sql(wide_min_n: int | None = None) -> str:
+def _htf_srp_topk_sql(
+    wide_min_n: int | None = None, xwide_min_n: int | None = None
+) -> str:
     """Oracle for sim_doc_topk_hashed_srp — round 13: the band layout
     branches on count(*) FROM documents exactly as the engine's
     srp_width_rung call does (the RAW documents count, not the vec
     count: hashing_tf_vectors drops token-less docs, and the rung must
     read the same number on both sides). Both oracle SFs (500 / 5,000
-    docs) sit on the narrow arm; the wide arm is pinned by the
-    forced-threshold parity pytest."""
+    docs) sit on the narrow arm; the wide and (round-14) data-driven
+    xwide arms are pinned by the forced-threshold parity pytests."""
     from ..functions import dot_sql, norm_sql
     from .dedup import (
         SRP_BAND_BITS,
@@ -931,10 +933,13 @@ def _htf_srp_topk_sql(wide_min_n: int | None = None) -> str:
         SRP_WIDE_BAND_BITS,
         SRP_WIDE_BANDS,
         SRP_WIDE_MIN_N,
+        SRP_XWIDE_MIN_N,
         _srp_duck_band_exprs,
+        _srp_xwide_ctes,
     )
 
     thr = SRP_WIDE_MIN_N if wide_min_n is None else wide_min_n
+    thr2 = SRP_XWIDE_MIN_N if xwide_min_n is None else xwide_min_n
     cos = (
         f"({dot_sql('q.v', 'c.v', HTF_DIM)}) / "
         f"(({norm_sql('q.v', HTF_DIM)}) * ({norm_sql('c.v', HTF_DIM)}))"
@@ -944,19 +949,35 @@ def _htf_srp_topk_sql(wide_min_n: int | None = None) -> str:
             SRP_WIDE_BAND_BITS, SRP_WIDE_BANDS, elem="CAST(v[{i}] AS DOUBLE)"
         )
     )
+    xarms = _srp_xwide_ctes(
+        HTF_DIM,
+        [
+            (
+                "xbands",
+                "SELECT doc_id, list_transform(range(1, "
+                f"{HTF_DIM + 1}), i -> CAST(v[i] AS DOUBLE)) AS xv FROM vec "
+                f"WHERE (SELECT n FROM cdoc) >= {thr2}",
+            )
+        ],
+        id_col="doc_id",
+    )
     return (
         _htf_vec_cte()
         + ", cdoc AS (SELECT count(*) AS n FROM documents), "
         f"s AS (SELECT doc_id, {_htf_srp_duck_sig()} AS sig FROM vec), "
         "wbands AS (SELECT doc_id, u.j AS band, bvs[u.j + 1] AS bv "
         f"FROM (SELECT doc_id, [{wide_bvs}] AS bvs FROM vec "
-        f"WHERE (SELECT n FROM cdoc) >= {thr}) s8, "
+        f"WHERE (SELECT n FROM cdoc) >= {thr} "
+        f"AND (SELECT n FROM cdoc) < {thr2}) s8, "
         f"(SELECT unnest(range(0, {SRP_WIDE_BANDS})) AS j) u), "
+        + xarms
+        + ", "
         "bands AS MATERIALIZED (SELECT doc_id, u.j AS band, "
         f"(sig >> ({SRP_BAND_BITS} * u.j)) & {(1 << SRP_BAND_BITS) - 1} AS bv "
         f"FROM s, (SELECT unnest(range(0, {SRP_BANDS})) AS j) u "
         f"WHERE (SELECT n FROM cdoc) < {thr} "
-        "UNION ALL SELECT doc_id, band, bv FROM wbands), "
+        "UNION ALL SELECT doc_id, band, bv FROM wbands "
+        "UNION ALL SELECT doc_id, band, bv FROM xbands), "
         "cand AS (SELECT DISTINCT qb.doc_id AS query_id, cb.doc_id AS neighbor_id "
         "FROM bands qb JOIN bands cb ON qb.band = cb.band AND qb.bv = cb.bv "
         f"AND qb.doc_id < {HTF_N_QUERIES} AND cb.doc_id <> qb.doc_id), "

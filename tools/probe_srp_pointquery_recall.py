@@ -44,10 +44,36 @@ from pyspark.sql import SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 SIZES = [int(a) for a in sys.argv[1:]] or [20000]
-N_Q = 100  # queries measured (the registered keys use N_QUERIES=5)
+N_Q = int(os.environ.get("SRP_PROBE_NQ", "100"))  # keys use N_QUERIES=5
 K = 10  # TOP_K
 EMB_DIM = 64
 PLANT_STRIDE = 10_000_000
+
+#: Round 14: the probed layouts are selectable so the same tool
+#: measures a CANDIDATE rung before it ships (the r13 discipline —
+#: recall measured BEFORE srp_width_rung switches). Default preserves
+#: the r13 pair; pass e.g.
+#:   SRP_PROBE_LAYOUTS=narrow_4x8,wide_8x32,xwide_12x128
+#: to measure the three-rung ladder side by side.
+ALL_LAYOUTS = {
+    "narrow_4x8": (4, 8),
+    "wide_8x32": (8, 32),
+    "xwide_12x128": (12, 128),
+}
+LAYOUTS = {
+    k: ALL_LAYOUTS[k]
+    for k in os.environ.get(
+        "SRP_PROBE_LAYOUTS", "narrow_4x8,wide_8x32"
+    ).split(",")
+}
+
+#: Above this corpus size the per-coordinate md5 walk (70M+ hash calls
+#: at n=1.1M) dominates setup, so the background switches to a seeded
+#: numpy uniform(-1, 1) — the SAME iid-symmetric coordinate law
+#: hash_vec draws from ((h % 2000 - 1000)/1000), so the cosine
+#: geometry (near-orthogonal background, best-of-n ~ sqrt(2 ln n / d))
+#: is unchanged; planted neighbors keep the md5 path (1k vectors).
+FAST_BG_MIN_N = 100_000
 
 
 def hash_vec(tag: str, dim: int) -> np.ndarray:
@@ -61,7 +87,11 @@ def hash_vec(tag: str, dim: int) -> np.ndarray:
 def build_corpus(n: int, planted: bool):
     """(ids, vecs float32) — background 0..n-1 plus, when planted, K
     neighbors per query at target cosines spread over (0.55, 0.95)."""
-    V = np.stack([hash_vec(f"bg{i}", EMB_DIM) for i in range(n)])
+    if n >= FAST_BG_MIN_N:
+        rng = np.random.default_rng(20260816)
+        V = rng.uniform(-1.0, 1.0, size=(n, EMB_DIM))
+    else:
+        V = np.stack([hash_vec(f"bg{i}", EMB_DIM) for i in range(n)])
     ids = list(range(n))
     rows = [V]
     if planted:
@@ -135,12 +165,43 @@ def main() -> None:
             if not os.path.exists(marker):
                 shutil.rmtree(work, ignore_errors=True)
                 os.makedirs(work, exist_ok=True)
-                spark.createDataFrame(
-                    [(int(i), [float(x) for x in v]) for i, v in zip(ids, V32)],
-                    "vec_id long, embedding array<float>",
-                ).repartition(32).write.mode("overwrite").parquet(
-                    f"{work}/embeddings.parquet"
-                )
+                if len(ids) >= FAST_BG_MIN_N:
+                    # pyarrow direct write (the driver-side python list
+                    # path is 70M float boxes at n=1.1M); 32 files so
+                    # the scan parallelizes like the repartition did
+                    import pyarrow as pa
+                    import pyarrow.parquet as pq
+
+                    d = f"{work}/embeddings.parquet"
+                    os.makedirs(d, exist_ok=True)
+                    nrows = len(ids)
+                    step = (nrows + 31) // 32
+                    for p in range(32):
+                        lo, hi = p * step, min((p + 1) * step, nrows)
+                        if lo >= hi:
+                            break
+                        vals = pa.array(
+                            V32[lo:hi].reshape(-1), type=pa.float32()
+                        )
+                        offs = pa.array(
+                            np.arange(0, (hi - lo + 1) * EMB_DIM, EMB_DIM),
+                            type=pa.int32(),
+                        )
+                        tbl = pa.table(
+                            {
+                                "vec_id": pa.array(ids[lo:hi], type=pa.int64()),
+                                "embedding": pa.ListArray.from_arrays(offs, vals),
+                            }
+                        )
+                        pq.write_table(tbl, f"{d}/part-{p:05d}.parquet")
+                    open(f"{d}/_SUCCESS", "w").close()
+                else:
+                    spark.createDataFrame(
+                        [(int(i), [float(x) for x in v]) for i, v in zip(ids, V32)],
+                        "vec_id long, embedding array<float>",
+                    ).repartition(32).write.mode("overwrite").parquet(
+                        f"{work}/embeddings.parquet"
+                    )
                 for tb in (
                     "region nation customer supplier part orders lineitem "
                     "events documents"
@@ -150,10 +211,7 @@ def main() -> None:
                     )
             t = Tables(spark, work)
             res = {"n_total": len(ids)}
-            for label, (bb, nb) in {
-                "narrow_4x8": (dedup.SRP_BAND_BITS, dedup.SRP_BANDS),
-                "wide_8x32": (dedup.SRP_WIDE_BAND_BITS, dedup.SRP_WIDE_BANDS),
-            }.items():
+            for label, (bb, nb) in LAYOUTS.items():
                 sigs = srp_band_signatures(
                     t.embeddings, "vec_id", "embedding", bb, nb
                 ).localCheckpoint(eager=True)
