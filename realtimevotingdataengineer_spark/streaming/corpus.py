@@ -20,6 +20,7 @@ points them at the Kafka/landing-zone source.
 from __future__ import annotations
 
 import logging
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -553,6 +554,15 @@ SRP_PRESCREEN_GUARD = 1e-9
 #: {"self": {"buckets": n, "rows": n}, "probe": {"buckets": n, "rows": n}}
 SRP_WIDEN_LAST: dict = {}
 
+#: Pre-screen split observability (round 14, PROBE-ONLY): when the
+#: SRP_PRESCREEN_DEBUG env var is set, _prescreened_flags records
+#: {"cand_pairs", "certain_pairs", "margin_pairs", "margin_true"} for
+#: the last batch — the certain/margin geometry the round-13 verdict
+#: asked to measure in a selective regime. Counting forces extra
+#: actions over the deliberately-lazy pair-cardinality relation, so it
+#: is strictly opt-in; the production gate never pays it.
+SRP_PRESCREEN_LAST: dict = {}
+
 
 def _note_widen(kind: str, buckets: int, rows: int) -> None:
     SRP_WIDEN_LAST[kind] = {"buckets": buckets, "rows": rows}
@@ -946,6 +956,18 @@ def _prescreened_flags(
         .filter(F.col("cosine") >= COSINE_THETA)
         .select("vec_new")
     )
+    if os.environ.get("SRP_PRESCREEN_DEBUG"):
+        # probe-only split accounting (SRP_PRESCREEN_LAST doc) — extra
+        # actions over the lazy `scored`, never taken in production
+        SRP_PRESCREEN_LAST.clear()
+        SRP_PRESCREEN_LAST.update(
+            {
+                "cand_pairs": scored.count(),
+                "certain_pairs": certain.count(),
+                "margin_pairs": margin.count(),
+                "margin_true": verified.count(),
+            }
+        )
     return certain.union(verified).distinct()
 
 
