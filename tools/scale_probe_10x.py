@@ -60,11 +60,23 @@ def build_corpus(spark) -> None:
     )
 
 
-def rest(spark, path: str):
+def rest(spark, path: str, attempts: int = 6):
+    """REST read with retries: the UI's Jetty thread starves under
+    heavy GC at probe sizings (round 14: a 10s one-shot timeout killed
+    a 40-minute run before its key even started), so metric reads back
+    off and retry instead of taking the whole probe down."""
+    import time as _time
+
     app_id = spark.sparkContext.applicationId
     url = f"http://localhost:4040/api/v1/applications/{app_id}{path}"
-    with urllib.request.urlopen(url, timeout=10) as r:
-        return json.loads(r.read())
+    for i in range(attempts):
+        try:
+            with urllib.request.urlopen(url, timeout=30) as r:
+                return json.loads(r.read())
+        except Exception:
+            if i == attempts - 1:
+                raise
+            _time.sleep(10 * (i + 1))
 
 
 def stage_metrics(spark, after_stage: int) -> dict:

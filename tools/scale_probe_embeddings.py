@@ -41,7 +41,13 @@ FACTORS = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
 BASE_N = 2000  # sf0.1 embeddings row count
 SRC = "/root/testdata/sf0.1"
 EMB_DIM = 64
-KEYS = ["dedup_embedding_bucketed", "dedup_embedding_clusters"]
+#: Round 14: key list overridable (SCALE_PROBE_KEYS, comma-separated)
+#: so a key that dies at a probe sizing doesn't block the other's
+#: measurement — the first r14 30x attempt lost the completed bucketed
+#: numbers when the clusters key OOM'd before the factor's print.
+KEYS = os.environ.get(
+    "SCALE_PROBE_KEYS", "dedup_embedding_bucketed,dedup_embedding_clusters"
+).split(",")
 
 
 def build_corpus(spark, n: int, work: str) -> None:
@@ -134,13 +140,21 @@ def main() -> None:
                 max((s["stageId"] for s in rest(spark, "/stages")), default=-1) + 1
             )
             t0 = time.perf_counter()
-            df = QUERIES[key](t)
-            df.write.mode("overwrite").format("noop").save()
-            m = stage_metrics(spark, next_stage)
-            m.update(
-                execute_s=round(time.perf_counter() - t0, 1), out_rows=df.count()
-            )
+            try:
+                df = QUERIES[key](t)
+                df.write.mode("overwrite").format("noop").save()
+                m = stage_metrics(spark, next_stage)
+                m.update(
+                    execute_s=round(time.perf_counter() - t0, 1),
+                    out_rows=df.count(),
+                )
+            except Exception as ex:  # record the death, keep the rest
+                m = {
+                    "error": repr(ex)[:300],
+                    "execute_s": round(time.perf_counter() - t0, 1),
+                }
             res[key] = m
+            print(json.dumps({f"{f}x_{key}": m}), flush=True)
         all_results[f"{f}x"] = res
         print(json.dumps({f"{f}x": res}), flush=True)
     print(

@@ -124,7 +124,6 @@ def run_subspace(spark) -> None:
     warm-started index, records wall / widen / RSS / the
     SRP_PRESCREEN_LAST split, and asserts survivor equality."""
     assert INDEX_MULT > 0, "--geometry subspace requires --index-mult"
-    os.environ["SRP_PRESCREEN_DEBUG"] = "1"
     idx_rows = INDEX_MULT * N_TOTAL
     n_plant = int(N_TOTAL * PLANT_DUP_FRAC)
     n_margin = int(N_TOTAL * PLANT_MARGIN_FRAC)
@@ -195,11 +194,25 @@ def run_subspace(spark) -> None:
         "index_build_s": round(idx_build_s, 1),
         "warmup_gate_s": round(warmup_s, 1),
     }
+    # three arms: split-accounting (prescreen + debug counters — its
+    # timing is CONTAMINATED by the extra count actions over the lazy
+    # pair relation, recorded only for the split numbers), clean
+    # prescreen (the honest timing arm), exact. Survivors must match
+    # across all three.
     survs = {}
-    for mode in (True, False):
-        arm = f"{work}/idx_{mode}"
+    arms = [
+        ("split", True, True),
+        ("prescreen", True, False),
+        ("exact", False, False),
+    ]
+    for name, mode, debug in arms:
+        arm = f"{work}/idx_{name}"
         shutil.copytree(idx0, arm)
-        sp = f"{work}/surv_{mode}"
+        sp = f"{work}/surv_{name}"
+        if debug:
+            os.environ["SRP_PRESCREEN_DEBUG"] = "1"
+        else:
+            os.environ.pop("SRP_PRESCREEN_DEBUG", None)
         corpus.SRP_WIDEN_LAST.clear()
         corpus.SRP_PRESCREEN_LAST.clear()
         rss0 = vm_rss_mb()
@@ -207,21 +220,23 @@ def run_subspace(spark) -> None:
         corpus._srp_gate_batch(batch, arm, sp, prescreen=mode)
         dt = time.perf_counter() - t0
         rss1 = vm_rss_mb()
-        survs[mode] = sorted(
+        survs[name] = sorted(
             r.vec_id
             for r in spark.read.parquet(sp).select("vec_id").distinct().collect()
         )
-        results[f"prescreen_{mode}"] = {
+        results[f"arm_{name}"] = {
             "secs": round(dt, 1),
-            "survivors": len(survs[mode]),
+            "timing_contaminated_by_debug_counts": debug,
+            "survivors": len(survs[name]),
             "widen": dict(corpus.SRP_WIDEN_LAST),
             "prescreen_split": dict(corpus.SRP_PRESCREEN_LAST),
             "driver_rss_mb_before": round(rss0, 1),
             "driver_rss_mb_after": round(rss1, 1),
         }
-        print(json.dumps({f"prescreen_{mode}": results[f"prescreen_{mode}"]}),
-              flush=True)
-    results["survivors_identical"] = survs[True] == survs[False]
+        print(json.dumps({f"arm_{name}": results[f"arm_{name}"]}), flush=True)
+    results["survivors_identical"] = (
+        survs["split"] == survs["prescreen"] == survs["exact"]
+    )
     shutil.rmtree(work, ignore_errors=True)
     print(
         json.dumps(
