@@ -297,6 +297,31 @@ def main() -> None:
     if errors:
         record["errors"] = errors
     print(json.dumps(record))
+    # The driver keeps only the LAST 2000 chars of stdout; the full
+    # record above is ~6 KB so it truncates mid-JSON and the driver
+    # records parsed:null (round-14 verdict, "What's wrong"). Emit a
+    # compact summary as the FINAL line, sized to always fit whole in
+    # that window, so the headline value is machine-recoverable.
+    compact = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": "sec",
+        "sf": record["sf"],
+        "execute_total": round(sum(execute.values()), 3),
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "load_avg_end": [round(x, 1) for x in record["load_avg_end"]],
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1700:  # keep headroom inside the 2000-char tail
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+        )
+        compact["queries"] = {k: round(v, 2) for k, v in slowest.items()}
+        compact["queries_omitted"] = len(timings) - len(slowest)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     if errors:
         sys.exit(1)
 

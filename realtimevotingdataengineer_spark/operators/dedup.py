@@ -1860,7 +1860,7 @@ def _srp_runged_bands_cte(thr: int, xthr: int) -> str:
     join)."""
     duck_sig = _srp_duck_sig()
     xv = (
-        "SELECT vec_id, list_transform(range(1, 65), "
+        f"SELECT vec_id, list_transform(range(1, {EMB_DIM + 1}), "
         "i -> CAST(embedding[i] AS DOUBLE)) AS xv FROM embeddings "
         f"WHERE (SELECT n FROM c) >= {xthr}"
     )
@@ -1869,7 +1869,7 @@ def _srp_runged_bands_cte(thr: int, xthr: int) -> str:
         f"s AS (SELECT vec_id, {duck_sig} AS sig FROM embeddings), "
         + _srp_wbands_cte(thr, xthr)
         + ", "
-        + _srp_xwide_ctes(64, [("xbands", xv)])
+        + _srp_xwide_ctes(EMB_DIM, [("xbands", xv)])
         + ", "
         "bands AS MATERIALIZED (SELECT vec_id, u.j AS band, "
         f"(sig >> ({SRP_BAND_BITS} * u.j)) & {(1 << SRP_BAND_BITS) - 1} AS bv "

@@ -1757,7 +1757,7 @@ def _mips_srp_sql(
     )
     wband_tail = f"(SELECT unnest(range(0, {SRP_WIDE_BANDS})) AS j) u"
     aug_list = (
-        "list_append(list_transform(range(1, 65), "
+        f"list_append(list_transform(range(1, {EMB_DIM + 1}), "
         "i -> CAST(embedding[i] AS DOUBLE)), CAST({aug} AS DOUBLE))"
     )
     xarms = _srp_xwide_ctes(
