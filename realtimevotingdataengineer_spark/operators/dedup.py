@@ -62,6 +62,29 @@ SRP_XWIDE_BAND_BITS = 12
 SRP_XWIDE_BANDS = 128
 SRP_XWIDE_MIN_N = 1 << 20
 
+#: Round 15 (verdict ask #2): QUERY-DIRECTED multiprobe budget at the
+#: xwide rung. All-flips multiprobe admitted 0.368 of the corpus per
+#: query at n=1.2M (tools/probe_srp_pointquery_recall_r14_n1200k.log)
+#: — a scan fraction at 100 TB, and sim_mmr_rerank_srp consumes that
+#: pool. Instead of flipping all 1,536 bits, probe only the
+#: SRP_XWIDE_PROBE_T lowest-|margin| hyperplane flips (Lv et al. 2007
+#: — see similarity.srp_directed_probes), measured recall-first on the
+#: ladder tool (tools/probe_srp_directed_multiprobe.py). The narrow
+#: and wide rungs keep their all-flips budget (band_bits × n_bands),
+#: so behavior below SRP_XWIDE_MIN_N — including both oracle SFs — is
+#: byte-identical to round 14.
+SRP_XWIDE_PROBE_T = 128
+
+
+def srp_probe_budget(band_bits: int, n_bands: int) -> int:
+    """Directed-multiprobe flip budget for a rung layout. n_bits
+    (= every Hamming-1 flip, the pre-round-15 semantics) below the
+    xwide rung; the measured SRP_XWIDE_PROBE_T at and above it. Pure
+    rule — the oracle's count(*) branch computes the same number."""
+    if band_bits >= SRP_XWIDE_BAND_BITS:
+        return SRP_XWIDE_PROBE_T
+    return band_bits * n_bands
+
 
 def srp_width_rung(n: int) -> tuple[int, int]:
     """(band_bits, n_bands) for a corpus of ``n`` vectors — pure rule,
@@ -1317,7 +1340,19 @@ def connected_components(
     vertices are simply absent from the result (callers coalesce).
     Returns (labels(doc_id, label), rounds_taken). All per-round state
     is eagerly localCheckpoint'd: evaluated once, no CacheManager
-    entries accumulating across invocations."""
+    entries accumulating across invocations.
+
+    The edge list is materialized BEFORE symmetrizing (round 15): the
+    union's two branches otherwise evaluate the whole upstream pair
+    pipeline TWICE CONCURRENTLY inside one localCheckpoint job —
+    double the peak execution memory of the pair stage for zero extra
+    information. That doubling is what killed dedup_embedding_clusters
+    at 30× depth while its pair stage alone was spill-not-OOM
+    (tools/scale_probe_embeddings_r15_30x_clusters_only.log, fresh JVM
+    at 96g — refuting round-14's residual-block theory); one pass over
+    the expensive pipeline, then a cheap swap over the narrow
+    checkpointed pairs, restores the pair stage's memory envelope."""
+    edges = edges.localCheckpoint(eager=True)
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
@@ -1882,11 +1917,16 @@ def _srp_runged_bands_cte(thr: int, xthr: int) -> str:
 
 def _srp_q_cte(thr: int, xthr: int, n_queries: int, multiprobe: bool) -> str:
     """Query-side CTE ``q(vec_id, band, bv)`` over ``bands``. With
-    ``multiprobe`` the Hamming-1 probe list branches on the SAME count
-    rung as the band layout: the narrow arm flips each of 4 band bits,
-    the wide arm each of 8, the xwide arm each of 12 — multiprobe's
-    semantics ("every one-bit perturbation of the band value") follow
-    the band geometry."""
+    ``multiprobe`` the probe list branches on the SAME count rung as
+    the band layout: the narrow arm flips each of 4 band bits, the
+    wide arm each of 8 ("every one-bit perturbation of the band
+    value"), and the xwide arm (round 15, verdict ask #2) probes
+    QUERY-DIRECTED: only the SRP_XWIDE_PROBE_T lowest-|margin|
+    hyperplane flips, ranked by (abs(p_j), j) over the same
+    list_reduce projection folds the xbands arm evaluates (xsg sign
+    CTE shared) — bitwise-identical ordering to the engine's
+    srp_directed_probes kernel, pinned by the forced-threshold parity
+    pytest."""
     if not multiprobe:
         return (
             f"q AS (SELECT vec_id, band, bv FROM bands "
@@ -1898,12 +1938,23 @@ def _srp_q_cte(thr: int, xthr: int, n_queries: int, multiprobe: bool) -> str:
     pw = ", ".join(
         ["bv"] + [f"xor(bv, {1 << b})" for b in range(SRP_WIDE_BAND_BITS)]
     )
-    px = ", ".join(
-        ["bv"] + [f"xor(bv, {1 << b})" for b in range(SRP_XWIDE_BAND_BITS)]
-    )
+    xbb = SRP_XWIDE_BAND_BITS
     return (
         f"qb AS (SELECT vec_id, band, bv FROM bands "
         f"WHERE vec_id < {n_queries}), "
+        # directed-flip chain, empty unless the corpus is on the xwide
+        # arm (the count gate sits on the source relation, so the
+        # projection folds never evaluate on the other arms)
+        f"qxv AS (SELECT vec_id, list_transform(range(1, {EMB_DIM + 1}), "
+        "i -> CAST(embedding[i] AS DOUBLE)) AS xv FROM embeddings "
+        f"WHERE vec_id < {n_queries} AND (SELECT n FROM c) >= {xthr}), "
+        "qxp AS (SELECT vec_id, j, "
+        f"list_reduce(list_transform(range(1, {EMB_DIM + 1}), "
+        "i -> sg[i] * xv[i]), (a, b) -> a + b) AS p "
+        f"FROM qxv, xsg{EMB_DIM}), "
+        "qxf AS (SELECT vec_id, j FROM (SELECT vec_id, j, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY abs(p), j) AS rk "
+        f"FROM qxp) WHERE rk <= {SRP_XWIDE_PROBE_T}), "
         "q AS (SELECT vec_id, band, u.pv AS bv FROM qb, "
         f"LATERAL unnest([{pn}]) AS u(pv) WHERE (SELECT n FROM c) < {thr} "
         "UNION ALL "
@@ -1911,8 +1962,11 @@ def _srp_q_cte(thr: int, xthr: int, n_queries: int, multiprobe: bool) -> str:
         f"LATERAL unnest([{pw}]) AS u(pv) "
         f"WHERE (SELECT n FROM c) >= {thr} AND (SELECT n FROM c) < {xthr} "
         "UNION ALL "
-        "SELECT vec_id, band, u.pv AS bv FROM qb, "
-        f"LATERAL unnest([{px}]) AS u(pv) WHERE (SELECT n FROM c) >= {xthr})"
+        f"SELECT vec_id, band, bv FROM qb WHERE (SELECT n FROM c) >= {xthr} "
+        "UNION ALL "
+        f"SELECT f.vec_id, b.band, xor(b.bv, "
+        f"CAST(1 << CAST(f.j % {xbb} AS INT) AS BIGINT)) AS bv "
+        f"FROM qxf f JOIN qb b ON b.vec_id = f.vec_id AND b.band = f.j // {xbb})"
     )
 
 
@@ -2468,19 +2522,39 @@ def _srp_scored(t: Tables, sigs: DataFrame, probe_bits: int = 0) -> DataFrame:
     ).select("vec_id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
     qb = bands.filter(F.col("vec_id") < N_QUERIES)
     if probe_bits:
-        qb = qb.select(
-            "vec_id",
-            "band",
-            F.explode(
-                F.array(
-                    F.col("bv"),
-                    *[
-                        F.col("bv").bitwiseXOR(F.lit(1 << b))
-                        for b in range(probe_bits)
-                    ],
-                )
-            ).alias("bv"),
-        )
+        budget = srp_probe_budget(probe_bits, n_bands)
+        if budget >= probe_bits * n_bands:
+            # all-flips multiprobe (narrow/wide rungs): cheap column
+            # explode, plan unchanged from round 14
+            qb = qb.select(
+                "vec_id",
+                "band",
+                F.explode(
+                    F.array(
+                        F.col("bv"),
+                        *[
+                            F.col("bv").bitwiseXOR(F.lit(1 << b))
+                            for b in range(probe_bits)
+                        ],
+                    )
+                ).alias("bv"),
+            )
+        else:
+            # QUERY-DIRECTED multiprobe (round 15, xwide rung): own
+            # buckets + the `budget` lowest-|margin| flips, computed by
+            # an Arrow kernel over the BOUNDED query vectors — the
+            # corpus band relation and the (band, bv) shuffle shape are
+            # untouched. See similarity.srp_directed_probes.
+            from .similarity import srp_directed_probes
+
+            qb = srp_directed_probes(
+                t.embeddings.filter(F.col("vec_id") < N_QUERIES),
+                "vec_id",
+                "embedding",
+                probe_bits,
+                n_bands,
+                budget,
+            )
     q, c = qb.alias("q"), bands.alias("c")
     cand = (
         q.join(

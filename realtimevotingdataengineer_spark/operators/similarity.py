@@ -1157,6 +1157,103 @@ def srp_band_signatures(
     return df.select(id_col, vec_col).mapInPandas(kern, out_schema)
 
 
+def srp_directed_probes(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    band_bits: int,
+    n_bands: int,
+    budget: int,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """(id, band, bv) QUERY-DIRECTED multiprobe rows (Lv et al. 2007's
+    q(T) schedule over the SRP band index, round 15): each query row
+    emits its own band value for every band PLUS the ``budget``
+    Hamming-1 flips ranked by hyperplane margin — flip the signature
+    bit of projection j in ascending (|p_j|, j) order, where p_j is the
+    SAME left-associated signed fold srp_band_signatures evaluates (so
+    the probe set is reproducible bitwise by the DuckDB oracle's
+    list_reduce fold; ties broken by j). A near-neighbor lands in the
+    flipped bucket of hyperplane j with probability rising as the
+    query's margin on j falls, so the lowest-margin flips buy most of
+    full multiprobe's recall at a fraction of its bucket admissions —
+    measured recall-vs-fraction ladder in
+    tools/probe_srp_directed_r15_n20k.log and the n=1.2M xwide log.
+    ``budget >= band_bits * n_bands`` degenerates to all-flips (every
+    bit flipped once), i.e. the pre-round-15 multiprobe semantics.
+
+    Runs on the BOUNDED query side only (N_QUERIES rows) — the corpus
+    band relation is untouched, so the scale shape of every consumer
+    is unchanged: one narrow probe relation, same (band, bv) shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    n_bits = band_bits * n_bands
+    budget = min(budget, n_bits)
+    signs = [[_rp_sign(j, i) for i in range(1, dim + 1)] for j in range(n_bits)]
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("band", LongType()),
+            StructField("bv", LongType()),
+        ]
+    )
+
+    def kern(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if V.shape[1] != dim:
+                raise ValueError(
+                    f"srp_directed_probes: vector width {V.shape[1]} != "
+                    f"declared dim {dim} — pass the caller's dimension"
+                )
+            proj = np.empty((n, n_bits))
+            for j in range(n_bits):
+                sj = signs[j]
+                acc = V[:, 0].copy() if sj[0] > 0 else -V[:, 0]
+                for i in range(1, dim):
+                    if sj[i] > 0:
+                        acc = acc + V[:, i]
+                    else:
+                        acc = acc - V[:, i]
+                proj[:, j] = acc
+            bits = proj >= 0
+            bv = np.zeros((n, n_bands), dtype=np.int64)
+            for k in range(n_bands):
+                for b in range(band_bits):
+                    bv[:, k] |= bits[:, band_bits * k + b].astype(np.int64) << b
+            ids = pdf[id_col].to_numpy()
+            out_id = [np.repeat(ids, n_bands)]
+            out_band = [np.tile(np.arange(n_bands, dtype=np.int64), n)]
+            out_bv = [bv.reshape(-1)]
+            if budget > 0:
+                # (|p|, j)-ascending: stable argsort on |p| is j-stable
+                flips = np.argsort(np.abs(proj), axis=1, kind="stable")[
+                    :, :budget
+                ]
+                fband = flips // band_bits
+                fbit = flips % band_bits
+                fbv = np.take_along_axis(bv, fband, axis=1) ^ (
+                    np.int64(1) << fbit.astype(np.int64)
+                )
+                out_id.append(np.repeat(ids, budget))
+                out_band.append(fband.astype(np.int64).reshape(-1))
+                out_bv.append(fbv.reshape(-1))
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_id),
+                    "band": np.concatenate(out_band),
+                    "bv": np.concatenate(out_bv),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(kern, out_schema)
+
+
 _RP_SPARK = [_rp_chain(j, "CAST(element_at(embedding, {i}) AS DOUBLE)") for j in range(RP_DIM)]
 _RP_DUCK = [_rp_chain(j, "CAST(embedding[{i}] AS DOUBLE)") for j in range(RP_DIM)]
 

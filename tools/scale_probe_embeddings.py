@@ -113,28 +113,29 @@ def main() -> None:
         build_corpus(spark, n, work)
         t = Tables(spark, work)
         k = codebook_rung(n)
-        # candidate volume: the bucket self-join the verify stage pays
-        assign = ivf_assign_fixed(t.embeddings, probe_rung(n), k).localCheckpoint(
-            eager=True
-        )
-        aa, ab = assign.alias("aa"), assign.alias("ab")
-        cand = (
-            aa.join(
-                ab,
-                (F.col("aa.cent_id") == F.col("ab.cent_id"))
-                & (F.col("aa.vec_id") < F.col("ab.vec_id")),
+        res = {"n": n, "k": k, "brute_pairs": n * (n - 1) // 2}
+        # candidate volume: the bucket self-join the verify stage pays.
+        # SCALE_PROBE_SKIP_CAND=1 skips it so an isolation run (round-15
+        # verdict ask #1: clusters-only in a fresh JVM) measures ONLY
+        # the key under test — the distinct-count here is itself a
+        # heap-heavy job that would confound an OOM adjudication.
+        if not os.environ.get("SCALE_PROBE_SKIP_CAND"):
+            assign = ivf_assign_fixed(t.embeddings, probe_rung(n), k).localCheckpoint(
+                eager=True
             )
-            .select(F.col("aa.vec_id"), F.col("ab.vec_id"))
-            .distinct()
-            .count()
-        )
-        res = {
-            "n": n,
-            "k": k,
-            "cand_pairs": cand,
-            "brute_pairs": n * (n - 1) // 2,
-            "cand_fraction": round(cand / (n * (n - 1) / 2), 4),
-        }
+            aa, ab = assign.alias("aa"), assign.alias("ab")
+            cand = (
+                aa.join(
+                    ab,
+                    (F.col("aa.cent_id") == F.col("ab.cent_id"))
+                    & (F.col("aa.vec_id") < F.col("ab.vec_id")),
+                )
+                .select(F.col("aa.vec_id"), F.col("ab.vec_id"))
+                .distinct()
+                .count()
+            )
+            res["cand_pairs"] = cand
+            res["cand_fraction"] = round(cand / (n * (n - 1) / 2), 4)
         for key in KEYS:
             next_stage = (
                 max((s["stageId"] for s in rest(spark, "/stages")), default=-1) + 1
