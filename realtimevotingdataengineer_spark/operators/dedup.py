@@ -2496,10 +2496,18 @@ def _srp_scored(t: Tables, sigs: DataFrame, probe_bits: int = 0) -> DataFrame:
     retrieval core under the top-k keys (_srp_search_from_sigs) and
     the filter-BEFORE-rank consumers (sim_hard_negatives, where a
     post-cut filter would let positives crowd negatives out of k).
-    With ``probe_bits`` > 0 the (bounded) query side also probes every
-    Hamming-1 perturbation of each band value's low ``probe_bits`` bits
-    — LSH MULTIPROBE: recall of extra hash tables at the cost of a few
-    more bucket lookups, with the corpus side untouched.
+    With ``probe_bits`` > 0 the (bounded) query side also probes
+    Hamming-1 perturbations of its band values — LSH MULTIPROBE: recall
+    of extra hash tables at the cost of a few more bucket lookups, with
+    the corpus side untouched. Below the xwide rung that is EVERY
+    one-bit flip (srp_probe_budget = n_bits); at the xwide rung only
+    the SRP_XWIDE_PROBE_T lowest-|margin| flips are probed
+    (query-directed, round 15 — similarity.srp_directed_probes), whose
+    kernel recomputes the query signatures from ``t.embeddings``: fine
+    for every current multiprobe consumer (all build sigs fresh from
+    the same table); a future consumer probing a PERSISTED index built
+    from different bytes must route queries through that index's own
+    signature rows instead.
 
     The band COUNT is read off the signature frame's own ``bv*``
     columns (round 13): the same search core serves the narrow
