@@ -2326,6 +2326,82 @@ def test_srp_multiprobe_recall_dominates_single_probe(t):
             assert scores_m[key] == cos
 
 
+def test_srp_directed_probes_semantics(t):
+    """Round 15: the query-directed probe kernel's two contracts.
+    (a) budget >= n_bits degenerates EXACTLY to the all-flips probe set
+    (own band value + every Hamming-1 perturbation — the pre-round-15
+    multiprobe semantics the narrow/wide rungs keep); (b) under a
+    smaller budget each query emits exactly n_bands own rows + budget
+    flips, and the flips are THE budget lowest-(|margin|, j) hyperplane
+    flips per an independent numpy recompute of the same
+    left-associated projection fold."""
+    import numpy as np
+
+    from realtimevotingdataengineer_spark.operators.similarity import (
+        EMB_DIM,
+        _rp_sign,
+        srp_band_signatures,
+        srp_directed_probes,
+    )
+
+    bb, nb = 12, 128  # the xwide layout (the only rung that directs)
+    n_bits = bb * nb
+    q = t.embeddings.filter(F.col("vec_id") < 5)
+
+    sig_rows = srp_band_signatures(q, "vec_id", "embedding", bb, nb).collect()
+    allflips = set()
+    for r in sig_rows:
+        for band in range(nb):
+            bv = r[f"bv{band}"]
+            allflips.add((r.vec_id, band, bv))
+            for b in range(bb):
+                allflips.add((r.vec_id, band, bv ^ (1 << b)))
+    got_full = {
+        (r.vec_id, r.band, r.bv)
+        for r in srp_directed_probes(
+            q, "vec_id", "embedding", bb, nb, n_bits
+        ).collect()
+    }
+    assert got_full == allflips
+
+    budget = 17
+    rows = srp_directed_probes(
+        q, "vec_id", "embedding", bb, nb, budget
+    ).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.vec_id, []).append((r.band, r.bv))
+    own = {
+        r.vec_id: {band: r[f"bv{band}"] for band in range(nb)}
+        for r in sig_rows
+    }
+    vecs = {r.vec_id: r.embedding for r in q.select("vec_id", "embedding").collect()}
+    signs = np.array(
+        [[_rp_sign(j, i) for i in range(1, EMB_DIM + 1)] for j in range(n_bits)]
+    )
+    for vid, entries in per_q.items():
+        assert len(entries) == nb + budget
+        flips = [e for e in entries if e[1] != own[vid][e[0]]]
+        assert len(flips) == budget
+        # every flip is Hamming-1 from the own band value
+        for band, bv in flips:
+            assert bin(bv ^ own[vid][band]).count("1") == 1
+        # numpy recompute of the fold -> expected (|p|, j)-smallest set
+        v = np.array(vecs[vid], dtype=np.float64)
+        proj = np.empty(n_bits)
+        for j in range(n_bits):
+            acc = v[0] if signs[j][0] > 0 else -v[0]
+            for i in range(1, EMB_DIM):
+                acc = acc + v[i] if signs[j][i] > 0 else acc - v[i]
+            proj[j] = acc
+        order = np.argsort(np.abs(proj), kind="stable")[:budget]
+        expect = set()
+        for j in order:
+            band, bit = int(j) // bb, int(j) % bb
+            expect.add((band, own[vid][band] ^ (1 << bit)))
+        assert set(flips) == expect
+
+
 def test_bpe_batched_vs_sequential_divergence_class(t):
     """text_bpe_learn_merges_batched vs the sequential trainer, with the
     one legitimate divergence class pinned: (1) the FIRST merge is
