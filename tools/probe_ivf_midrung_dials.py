@@ -68,9 +68,10 @@ def midrung(n: int) -> tuple[int, int]:
     m = 3
     while m < 15 and 4**m < n:
         m += 1
-    # candidates in ascending order inside the [2^(m-1), 2^m] octave
-    if m > 3 and n <= 9 * 4 ** (m - 1):
-        k = 3 * 2 ** (m - 1)
+    # the octave (2^(m-1), 2^m] contains one mid candidate 3*2^(m-2);
+    # ceil(sqrt(n)) <= 3*2^(m-2)  iff  n <= 9*4^(m-2)
+    if m > 3 and n <= 9 * 4 ** (m - 2):
+        k = 3 * 2 ** (m - 2)
     else:
         k = 2**m
     return k, k.bit_length() - 1
