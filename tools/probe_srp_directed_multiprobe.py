@@ -66,20 +66,25 @@ def signatures_and_margins(
     exact fold: float32 coords widened to float64, acc = +-V[:,0] then
     +-V[:,i] in index order (srp_band_signatures's loop verbatim)."""
     n_bits = band_bits * n_bands
-    V = V32.astype(np.float64)
-    n = len(V)
+    # dim-major contiguous layout: VT[i] is coordinate i across all
+    # rows as one contiguous 8n-byte read, vs the strided V[:, i]
+    # column gather that made the fold cache-line-bound (~10x slower
+    # at n=1.2M). The accumulation below is the SAME left-associated
+    # elementwise add sequence — identical bits, different layout.
+    VT = np.ascontiguousarray(V32.T.astype(np.float64))
+    n = VT.shape[1]
     # margins are consumed only for the N_Q query rows — storing the
     # full n x n_bits proj matrix would be ~15 GB at n=1.2M
     proj_q = np.empty((N_Q, n_bits))
     bv = np.zeros((n, n_bands), dtype=np.int64)
     for j in range(n_bits):
         sj = [_rp_sign(j, i) for i in range(1, EMB_DIM + 1)]
-        acc = V[:, 0].copy() if sj[0] > 0 else -V[:, 0]
+        acc = VT[0].copy() if sj[0] > 0 else -VT[0]
         for i in range(1, EMB_DIM):
             if sj[i] > 0:
-                acc = acc + V[:, i]
+                acc += VT[i]
             else:
-                acc = acc - V[:, i]
+                acc -= VT[i]
         proj_q[:, j] = acc[:N_Q]
         bv[:, j // band_bits] |= (acc >= 0).astype(np.int64) << (j % band_bits)
     return bv, proj_q
