@@ -69,10 +69,15 @@ SRP_XWIDE_MIN_N = 1 << 20
 #: pool. Instead of flipping all 1,536 bits, probe only the
 #: SRP_XWIDE_PROBE_T lowest-|margin| hyperplane flips (Lv et al. 2007
 #: — see similarity.srp_directed_probes), measured recall-first on the
-#: ladder tool (tools/probe_srp_directed_multiprobe.py). The narrow
-#: and wide rungs keep their all-flips budget (band_bits × n_bands),
-#: so behavior below SRP_XWIDE_MIN_N — including both oracle SFs — is
-#: byte-identical to round 14.
+#: ladder tool (tools/probe_srp_directed_multiprobe.py). T=128 is the
+#: MEASURED knee at the rung's natural n=1.2M regime
+#: (tools/probe_srp_directed_r15_n1200k.log): planted recall@10 0.993
+#: at candidate fraction 0.0823 — 4.5× below all-flips' 0.368 and
+#: below even the wide rung's single-probe 0.133; recall reaches
+#: 1.000 at T=384 (fraction 0.1504) for consumers that ever need it.
+#: The narrow and wide rungs keep their all-flips budget
+#: (band_bits × n_bands), so behavior below SRP_XWIDE_MIN_N —
+#: including both oracle SFs — is byte-identical to round 14.
 SRP_XWIDE_PROBE_T = 128
 
 
