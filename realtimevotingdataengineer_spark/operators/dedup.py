@@ -1722,29 +1722,18 @@ def dedup_embedding_bucketed(t: Tables) -> DataFrame:
         -(-pairs.count() // PAIRS_PER_PARTITION),
     )
     pairs = pairs.repartition(width)
-    # per-side projected norms keep the join method codegen-compiled
-    # (three 64-term chains inline would blow Janino's 64KB limit)
-    a = t.embeddings.withColumn("nrm", norm_expr("embedding", EMB_DIM)).alias("a")
-    b = t.embeddings.withColumn("nrm", norm_expr("embedding", EMB_DIM)).alias("b")
-    cos = dot_expr("a.embedding", "b.embedding", EMB_DIM) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
-    # The θ-filter is pushed into the BHJ as a residual condition by
-    # Catalyst — that's FINE: the chain evaluates once per candidate in
-    # the condition, and the output projection re-evaluates it only for
-    # the ~0.1% of pairs that survive. Measured equal to a
-    # materialize-then-filter variant once the partitioning above is
-    # right (2.2s vs 2.3s at sf0.1); keep the simpler plan.
-    return (
-        pairs.join(a, F.col("id_a") == F.col("a.vec_id"))
-        .join(b, F.col("id_b") == F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= COSINE_THETA)
-    )
+    # Round 15 (optimization): the verify cosine moved from the unrolled
+    # 129-op dot/norm chain (which HotSpot refuses to JIT — measured
+    # 85 s of executor time for ~0.4 M candidate cosines at sf0.1,
+    # ~30× interpreted-bytecode slowdown) to the shared Arrow fold
+    # kernel. Joins and θ-filter are unchanged; the kernel's ordered dim
+    # folds are bitwise equal to the chain (tools/probe_dot_kernel_r15
+    # .log), so the oracle and every downstream hash are untouched.
+    from .similarity import pair_cosine_arrow
+
+    return pair_cosine_arrow(
+        pairs, t.embeddings, "id_a", "id_b", "vec_a", "vec_b"
+    ).filter(F.col("cosine") >= COSINE_THETA)
 
 
 def _embedding_clusters_sql() -> str:

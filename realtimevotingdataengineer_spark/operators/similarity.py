@@ -673,33 +673,165 @@ def sim_ivf_multiprobe_topk(t: Tables, n_probe: int = 2) -> DataFrame:
     )
 
 
+def _fold_dot(a, b):
+    """Ordered left-fold Σ a[:,j]·b[:,j] over dim columns — the numpy
+    twin of functions.dot_expr's pinned chain: each per-row accumulator
+    adds terms strictly in dim order (one vectorized add per dim, NOT
+    numpy's pairwise-summed `sum`), so every double is bitwise what the
+    unrolled SQL chain produces (verified in
+    tools/probe_dot_kernel_r15.log)."""
+    acc = a[:, 0] * b[:, 0]
+    for j in range(1, a.shape[1]):
+        acc = acc + a[:, j] * b[:, j]
+    return acc
+
+
 def ivf_assign_fixed(emb: DataFrame, n_probe: int = 1, n_cent: int = N_CENTROIDS) -> DataFrame:
     """(vec_id, cent_id) top-`n_probe` nearest-centroid assignment over
-    the fixed first-`n_cent`-vectors codebook, with the order-pinned
-    dot/norm chains so a DuckDB oracle (assign_sql) reproduces every
-    bucket bitwise. The codebook broadcasts; the only shuffle is the
-    per-vec_id rank window. Shared by sim_ivf_topk (n_probe=1),
-    dedup.dedup_embedding_bucketed (n_probe=2), and sim_knn_graph
-    (n_cent=derived_n_cent — the corpus-scaled codebook)."""
-    cent = emb.filter(F.col("vec_id") < n_cent).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    the fixed first-`n_cent`-vectors codebook. Shared by sim_ivf_topk
+    (n_probe=1), dedup.dedup_embedding_bucketed (probe_rung-wide), and
+    sim_knn_graph (n_cent=derived_n_cent — the corpus-scaled codebook).
+
+    Round 15 (optimization): the n×k cross join + rank-window plan is
+    replaced by ONE Arrow kernel pass over the corpus — the codebook is
+    bounded (≤ 2^RUNG_MAX_M rows = 16 MB, the same relation the old plan
+    broadcast), so it is collected once and closed over; each batch
+    computes all k cosines with the pinned dim-order fold (bitwise equal
+    to the dot_expr chain — tools/probe_dot_kernel_r15.log) and emits
+    only the top-`n_probe` (cent_id asc on ties, exactly row_number's
+    ORDER BY cos DESC, cent_id). This removes BOTH the n×k row explosion
+    and the per-vec_id rank-window exchange (the old plan's only
+    shuffle), and sidesteps the unrolled 129-op chain that HotSpot
+    refuses to JIT (measured 85 s executor time for ~0.4 M cosines at
+    sf0.1 — ~30× interpreted-bytecode slowdown). The oracle (assign_sql)
+    is unchanged: same doubles, same ranks, same (vec_id, cent_id) set.
+    NaN caveat (zero-norm vectors) documented: numpy ranks NaN cosines
+    last, SQL DESC ranks them first — no zero vectors exist in any
+    fixture, and the oracle sweep would catch one."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cent_rows = (
+        emb.filter(F.col("vec_id") < n_cent)
+        .select("vec_id", "embedding")
+        .collect()  # bounded: the codebook — the relation the old plan broadcast
     )
-    c = spread(emb, "vec_id").alias("c")
-    cos_to_cent = dot_expr("c.embedding", "cent_emb", EMB_DIM) / (
-        norm_expr("c.embedding", EMB_DIM) * norm_expr("cent_emb", EMB_DIM)
+    cent_rows.sort(key=lambda r: r.vec_id)
+    out_schema = StructType(
+        [StructField("vec_id", LongType()), StructField("cent_id", LongType())]
     )
-    return (
-        c.crossJoin(F.broadcast(cent))
-        .select(F.col("c.vec_id").alias("vec_id"), "cent_id", cos_to_cent.alias("cos"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
-            ),
+    if not cent_rows:
+        return emb.sparkSession.createDataFrame([], out_schema)
+    cent_ids = np.asarray([r.vec_id for r in cent_rows], dtype=np.int64)
+    cmat = np.asarray([r.embedding for r in cent_rows], dtype=np.float64)
+    cnrm = np.sqrt(_fold_dot(cmat, cmat))
+    p = min(n_probe, len(cent_rows))
+    bc = emb.sparkSession.sparkContext.broadcast((cent_ids, cmat, cnrm))
+
+    def kernel(batches):
+        import numpy as np  # noqa: PLC0415 — executor-side import
+        import pyarrow as pa
+
+        k_ids, k_mat, k_nrm = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            vids = batch.column(0).to_numpy()
+            v = np.stack(
+                batch.column(1).to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            # ordered dim folds (the _fold_dot shape, inlined so the
+            # pickled kernel carries no module-global references)
+            vacc = v[:, 0] * v[:, 0]
+            for j in range(1, v.shape[1]):
+                vacc = vacc + v[:, j] * v[:, j]
+            vnrm = np.sqrt(vacc)
+            # dot[m,k] with the chain's dim-order fold per (vec, cent)
+            dot = v[:, 0:1] * k_mat[None, :, 0]
+            for j in range(1, v.shape[1]):
+                dot = dot + v[:, j : j + 1] * k_mat[None, :, j]
+            cos = dot / (vnrm[:, None] * k_nrm[None, :])
+            # row_number(ORDER BY cos DESC, cent_id ASC): stable argsort
+            # on -cos keeps column (= cent_id-ascending) order on ties
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :p]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(vids, p)),
+                    pa.array(k_ids[top].ravel()),
+                ],
+                names=["vec_id", "cent_id"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(kernel, out_schema)
+
+
+def pair_cosine_arrow(
+    pairs: DataFrame,
+    emb: DataFrame,
+    id_a: str,
+    id_b: str,
+    out_a: str,
+    out_b: str,
+) -> DataFrame:
+    """(out_a, out_b, cosine) for every candidate id pair: the pair list
+    joins each side's embedding back (equi-joins — broadcast at test SF,
+    declarative at 100 TB) and ONE Arrow kernel computes the pinned
+    cosine chain per pair with ordered dim folds — bitwise equal to
+    dot_expr/(norm·norm) (tools/probe_dot_kernel_r15.log: equal on every
+    pair, 4.7× faster than the unrolled chain, which HotSpot leaves
+    interpreted at 129 ops). Shared by the embedding-dedup verify stages
+    so the kernel exists once."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    a = emb.select(F.col("vec_id").alias("__aid"), F.col("embedding").alias("__ea"))
+    b = emb.select(F.col("vec_id").alias("__bid"), F.col("embedding").alias("__eb"))
+    j = (
+        pairs.join(a, F.col(id_a) == F.col("__aid"))
+        .join(b, F.col(id_b) == F.col("__bid"))
+        .select(
+            F.col(id_a).alias(out_a),
+            F.col(id_b).alias(out_b),
+            "__ea",
+            "__eb",
         )
-        .filter(F.col("rn") <= n_probe)
-        .select("vec_id", "cent_id")
     )
+    out_schema = StructType(
+        [
+            StructField(out_a, LongType()),
+            StructField(out_b, LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np  # noqa: PLC0415 — executor-side import
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ea = np.stack(
+                batch.column(2).to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            eb = np.stack(
+                batch.column(3).to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            # ordered dim folds — the dot_expr chain's association
+            dot = ea[:, 0] * eb[:, 0]
+            na = ea[:, 0] * ea[:, 0]
+            nb = eb[:, 0] * eb[:, 0]
+            for jj in range(1, ea.shape[1]):
+                dot = dot + ea[:, jj] * eb[:, jj]
+                na = na + ea[:, jj] * ea[:, jj]
+                nb = nb + eb[:, jj] * eb[:, jj]
+            cos = dot / (np.sqrt(na) * np.sqrt(nb))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), pa.array(cos)],
+                names=[out_a, out_b, "cosine"],
+            )
+
+    return j.mapInArrow(kernel, out_schema)
 
 
 @register("sim_ivf_topk", _IVF_SQL)

@@ -2754,3 +2754,48 @@ def test_minhash_collapse_digest_injective_under_separator_chars(spark):
         ).collect()
     }
     assert digs[0] != digs[1]
+
+
+def test_ivf_assign_kernel_matches_crossjoin_window_formulation(t):
+    """Round-15 optimization contract: ivf_assign_fixed's Arrow kernel
+    (ordered-fold cosines + stable argsort top-p, no n×k row explosion,
+    no rank-window exchange) must reproduce the retired crossJoin +
+    row_number formulation EXACTLY — same (vec_id, cent_id) multiset at
+    several (n_probe, n_cent) dials, including tie-break order (stable
+    argsort on -cos ≡ ORDER BY cos DESC, cent_id ASC)."""
+    from pyspark.sql import Window
+
+    from realtimevotingdataengineer_spark.functions import dot_expr, norm_expr
+    from realtimevotingdataengineer_spark.operators.similarity import (
+        EMB_DIM,
+        ivf_assign_fixed,
+    )
+
+    emb = t.embeddings
+
+    def reference(n_probe, n_cent):
+        cent = emb.filter(F.col("vec_id") < n_cent).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+        )
+        c = emb.alias("c")
+        cos = dot_expr("c.embedding", "cent_emb", EMB_DIM) / (
+            norm_expr("c.embedding", EMB_DIM) * norm_expr("cent_emb", EMB_DIM)
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+        return (
+            c.crossJoin(F.broadcast(cent))
+            .select(F.col("c.vec_id").alias("vec_id"), "cent_id", cos.alias("cos"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n_probe)
+            .select("vec_id", "cent_id")
+        )
+
+    for n_probe, n_cent in [(1, 8), (2, 8), (4, 16), (3, 5)]:
+        got = sorted(
+            (r.vec_id, r.cent_id)
+            for r in ivf_assign_fixed(emb, n_probe, n_cent).collect()
+        )
+        want = sorted(
+            (r.vec_id, r.cent_id) for r in reference(n_probe, n_cent).collect()
+        )
+        assert got == want, f"assign drift at n_probe={n_probe} n_cent={n_cent}"

@@ -392,11 +392,12 @@ def test_knn_arrow_topk_inside_kernel_no_window(t):
     df = QUERIES["sim_knn_graph_arrow"](t)
     plan = formatted_plan(df)
     assert "FlatMapGroupsInPandas" in plan
-    # the only Window in the plan is the IVF assignment's rank, BELOW the
-    # kernel (printed after it in the tree) — nothing windows the kernel's
-    # output
+    # round 15: NO Window anywhere — the kernel's output was never
+    # windowed, and the IVF assignment's rank window (formerly the one
+    # Window below the kernel) is gone too: ivf_assign_fixed now emits
+    # top-p directly from its Arrow kernel
     tree = plan.split("(1) ")[0]
-    assert tree.index("FlatMapGroupsInPandas") < tree.index("Window")
+    assert "Window" not in tree
     assert "SortMergeJoin" not in plan  # codebook/assign joins all broadcast
 
 
