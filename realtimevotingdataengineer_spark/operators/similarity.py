@@ -2413,89 +2413,93 @@ def sim_mmr_rerank(t: Tables) -> DataFrame:
 
 def _mmr_over_pool(t: Tables, cand: DataFrame) -> DataFrame:
     """The greedy MMR rounds over an ALREADY-MATERIALIZED candidate
-    pool ``cand(query_id, neighbor_id, cosine)`` (caller checkpoints —
-    the pool feeds the pair self-join plus every round). Shared by
-    sim_mmr_rerank (exact pool) and sim_mmr_rerank_srp (bucketed-ANN
-    pool) so the rerank semantics exist exactly once."""
-    ea = t.embeddings.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
-    ).withColumn("a_nrm", norm_expr("a_emb", EMB_DIM))
-    eb = t.embeddings.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
-    ).withColumn("b_nrm", norm_expr("b_emb", EMB_DIM))
-    pair_cos = dot_expr("a_emb", "b_emb", EMB_DIM) / (
-        F.col("a_nrm") * F.col("b_nrm")
+    pool ``cand(query_id, neighbor_id, cosine)`` (caller checkpoints).
+    Shared by sim_mmr_rerank (exact pool) and sim_mmr_rerank_srp
+    (bucketed-ANN pool) so the rerank semantics exist exactly once.
+
+    Round 15 (optimization): the tail used to run K-1 declarative
+    rounds — a pool×pool pair-cosine join checkpointed up front, then
+    per round an exclusion join, a max-sim aggregate (originally one
+    join per EARLIER selection), a rank window, and an eager
+    localCheckpoint. Per-query pools are bounded (≤ MMR_CAND rows), so
+    ALL of that is one grouped-map kernel now: each query's pool rows
+    arrive as one pandas group, the pairwise sims are computed with the
+    pinned dim-order fold (bitwise equal to the dot_expr chain —
+    tools/probe_dot_kernel_r15.log), and the K greedy picks run as a
+    numpy loop (argmax over ids-ascending rows ≡ ORDER BY mmr DESC,
+    neighbor_id ASC; np.maximum over selected rows ≡ greatest over
+    selected columns — max is exact, no rounding). Replaces ~10 tiny
+    AQE jobs + 5 checkpoints + the pr pair join (measured 3.8 s warm at
+    sf0.1 for ≤100-row relations) with one exchange + one kernel pass.
+    The oracle's unrolled greedy tail is unchanged; pytest pins the
+    exact-pool/SRP-pool rerank equality on shared pool prefixes."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
-    ca = cand.select("query_id", F.col("neighbor_id").alias("i"))
-    cb = cand.select(F.col("query_id").alias("qb"), F.col("neighbor_id").alias("j"))
-    pr = (
-        ca.join(cb, (F.col("qb") == F.col("query_id")) & (F.col("j") != F.col("i")))
-        .join(ea, F.col("a_id") == F.col("i"))
-        .join(eb, F.col("b_id") == F.col("j"))
-        .select("query_id", "i", "j", pair_cos.alias("sim"))
-        .localCheckpoint(eager=True)  # consumed by every round
+
+    emb = t.embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
     )
-    w1 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    sels = [
-        cand.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("cosine").alias("rel"),
-            F.col("cosine").alias("mmr"),
+    pool = cand.join(emb, "neighbor_id").select(
+        "query_id", "neighbor_id", "cosine", "embedding"
+    )
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("pick", IntegerType()),
+            StructField("neighbor_id", LongType()),
+            StructField("rel", DoubleType()),
+            StructField("mmr", DoubleType()),
+        ]
+    )
+    mmr_lambda, mmr_one_minus, mmr_k = MMR_LAMBDA, MMR_ONE_MINUS, MMR_K
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        # ids-ascending order makes every argmax tie-break neighbor_id ASC
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        ids = pdf["neighbor_id"].to_numpy()
+        rel = pdf["cosine"].to_numpy()
+        e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        # pairwise sims with the chain's dim-order fold
+        dot = e[:, 0:1] * e[None, :, 0]
+        nacc = e[:, 0] * e[:, 0]
+        for j in range(1, e.shape[1]):
+            dot = dot + e[:, j : j + 1] * e[None, :, j]
+            nacc = nacc + e[:, j] * e[:, j]
+        nrm = np.sqrt(nacc)
+        sim = dot / (nrm[:, None] * nrm[None, :])
+        m = len(ids)
+        avail = np.ones(m, dtype=bool)
+        first = int(np.argmax(rel))  # first max = smallest neighbor_id on ties
+        picks = [(1, first, rel[first], rel[first])]
+        avail[first] = False
+        sel = [first]
+        for pick in range(2, min(mmr_k, m) + 1):
+            g = np.maximum.reduce(sim[:, sel], axis=1)
+            mmr = mmr_lambda * rel - mmr_one_minus * g
+            i = int(np.argmax(np.where(avail, mmr, -np.inf)))
+            picks.append((pick, i, rel[i], mmr[i]))
+            avail[i] = False
+            sel.append(i)
+        qid = int(pdf["query_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(picks), qid, dtype=np.int64),
+                "pick": np.array([p[0] for p in picks], dtype=np.int32),
+                "neighbor_id": ids[[p[1] for p in picks]],
+                "rel": np.array([p[2] for p in picks], dtype=np.float64),
+                "mmr": np.array([p[3] for p in picks], dtype=np.float64),
+            }
         )
-    ]
-    for i in range(2, MMR_K + 1):
-        m = cand.alias("c")
-        sim_cols = []
-        for j, s in enumerate(sels, 1):
-            sj = s.select(
-                F.col("query_id").alias(f"sq{j}"), F.col("neighbor_id").alias(f"sn{j}")
-            )
-            m = m.join(
-                F.broadcast(sj),
-                (F.col(f"sq{j}") == F.col("query_id"))
-                & (F.col("neighbor_id") != F.col(f"sn{j}")),
-            )
-            pj = pr.select(
-                F.col("query_id").alias(f"pq{j}"),
-                F.col("i").alias(f"pi{j}"),
-                F.col("j").alias(f"pj{j}"),
-                F.col("sim").alias(f"sim{j}"),
-            )
-            m = m.join(
-                pj,
-                (F.col(f"pq{j}") == F.col("query_id"))
-                & (F.col(f"pi{j}") == F.col("neighbor_id"))
-                & (F.col(f"pj{j}") == F.col(f"sn{j}")),
-            )
-            sim_cols.append(F.col(f"sim{j}"))
-        g = sim_cols[0] if len(sim_cols) == 1 else F.greatest(*sim_cols)
-        wi = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("neighbor_id"))
-        sel = (
-            m.select(
-                "query_id",
-                "neighbor_id",
-                F.col("cosine").alias("rel"),
-                (F.lit(MMR_LAMBDA) * F.col("cosine") - F.lit(MMR_ONE_MINUS) * g).alias(
-                    "mmr"
-                ),
-            )
-            .withColumn("rn", F.row_number().over(wi))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-            # eager: round i+1 joins EVERY earlier selection — without
-            # materialization each later round re-expands the whole
-            # prior-round subtree (measured: 84 exchanges for ≤100-row
-            # relations at K=5).
-            .localCheckpoint(eager=True)
-        )
-        sels.append(sel)
-    out = None
-    for i, s in enumerate(sels, 1):
-        row = s.select(
-            "query_id", F.lit(i).cast("int").alias("pick"), "neighbor_id", "rel", "mmr"
-        )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("query_id", "pick")
+
+    return (
+        pool.groupBy("query_id").applyInPandas(greedy, out_schema)
+        .orderBy("query_id", "pick")
+    )
