@@ -154,20 +154,69 @@ def ngram_cte_sql(name: str, n: int, source_cte: str = "tk") -> str:
 # explicit chain is provably the same shape as the SQL text we emit.)
 # ---------------------------------------------------------------------------
 
-def dot_expr(a: str, b: str, dim: int) -> Column:
-    """Σ a[i]*b[i] as a fixed left-assoc double chain over `dim` elements.
-
-    Built as ONE SQL text handed to F.expr rather than `dim` chained
-    Column operations: the AST (and therefore codegen and the IEEE
-    evaluation order) is identical, but construction is a single Py4J
-    round trip instead of ~4·dim of them — at dim=64 that is the
-    difference between ~ms and ~seconds of driver-side plan build per
-    query."""
-    chain = " + ".join(
-        f"CAST(element_at({a}, {i}) AS DOUBLE) * CAST(element_at({b}, {i}) AS DOUBLE)"
-        for i in range(1, dim + 1)
+def counts_to_vector(
+    dims, group_cols: list[str], width: int, value_cast: str, out: str
+):
+    """(group…, dim, c) → (group…, out = [v₀ … v_{width−1}]): the
+    hashed-TF pivot as ONE map aggregate + ONE transform instead of
+    ``width`` sum(CASE WHEN dim = j …) aggregates. Round 15: the
+    64-aggregate form generates an update method past HotSpot's 8 KB
+    JIT ceiling, so the whole aggregation ran as interpreted bytecode —
+    measured 12.8 s for the 5k-doc pivot at sf0.1 vs ~0.3 s for this
+    shape. Exact by construction: counts are integers, each dim key
+    appears at most once per group (dims is already aggregated), and
+    absent dims coalesce to the same 0 the CASE form summed. The oracle
+    SQL keeps its sum(CASE) text — identical integers either way."""
+    m = F.map_from_entries(F.collect_list(F.struct(F.col("dim"), F.col("c"))))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(width - 1)),
+        lambda j: F.coalesce(
+            F.element_at(F.col("__m"), j.cast("bigint")), F.lit(0)
+        ).cast(value_cast),
     )
-    return F.expr(chain)
+    return (
+        dims.groupBy(*group_cols)
+        .agg(m.alias("__m"))
+        .select(*group_cols, vec.alias(out))
+    )
+
+
+#: dot_expr dispatch boundary: unrolled chains JIT-compile and win below
+#: this width (dim=8: 0.78 s vs 1.30 s HOF; dim=16: 0.43 vs 1.36 over 2M
+#: rows); at dim≥32 the generated method passes HotSpot's 8 KB JIT
+#: ceiling and runs interpreted (dim=32: 3.48 vs 1.54; dim=64: 7.22 vs
+#: 3.71 — tools/probe_dot_kernel_r15.log, round 15).
+_DOT_CHAIN_MAX_DIM = 16
+
+
+def dot_expr(a: str, b: str, dim: int) -> Column:
+    """Σ a[i]*b[i] with the fixed left-assoc IEEE evaluation order.
+
+    Two implementations, SAME doubles (probe-verified bitwise,
+    tools/probe_dot_kernel_r15.log):
+
+    - dim ≤ _DOT_CHAIN_MAX_DIM: the unrolled chain as ONE SQL text
+      (single Py4J round trip; JIT-compiles at these widths).
+    - wider: zip_with products + F.aggregate left fold SEEDED WITH THE
+      FIRST TERM, i.e. ((t1+t2)+t3)+… — the chain's exact association.
+      (A 0.0 seed would be (0.0+t1)+…, which flips a -0.0 running sum
+      to +0.0 — the seed trick keeps even that degenerate case exact.)
+      The unrolled chain at dim=64 is a >8 KB method HotSpot never
+      JIT-compiles: whole stages ran as interpreted bytecode, ~2× the
+      fold's cost — and the O(dim)-node expression tree slowed every
+      Catalyst pass over these plans."""
+    if dim <= _DOT_CHAIN_MAX_DIM:
+        chain = " + ".join(
+            f"CAST(element_at({a}, {i}) AS DOUBLE) * CAST(element_at({b}, {i}) AS DOUBLE)"
+            for i in range(1, dim + 1)
+        )
+        return F.expr(chain)
+    z = F.zip_with(
+        F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")
+    )
+    return F.aggregate(
+        F.slice(z, 2, dim - 1), F.element_at(z, 1), lambda acc, v: acc + v
+    )
 
 
 def norm_expr(a: str, dim: int) -> Column:

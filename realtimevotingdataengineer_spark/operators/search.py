@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import TOKENS_SQL, normalize_text, tokens
+from ..functions import TOKENS_SQL, counts_to_vector, normalize_text, tokens
 from ..registry import register
 from ..sources.tables import Tables
 
@@ -407,18 +407,9 @@ def dense_keyword_topk(t: Tables, dl: DataFrame | None = None) -> DataFrame:
         .groupBy("query_id", "dim")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    sums = [
-        F.sum(F.when(F.col("dim") == j, F.col("c")).otherwise(F.lit(0)))
-        .cast("double")
-        .alias(f"s{j}")
-        for j in range(HTF_DIM)
-    ]
+    # round 15: map-aggregate pivot — see functions.counts_to_vector
     qv = (
-        qdims.groupBy("query_id")
-        .agg(*sums)
-        .select(
-            "query_id", F.array(*[F.col(f"s{j}") for j in range(HTF_DIM)]).alias("v")
-        )
+        counts_to_vector(qdims, ["query_id"], HTF_DIM, "double", "v")
         .withColumn("nrm", norm_expr("v", HTF_DIM))
         .alias("q")
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import TOKENS_SQL, normalize_text, spread, tokens
+from ..functions import TOKENS_SQL, counts_to_vector, normalize_text, spread, tokens
 from ..registry import register
 from ..sources.tables import Tables
 
@@ -805,17 +805,9 @@ def hashing_tf_vectors_from(toks: DataFrame) -> DataFrame:
         .groupBy("doc_id", "dim")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    sums = [
-        F.sum(F.when(F.col("dim") == j, F.col("c")).otherwise(F.lit(0)))
-        .cast("bigint")
-        .alias(f"s{j}")
-        for j in range(HTF_DIM)
-    ]
-    return (
-        dims.groupBy("doc_id")
-        .agg(*sums)
-        .select("doc_id", F.array(*[F.col(f"s{j}") for j in range(HTF_DIM)]).alias("vec"))
-    )
+    # round 15: map-aggregate pivot — see functions.counts_to_vector
+    # (the 64-sum(CASE) form ran interpreted past the JIT method limit)
+    return counts_to_vector(dims, ["doc_id"], HTF_DIM, "bigint", "vec")
 
 
 #: Document-similarity query set / report size.
@@ -1518,21 +1510,8 @@ def pipeline_rag_chunk_index(t: Tables) -> DataFrame:
         .groupBy("doc_id", "chunk_id", "dim")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    sums = [
-        F.sum(F.when(F.col("dim") == j, F.col("c")).otherwise(F.lit(0)))
-        .cast("double")
-        .alias(f"s{j}")
-        for j in range(HTF_DIM)
-    ]
-    vec = (
-        dims.groupBy("doc_id", "chunk_id")
-        .agg(*sums)
-        .select(
-            "doc_id",
-            "chunk_id",
-            F.array(*[F.col(f"s{j}") for j in range(HTF_DIM)]).alias("v"),
-        )
-    )
+    # round 15: map-aggregate pivot — see functions.counts_to_vector
+    vec = counts_to_vector(dims, ["doc_id", "chunk_id"], HTF_DIM, "double", "v")
     q = vec.filter(F.col("doc_id") < RAG_QUERY_DOCS).alias("q")
     c = vec.alias("c")
     cos = dot_expr("q.v", "c.v", HTF_DIM) / (
