@@ -392,10 +392,13 @@ def graph_bfs_distance_deep(t: Tables) -> DataFrame:
     per-round shuffle volume is |frontier|·fanout, not |nodes|·fanout,
     and rounds past the graph's diameter are (empty-frontier) no-ops.
 
-    Plan hygiene at depth: both the reached set and the frontier are
-    eagerly checkpointed per round, so plan size is constant per round
-    and total work is linear in depth — the property the dense 3-round
-    key's budget test pins. The early-exit probe is one isEmpty() on an
+    Plan hygiene at depth: the frontier is eagerly checkpointed per
+    round, and the reached set is the flat UNION of those checkpointed
+    frontiers (round 15: re-checkpointing the union each round was one
+    redundant job per round — every branch is already an ExistingRDD
+    scan), so plan size is linear-in-depth-but-tiny per round and total
+    work is linear in depth — the property the dense 3-round key's
+    budget test pins. The early-exit probe is one isEmpty() on an
     already-materialized (checkpointed) frontier — no extra job.
 
     The oracle is the DENSE Bellman-Ford unrolled 8 rounds (CTEs
@@ -434,7 +437,13 @@ def graph_bfs_distance_deep(t: Tables) -> DataFrame:
             .select("vec_id", F.lit(i).alias("dist"))
             .localCheckpoint(eager=True)
         )
-        reached = reached.unionByName(frontier).localCheckpoint(eager=True)
+        # round 15: reached is a UNION of the per-round checkpointed
+        # frontiers — already a flat, constant-depth plan (each branch
+        # is an ExistingRDD scan), so re-checkpointing the union each
+        # round bought nothing and cost one extra job + materialization
+        # per round (8 of the ~20 construct jobs of this key at sf0.1).
+        # The anti-join probe side stays ≤|reached| rows either way.
+        reached = reached.unionByName(frontier)
     return (
         reached.select("vec_id", F.col("dist").cast("bigint").alias("dist"))
         .orderBy("vec_id")
