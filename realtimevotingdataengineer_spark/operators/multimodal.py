@@ -613,7 +613,13 @@ def mm_dedup_phash(t: Tables) -> DataFrame:
     is the baseline-only part — the GROUPS rollup (mm_phash_groups) is
     the scale deliverable and never materializes the within-group
     cliques at all."""
-    ph = _phash_hashes(t)
+    # round 15: eager checkpoint — ph is consumed FOUR times below (hash
+    # pairs, both expansion sides, the same-hash self-join), and each
+    # broadcast branch re-ran the ~260-node aHash expression tree over
+    # the payloads (3 × ~0.85 s broadcast-build jobs at sf0.1) while the
+    # inlined copies pushed plan build to 2.6 s of pure driver time.
+    # mm_phash_groups already checkpoints for the same reason.
+    ph = _phash_hashes(t).localCheckpoint(eager=True)
     hp = _phash_hash_pairs(t, ph)
     ma = ph.select(
         F.col("doc_id").alias("ida"), F.col("lo").alias("la"), F.col("hi").alias("qa")
