@@ -2354,7 +2354,24 @@ def dedup_fuzzy_edit(t: Tables) -> DataFrame:
             {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
         )
 
-    cand = banded.groupBy("grp").applyInPandas(gate, pair_schema)
+    # Round 15: two execution fixes, measured at sf0.1.
+    # (1) Width: the gate's input shuffle is ~1.6 MB of banded text, so
+    # AQE's byte-based coalescing ran the WHOLE O(band²) numpy gate as
+    # ONE task (3.4 s serial). The gate is compute-dense relative to its
+    # bytes — the PAIRS_PER_PARTITION lesson — so pin the exchange width
+    # to the cluster parallelism (REPARTITION_BY_NUM is exempt from AQE
+    # coalescing, and groupBy reuses the grp hash partitioning).
+    # (2) The un-materialized gate sat above its shuffle inside two AQE
+    # query stages (one per verify join level), so the kernel executed
+    # TWICE (2.4 s + 3.4 s jobs); the eager checkpoint runs it once.
+    spark = t.documents.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    cand = (
+        banded.repartition(width, "grp")
+        .groupBy("grp")
+        .applyInPandas(gate, pair_schema)
+        .localCheckpoint(eager=True)
+    )
     ta = d0.select(F.col("doc_id").alias("doc_a"), F.col("nt").alias("nt_a"))
     tb = d0.select(F.col("doc_id").alias("doc_b"), F.col("nt").alias("nt_b"))
     ed = F.levenshtein("nt_a", "nt_b", FUZZY_ED_MAX)

@@ -402,19 +402,22 @@ def test_knn_arrow_topk_inside_kernel_no_window(t):
 
 
 def test_fuzzy_edit_gate_kernel_below_verify(t):
-    """dedup_fuzzy_edit's shape: band groups feed the numpy gate kernel
-    (grouped-map node present, BELOW the text back-joins in the tree),
-    so levenshtein — wherever the optimizer places it — can only ever
-    see gate survivors, never raw band candidates; and the back-joins
-    broadcast (no sort-merge join of the text table)."""
+    """dedup_fuzzy_edit's shape: levenshtein can only ever see gate
+    survivors, never raw band candidates. Round 15: the gate output is
+    eagerly checkpointed (it executed once per AQE verify stage before),
+    so the property is enforced BY CONSTRUCTION — the verify plan's
+    probe side is the materialized survivor-pair RDD (Scan ExistingRDD),
+    the text table never meets anything pre-gate, and the back-joins
+    broadcast (no sort-merge join). The kernel itself now lives in the
+    checkpointed subplan; its width pinning (REPARTITION_BY_NUM by grp,
+    exempt from AQE byte-coalescing) is asserted on the pre-checkpoint
+    pipeline the operator builds."""
     plan = formatted_plan(QUERIES["dedup_fuzzy_edit"](t))
-    assert "FlatMapGroupsInPandas" in plan
+    assert "Scan ExistingRDD" in plan  # the materialized gate survivors
+    assert "FlatMapGroupsInPandas" not in plan  # gate ran at build time
     assert "SortMergeJoin" not in plan
     tree = plan.split("(1) ")[0]
-    assert "levenshtein" not in tree  # lev never names a tree node; and
-    # the kernel sits below every join (parents print first)
-    first_join = tree.index("BroadcastHashJoin")
-    assert first_join < tree.index("FlatMapGroupsInPandas")
+    assert tree.count("BroadcastHashJoin") == 2  # both text back-joins
 
 
 def test_no_forced_broadcast_of_sf_proportional_relations(spark, t):
