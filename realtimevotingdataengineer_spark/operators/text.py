@@ -2308,7 +2308,14 @@ def text_perplexity_bigram(t: Tables) -> DataFrame:
     scoring join co-partitions on (w1, w2). This is the LM-scoring
     pipeline a CCNet-style filter runs where the model IS the corpus
     statistics."""
-    tk = spread(t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id")
+    # round 15: tk is eagerly checkpointed — the bigram stream AND the
+    # unigram count stream both start from it, and un-materialized each
+    # ran its own full scan + regexp tokenize of the corpus (two ~30 MB
+    # scan stages, 31.6 s + 13.4 s executor time at sf0.1). One
+    # tokenize pass now feeds both.
+    tk = spread(
+        t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id"
+    ).localCheckpoint(eager=True)
     bgs = (
         tk.select(
             "doc_id",
