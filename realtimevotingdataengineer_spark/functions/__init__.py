@@ -63,6 +63,62 @@ def spread(df, *cols):
     return df.repartition(n, *[F.col(c) if isinstance(c, str) else c for c in cols])
 
 
+#: local_rows_df falls back to createDataFrame above this row count: a
+#: literal struct array is one Catalyst expression per cell, and the
+#: wins below are all bounded relations (query sets, dial lists, merge
+#: tables — tens of rows). Driver-data relations past this size belong
+#: in an RDD anyway.
+_LOCAL_DF_MAX_ROWS = 2048
+
+
+def local_rows_df(spark, rows, schema):
+    """A driver-literal relation as a pure-JVM plan: ``range(1)`` +
+    ``inline(array(struct(lit...)))`` instead of ``createDataFrame``.
+
+    ``spark.createDataFrame(list)`` builds a PICKLED-PYTHON RDD
+    (``applySchemaToPythonRDD``), parallelized over defaultParallelism
+    slices — so every action that evaluates the relation launches one
+    Python worker per core (measured ~0.2 s × 32 tasks ≈ 6–8 s executor
+    time per evaluation at local[32]), and a relation consumed by N
+    broadcast builds is evaluated N times. Literal structs stay entirely
+    in the JVM (whole-stage codegen, no Python workers, no pickling) and
+    carry exact values (``F.lit`` builds Literal nodes — no SQL-text
+    escaping). Row/column values and types are identical to the
+    createDataFrame form; only the physical source node changes
+    (Scan ExistingRDD → Range + Generate inline).
+
+    Empty or >_LOCAL_DF_MAX_ROWS inputs fall back to createDataFrame
+    (inline needs ≥1 struct; giant literal trees would bloat the plan).
+    """
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    st = schema if isinstance(schema, StructType) else _parse_datatype_string(schema)
+    rows = list(rows)
+    if not rows or len(rows) > _LOCAL_DF_MAX_ROWS:
+        return spark.createDataFrame(rows, st)
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for v, f in zip(r, st.fields)
+            ]
+        )
+        for r in rows
+    ]
+    df = spark.range(1).select(F.inline(F.array(*structs)))
+    # match createDataFrame's schema exactly: literal structs infer
+    # nullable=false on all-non-null columns, so relax those fields with
+    # nullif(col, NULL) — value-preserving (the NULL comparand never
+    # equals anything), nullable at analysis time
+    cols = [
+        F.nullif(F.col(f.name), F.lit(None).cast(f.dataType)).alias(f.name)
+        if f.nullable and not df.schema[f.name].nullable
+        else F.col(f.name)
+        for f in st.fields
+    ]
+    return df.select(*cols)
+
+
 def dec(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
     """Cast to an exact decimal for associative (parallel-safe) arithmetic."""
     c = F.col(col) if isinstance(col, str) else col

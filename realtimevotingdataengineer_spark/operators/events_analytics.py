@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import local_rows_df
 from ..registry import register
 from ..sources.tables import Tables
 
@@ -1565,7 +1566,7 @@ def events_autocorr_daily(t: Tables) -> DataFrame:
     daily = t.events.groupBy(F.to_date("ts").alias("d")).agg(
         F.count(F.lit(1)).alias("y")
     )
-    lags = t.spark.createDataFrame([(k,) for k in ACF_LAGS], "lag long")
+    lags = local_rows_df(t.spark, [(k,) for k in ACF_LAGS], "lag long")
     a = daily.select(F.col("d").alias("da"), F.col("y").alias("x"))
     b = daily.select(F.col("d").alias("db"), F.col("y").alias("z"))
     pairs = (

@@ -27,7 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import TOKENS_SQL, counts_to_vector, normalize_text, tokens
+from ..functions import (
+    TOKENS_SQL,
+    counts_to_vector,
+    local_rows_df,
+    normalize_text,
+    tokens,
+)
 from ..registry import register
 from ..sources.tables import Tables
 
@@ -151,7 +157,11 @@ def bm25_from_postings(t: Tables, terms: DataFrame, stats: DataFrame) -> DataFra
     the in-memory key and the persisted-index search (build-once /
     search-many), so the two paths are the same program by
     construction."""
-    qt = t.spark.createDataFrame(
+    # round 16: literal JVM relation — the createDataFrame form was a
+    # pickled-Python RDD re-evaluated (32 Python-worker tasks) by each
+    # of this plan's three broadcast builds (see functions.local_rows_df)
+    qt = local_rows_df(
+        t.spark,
         [(qid, term) for qid, qterms in BM25_QUERIES for term in qterms],
         "query_id string, term string",
     )
@@ -392,7 +402,8 @@ def dense_keyword_topk(t: Tables, dl: DataFrame | None = None) -> DataFrame:
     from ..functions import dot_expr, norm_expr
     from .text import HTF_DIM, hashing_tf_vectors
 
-    qt = t.spark.createDataFrame(
+    qt = local_rows_df(
+        t.spark,
         [(qid, term) for qid, qterms in BM25_QUERIES for term in qterms],
         "query_id string, term string",
     )

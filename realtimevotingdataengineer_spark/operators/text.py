@@ -14,7 +14,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import TOKENS_SQL, counts_to_vector, normalize_text, spread, tokens
+from ..functions import (
+    TOKENS_SQL,
+    counts_to_vector,
+    local_rows_df,
+    normalize_text,
+    spread,
+    tokens,
+)
 from ..registry import register
 from ..sources.tables import Tables
 
@@ -1191,8 +1198,8 @@ def text_vocab_coverage_curve(t: Tables) -> DataFrame:
         "r", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("tok")))
     ).select("f", "r")
     tot = freq.agg(F.sum("f").alias("total"))
-    budgets = t.spark.createDataFrame(
-        [(k,) for k in VOCAB_BUDGETS], "vocab_budget long"
+    budgets = local_rows_df(
+        t.spark, [(k,) for k in VOCAB_BUDGETS], "vocab_budget long"
     )
     covered = F.sum(
         F.when(F.col("r") <= F.col("vocab_budget"), F.col("f")).otherwise(F.lit(0))
@@ -2253,7 +2260,8 @@ def text_bpe_learn_merges_batched(t: Tables) -> DataFrame:
     The oracle unrolls the identical program: rank the pair table,
     k greedy disjoint selections per round, one batch replace."""
     rows = _bpe_learn_batched(t, BPE_BATCH_ROUNDS, BPE_BATCH_K, BPE_BATCH_CAND)
-    return t.spark.createDataFrame(
+    return local_rows_df(
+        t.spark,
         rows,
         "merge_rank bigint, sym_left string, sym_right string, "
         "merged string, freq bigint",

@@ -25,7 +25,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import normalize_text
+from ..functions import local_rows_df, normalize_text
 
 _LOG = logging.getLogger(__name__)
 
@@ -224,7 +224,7 @@ def _greedy_admit_frames(
     spark = und.sparkSession
     if tail:
         adm = adm.union(
-            spark.createDataFrame([(i,) for i in sorted(tail)], adm.schema)
+            local_rows_df(spark, [(i,) for i in sorted(tail)], adm.schema)
         )
     return adm
 
@@ -374,8 +374,11 @@ def _minhash_gate_batch(
         )
         if not kept:
             return
-        surv_ids = spark.createDataFrame(
-            [(i,) for i in sorted(kept)], "doc_id bigint"
+        # literal JVM relation: the createDataFrame form re-ran a
+        # Python-RDD scan in EACH of the three per-batch index/sink
+        # joins below (functions.local_rows_df)
+        surv_ids = local_rows_df(
+            spark, [(i,) for i in sorted(kept)], "doc_id bigint"
         )
     # index rows FIRST, survivors last (see docstring: the index must
     # cover every doc the sink may contain at every crash point)
@@ -1142,8 +1145,8 @@ def _srp_gate_batch(
         )
         if not kept:
             return
-        surv_ids = spark.createDataFrame(
-            [(i,) for i in sorted(kept)], "vec_id bigint"
+        surv_ids = local_rows_df(
+            spark, [(i,) for i in sorted(kept)], "vec_id bigint"
         )
     # index rows FIRST, survivors last (crash-containment: the index
     # must cover every vector the sink may contain)

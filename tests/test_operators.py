@@ -2799,3 +2799,24 @@ def test_ivf_assign_kernel_matches_crossjoin_window_formulation(t):
             (r.vec_id, r.cent_id) for r in reference(n_probe, n_cent).collect()
         )
         assert got == want, f"assign drift at n_probe={n_probe} n_cent={n_cent}"
+
+
+def test_local_rows_df_equals_createdataframe_and_stays_jvm(spark):
+    """functions.local_rows_df (round 16): the literal-struct relation
+    must carry exactly the rows/types of the retired createDataFrame
+    form, and its physical plan must contain NO pickled-Python RDD scan
+    (applySchemaToPythonRDD) — that scan launched one Python worker per
+    core on EVERY action that evaluated the relation (once per broadcast
+    build in the BM25/RRF plans)."""
+    from realtimevotingdataengineer_spark.functions import local_rows_df
+
+    rows = [(1, "a b", 0.5), (2, None, -0.0), (3, "chr\x01ctl", 2.25)]
+    schema = "k bigint, s string, x double"
+    got = local_rows_df(spark, rows, schema)
+    want = spark.createDataFrame(rows, schema)
+    assert got.schema == want.schema
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "applySchemaToPythonRDD" not in plan
+    # empty input falls back to createDataFrame (inline needs >=1 row)
+    assert local_rows_df(spark, [], schema).count() == 0
