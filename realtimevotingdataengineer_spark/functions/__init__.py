@@ -211,7 +211,12 @@ def ngram_cte_sql(name: str, n: int, source_cte: str = "tk") -> str:
 # ---------------------------------------------------------------------------
 
 def counts_to_vector(
-    dims, group_cols: list[str], width: int, value_cast: str, out: str
+    dims,
+    group_cols: list[str],
+    width: int,
+    value_cast: str,
+    out: str,
+    wide: bool = True,
 ):
     """(group…, dim, c) → (group…, out = [v₀ … v_{width−1}]): the
     hashed-TF pivot as ONE map aggregate + ONE transform instead of
@@ -222,7 +227,20 @@ def counts_to_vector(
     shape. Exact by construction: counts are integers, each dim key
     appears at most once per group (dims is already aggregated), and
     absent dims coalesce to the same 0 the CASE form summed. The oracle
-    SQL keeps its sum(CASE) text — identical integers either way."""
+    SQL keeps its sum(CASE) text — identical integers either way.
+
+    Round 16 (``wide=True``, the corpus-sized call sites): the pivot
+    output is ~100 B/group, so AQE's byte-based coalescing handed the
+    downstream dim-wide fold cosines 1–2 tasks (§2.5 rows-not-bytes).
+    A REPARTITION_BY_NUM on the group keys AFTER the vector projection
+    (exempt from coalescing) materializes each group's vector exactly
+    once and spreads the consumers to cluster width. Placement matters
+    and was measured: repartitioning BEFORE the aggregation removes the
+    exchange boundary that materializes ``out``, so every consumer
+    re-evaluated the width-element map-lookup transform per scored row
+    (pipeline_rag_chunk_index 1.9 s → 4.4 s); the post-projection
+    exchange gives 1.66 s. Query-side pivots over a handful of groups
+    pass ``wide=False``."""
     m = F.map_from_entries(F.collect_list(F.struct(F.col("dim"), F.col("c"))))
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(width - 1)),
@@ -230,11 +248,17 @@ def counts_to_vector(
             F.element_at(F.col("__m"), j.cast("bigint")), F.lit(0)
         ).cast(value_cast),
     )
-    return (
+    res = (
         dims.groupBy(*group_cols)
         .agg(m.alias("__m"))
         .select(*group_cols, vec.alias(out))
     )
+    if wide:
+        n = int(
+            dims.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        res = res.repartition(n, *[F.col(c) for c in group_cols])
+    return res
 
 
 #: dot_expr dispatch boundary: unrolled chains JIT-compile and win below

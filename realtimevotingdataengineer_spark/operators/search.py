@@ -32,6 +32,7 @@ from ..functions import (
     counts_to_vector,
     local_rows_df,
     normalize_text,
+    spread,
     tokens,
 )
 from ..registry import register
@@ -368,7 +369,12 @@ def pipeline_hybrid_rrf(t: Tables) -> DataFrame:
     query vectors against one corpus-vector scan (the SRP-bucketed keys
     are the documented 100 TB drop-in); fusion is a full outer join of
     two ≤(|queries|·10)-row rank lists — metadata-sized."""
-    dl = doc_lengths(t).localCheckpoint(eager=True)  # one tokenization
+    # one tokenization, spread to cluster parallelism before the
+    # checkpoint (round 16): the raw checkpoint inherited the scan's
+    # 5 splits, so every map pass over it — the posting-list partial
+    # agg, the hashed-dim partial agg — ran 5-way on a 32-core session
+    # (§2.5; spread stands aside when the source is already split)
+    dl = spread(doc_lengths(t), "doc_id").localCheckpoint(eager=True)
     sparse = bm25_topk_from(t, dl).select(
         "query_id", "doc_id", F.col("rank").alias("r_sparse")
     )
@@ -420,7 +426,7 @@ def dense_keyword_topk(t: Tables, dl: DataFrame | None = None) -> DataFrame:
     )
     # round 15: map-aggregate pivot — see functions.counts_to_vector
     qv = (
-        counts_to_vector(qdims, ["query_id"], HTF_DIM, "double", "v")
+        counts_to_vector(qdims, ["query_id"], HTF_DIM, "double", "v", wide=False)
         .withColumn("nrm", norm_expr("v", HTF_DIM))
         .alias("q")
     )
@@ -505,7 +511,12 @@ def search_rank_agreement_ndcg(t: Tables) -> DataFrame:
     both engines. Plan: both rank lists are the bounded retrieval
     outputs (≤ |queries|·10 rows) — the eval join is metadata-sized;
     corpus cost is exactly the two retrieval passes it evaluates."""
-    dl = doc_lengths(t).localCheckpoint(eager=True)  # one tokenization
+    # one tokenization, spread to cluster parallelism before the
+    # checkpoint (round 16): the raw checkpoint inherited the scan's
+    # 5 splits, so every map pass over it — the posting-list partial
+    # agg, the hashed-dim partial agg — ran 5-way on a 32-core session
+    # (§2.5; spread stands aside when the source is already split)
+    dl = spread(doc_lengths(t), "doc_id").localCheckpoint(eager=True)
     sparse = bm25_topk_from(t, dl).select(
         "query_id", "doc_id", F.col("rank").alias("r_sparse")
     )

@@ -2536,19 +2536,29 @@ def sim_doc_maxsim_topk(t: Tables) -> DataFrame:
     )
     # Eager checkpoint: the trigram stream has THREE consumers (query
     # side, corpus join side, per-token sizes) — without materialization
-    # each re-pays the scan + explode + distinct.
+    # each re-pays the scan + explode + distinct. Round 16: the distinct
+    # output is ~10 MB, so AQE's byte-based coalescing materialized the
+    # checkpoint as ONE partition and every downstream stage (sz sizes,
+    # the posting join's map side, the intersect partial agg) ran as a
+    # single task (§2.5 rows-not-bytes — the fuzzy-edit gate lesson).
+    # spread() re-widens to cluster parallelism keyed on (doc_id, tok),
+    # which the sz groupBy reuses, and stands aside when the source is
+    # already split (the 100 TB case).
     tri = (
-        tok.select(
+        spread(
+            tok.select(
+                "doc_id",
+                "tok",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("tok") - F.lit(2)),
+                        lambda i: F.col("tok").substr(i, F.lit(3)),
+                    )
+                ).alias("g"),
+            ).distinct(),
             "doc_id",
             "tok",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("tok") - F.lit(2)),
-                    lambda i: F.col("tok").substr(i, F.lit(3)),
-                )
-            ).alias("g"),
         )
-        .distinct()
         .localCheckpoint(eager=True)
     )
     sz = tri.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("ntri"))
