@@ -57,7 +57,16 @@ def text_decontaminate(t: Tables) -> DataFrame:
     suites are KBs against a PB corpus); the corpus side is a narrow
     scan → explode → broadcast-hash probe, no corpus shuffle until the
     tiny per-doc count agg."""
-    tk = spread(t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id")
+    return decontaminate_from(
+        spread(t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id")
+    )
+
+
+def decontaminate_from(tk: DataFrame) -> DataFrame:
+    """Parameterized core of :func:`text_decontaminate` over a
+    pre-tokenized (doc_id, tk) relation — lets the gate capstones share
+    ONE checkpointed tokenization between the quality predicates and
+    the decontamination probe (round 16; same program, same rows)."""
 
     def gram(i):
         return F.concat_ws(
@@ -293,9 +302,18 @@ def _survivorship_gate(t: Tables, labels: DataFrame) -> DataFrame:
     incremental contraction labels), so the predicates live here once
     and cannot drift between them (round-6 advice: three hand-copies of
     the same gate). Returns the ungated-order (doc_id, n_tokens)
-    survivor set; callers add their own terminal sort/layout."""
-    contaminated = text_decontaminate(t).select("doc_id")
-    tk = t.documents.select("doc_id", tokens("text").alias("tk"))
+    survivor set; callers add their own terminal sort/layout.
+
+    Round 16: the quality predicates and the decontamination probe both
+    start from ONE eagerly checkpointed tokenization (§2.3 shared scan —
+    the text_perplexity_bigram pattern): un-materialized, each branch
+    ran its own full scan + regexp-tokenize pass of the corpus at
+    execute time (and the decontamination subtree twice more for its
+    bench/probe sides)."""
+    tk = spread(
+        t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id"
+    ).localCheckpoint(eager=True)
+    contaminated = decontaminate_from(tk).select("doc_id")
     n = F.size("tk")
     quality = tk.select(
         "doc_id",

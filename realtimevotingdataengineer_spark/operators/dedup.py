@@ -1375,6 +1375,7 @@ def connected_components(
         )
         stepped = labels.join(neighbor_min, "doc_id", "left").select(
             "doc_id",
+            F.col("label").alias("old_label"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
@@ -1384,20 +1385,29 @@ def connected_components(
         lookup = stepped.select(
             F.col("doc_id").alias("l_id"), F.col("label").alias("l_label")
         )
-        new_labels = (
+        # Round 16: the convergence probe rides INSIDE the checkpoint
+        # job. The flag is computed where both labels are in hand (one
+        # boolean vs old_label) and summed by a CollectMetrics
+        # observation that completes with the localCheckpoint action —
+        # ONE job per round where there were two, and the retired
+        # probe's 2-exchange shuffle join (new labels re-joined against
+        # old) is gone entirely (§2.4: the information was already
+        # co-located; §1.2: don't launch a job to re-derive it).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        labels = (
             stepped.join(lookup, stepped.label == lookup.l_id)
-            .select("doc_id", F.col("l_label").alias("label"))
+            .select(
+                "doc_id",
+                F.col("l_label").alias("label"),
+                (F.col("l_label") != F.col("old_label")).alias("chg"),
+            )
+            .observe(obs, F.sum(F.col("chg").cast("long")).alias("n_chg"))
+            .select("doc_id", "label")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if not obs.get["n_chg"]:  # None on an empty round, 0 at fixpoint
             return labels, rounds
     raise RuntimeError(
         f"connected_components: no fixpoint in {max_rounds} rounds — "
@@ -3341,10 +3351,15 @@ def pipeline_clean_corpus_spans(t: Tables) -> DataFrame:
     narrow or metadata-sized. Output (doc_id, n_tokens_clean,
     n_removed): the shard writer's survivor set plus the audit trail of
     how much was stripped."""
-    from .corpus import _BENCH_MAX, _NGRAM, text_decontaminate
+    from .corpus import _BENCH_MAX, decontaminate_from
 
-    c = tokens("text")
-    tk = t.documents.select("doc_id", c.alias("tk"))
+    # round 16: one checkpointed tokenization feeds BOTH the span-clean
+    # rewrite and the decontamination probe (§2.3 shared scan) — the
+    # retired text_decontaminate(t) call re-scanned + re-tokenized the
+    # corpus inside the same plan
+    tk = spread(
+        t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id"
+    ).localCheckpoint(eager=True)
     covl = _shared_coverage(_substring_postings(t))
     clean = tk.join(covl, "doc_id", "left").select(
         "doc_id",
@@ -3356,7 +3371,7 @@ def pipeline_clean_corpus_spans(t: Tables) -> DataFrame:
         F.lit(1.0)
         - F.size(F.array_distinct("ctk")).cast("double") / F.size("ctk"),
     ).otherwise(F.lit(1.0))
-    contaminated = text_decontaminate(t).select("doc_id")
+    contaminated = decontaminate_from(tk).select("doc_id")
     return (
         clean.join(contaminated, "doc_id", "left_anti")
         .filter(

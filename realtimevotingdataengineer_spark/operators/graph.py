@@ -398,8 +398,9 @@ def graph_bfs_distance_deep(t: Tables) -> DataFrame:
     redundant job per round — every branch is already an ExistingRDD
     scan), so plan size is linear-in-depth-but-tiny per round and total
     work is linear in depth — the property the dense 3-round key's
-    budget test pins. The early-exit probe is one isEmpty() on an
-    already-materialized (checkpointed) frontier — no extra job.
+    budget test pins. The early-exit probe is a CollectMetrics
+    observation completed by the frontier's own checkpoint job
+    (round 16) — no probe job at all.
 
     The oracle is the DENSE Bellman-Ford unrolled 8 rounds (CTEs
     materialized — DuckDB would otherwise inline the
@@ -421,8 +422,9 @@ def graph_bfs_distance_deep(t: Tables) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     frontier = reached
+    frontier_empty = frontier.isEmpty()
     for i in range(1, DEEP_BFS_ITERS + 1):
-        if frontier.isEmpty():  # past the diameter: remaining rounds no-op
+        if frontier_empty:  # past the diameter: remaining rounds no-op
             break
         # |frontier|-sized probe side; und is the big fixed side. The
         # neighbor set is distinct'd BEFORE the anti-join so the
@@ -432,11 +434,19 @@ def graph_bfs_distance_deep(t: Tables) -> DataFrame:
             .select(F.col("b").alias("vec_id"))
             .distinct()
         )
+        # round 16: the empty-frontier probe rides inside the checkpoint
+        # job as a CollectMetrics observation (one job per round, no
+        # separate isEmpty job over the materialized frontier)
+        from pyspark.sql import Observation
+
+        obs = Observation()
         frontier = (
             neigh.join(reached, "vec_id", "left_anti")
             .select("vec_id", F.lit(i).alias("dist"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
+        frontier_empty = obs.get["n"] == 0
         # round 15: reached is a UNION of the per-round checkpointed
         # frontiers — already a flat, constant-depth plan (each branch
         # is an ExistingRDD scan), so re-checkpointing the union each

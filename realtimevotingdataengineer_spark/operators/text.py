@@ -2190,7 +2190,7 @@ def _bpe_learn_batched(t: Tables, rounds: int, k: int, cand: int) -> list:
     )
     exp: dict = {}
     out: list = []
-    for _ in range(rounds):
+    for r in range(rounds):
 
         def expand_col(c):
             for ph, full in exp.items():
@@ -2238,6 +2238,11 @@ def _bpe_learn_batched(t: Tables, rounds: int, k: int, cand: int) -> list:
             exp[ph] = row.el + row.er
             out.append((len(out) + 1, row.el, row.er, row.el + row.er, row.freq))
             sw = F.replace(sw, F.lit(row.mp), F.lit(ph))
+        if r == rounds - 1:
+            break  # round 16: the final round's vocabulary update is
+            # never read — applying + checkpointing it was one full
+            # replace pass and a materialization job for nothing (§1.2
+            # "don't compute things you throw away")
         w = w.select(sw.alias("sw"), "wc").localCheckpoint(eager=True)
     return out
 
