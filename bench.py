@@ -140,6 +140,33 @@ RETIRING_R12: list = []
 EXTRA_REP = {"pipeline_export_corpus", "pipeline_export_corpus_incremental"}
 
 
+def bench_ivf_index_build(t: Tables) -> float:
+    """Round 16 (r15 verdict ask #3, persisted-index adjudication): the
+    benched sim_ivf_topk reads the PERSISTED inverted list — the key's
+    declared build-once/search-many semantics — so the ASSIGNMENT cost
+    never appeared in the bench. This ADDED entry times a full fresh
+    index build (codebook collect + Arrow assign kernel + parquet write)
+    into a throwaway temp dir, best-of-2, with the per-session codebook
+    memo cleared before every rep so no rep inherits state. Nothing is
+    persisted across bench runs; sim_ivf_topk itself is unchanged."""
+    import shutil
+    import tempfile
+
+    from realtimevotingdataengineer_spark.operators import similarity as sim
+
+    best = float("inf")
+    for _ in range(2):
+        sim._CODEBOOK_CACHE.clear()  # noqa: SLF001 — fresh-build posture
+        d = tempfile.mkdtemp(prefix="bench_ivf_build_")
+        try:
+            t0 = time.perf_counter()
+            sim.build_ivf_index_fixed(t.embeddings, d)
+            best = min(best, time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return best
+
+
 def bench_stream(spark) -> float:
     """Structured-Streaming throughput: the full vote pipeline
     (text source → from_json parse → watermarked dedup → stateful tally)
@@ -267,6 +294,15 @@ def main() -> None:
         # query's measurement
         spark.sparkContext._jvm.System.gc()  # noqa: SLF001
     spark.catalog.clearCache()
+
+    try:
+        # ADDED round 16 (never removes/renames an existing entry): the
+        # fresh-build cost of the IVF inverted list sim_ivf_topk reads
+        # as a persisted table — see bench_ivf_index_build's docstring.
+        timings["ivf_index_build"] = round(bench_ivf_index_build(t), 3)
+    except Exception as ex:
+        errors["ivf_index_build"] = repr(ex)
+        print(f"ivf index build bench failed: {ex!r}", file=sys.stderr)
 
     try:
         timings["stream_votes_pipeline"] = round(bench_stream(spark), 3)

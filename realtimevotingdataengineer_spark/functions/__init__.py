@@ -242,10 +242,13 @@ def counts_to_vector(
     exchange gives 1.66 s. Query-side pivots over a handful of groups
     pass ``wide=False``."""
     m = F.map_from_entries(F.collect_list(F.struct(F.col("dim"), F.col("c"))))
+    # try_element_at: explicit null-on-missing-key semantics (r15
+    # ADVICE — plain element_at under ANSI mode throws
+    # MAP_KEY_DOES_NOT_EXIST on Spark 3.x; same values on 4.1.2)
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(width - 1)),
         lambda j: F.coalesce(
-            F.element_at(F.col("__m"), j.cast("bigint")), F.lit(0)
+            F.try_element_at(F.col("__m"), j.cast("bigint")), F.lit(0)
         ).cast(value_cast),
     )
     res = (

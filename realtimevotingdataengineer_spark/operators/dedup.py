@@ -1706,6 +1706,13 @@ def dedup_embedding_bucketed(t: Tables) -> DataFrame:
     ).localCheckpoint(eager=True)
     aa = assign.alias("aa")
     ab = assign.alias("ab")
+    # round 16: the candidate count needed for the verify width below
+    # rides the checkpoint job as a CollectMetrics observation — the
+    # previous pairs.count() was one extra job traversing the
+    # just-materialized blocks per construct (r15 verdict ask #5)
+    from pyspark.sql import Observation
+
+    obs = Observation()
     pairs = (
         aa.join(
             ab,
@@ -1714,6 +1721,7 @@ def dedup_embedding_bucketed(t: Tables) -> DataFrame:
         )
         .select(F.col("aa.vec_id").alias("id_a"), F.col("ab.vec_id").alias("id_b"))
         .distinct()  # a pair sharing both probed buckets matches twice
+        .observe(obs, F.count(F.lit(1)).alias("n_pairs"))
         .localCheckpoint(eager=True)
     )
     # AQE coalesces the distinct's shuffle output by BYTES (456k id
@@ -1722,14 +1730,14 @@ def dedup_embedding_bucketed(t: Tables) -> DataFrame:
     # compute-dense relative to its bytes, and on 3 partitions it ran
     # 10.6s vs 2.2s at proper width (round-12 measurement). Re-widen by
     # ROWS, not bytes: one partition per PAIRS_PER_PARTITION candidate
-    # pairs, floored at the cluster's parallelism. The count is free
-    # (pairs is checkpointed); the repartition shuffles only the narrow
-    # id pairs. Same rule a 100 TB run needs — the pair list is always
-    # tiny next to its verify cost.
+    # pairs, floored at the cluster's parallelism. The count comes from
+    # the checkpoint's own observation (no extra job); the repartition
+    # shuffles only the narrow id pairs. Same rule a 100 TB run needs —
+    # the pair list is always tiny next to its verify cost.
     spark = t.embeddings.sparkSession
     width = max(
         spark.sparkContext.defaultParallelism,
-        -(-pairs.count() // PAIRS_PER_PARTITION),
+        -(-(obs.get["n_pairs"] or 0) // PAIRS_PER_PARTITION),
     )
     pairs = pairs.repartition(width)
     # Round 15 (optimization): the verify cosine moved from the unrolled

@@ -409,9 +409,11 @@ def test_fuzzy_edit_gate_kernel_below_verify(t):
     probe side is the materialized survivor-pair RDD (Scan ExistingRDD),
     the text table never meets anything pre-gate, and the back-joins
     broadcast (no sort-merge join). The kernel itself now lives in the
-    checkpointed subplan; its width pinning (REPARTITION_BY_NUM by grp,
-    exempt from AQE byte-coalescing) is asserted on the pre-checkpoint
-    pipeline the operator builds."""
+    checkpointed subplan, so its width pinning (REPARTITION_BY_NUM by
+    grp, exempt from AQE byte-coalescing) is not visible in — and not
+    asserted on — the post-checkpoint verify plan this test inspects
+    (r15 ADVICE: the docstring previously claimed an assertion that was
+    never here)."""
     plan = formatted_plan(QUERIES["dedup_fuzzy_edit"](t))
     assert "Scan ExistingRDD" in plan  # the materialized gate survivors
     assert "FlatMapGroupsInPandas" not in plan  # gate ran at build time
