@@ -293,7 +293,49 @@ def _pretrain_sql() -> str:
     return ctes + final + " ORDER BY q.doc_id"
 
 
-def _survivorship_gate(t: Tables, labels: DataFrame) -> DataFrame:
+def _gate_tokens(t: Tables) -> DataFrame:
+    """The gate's shared tokenization (pre-checkpoint)."""
+    return spread(
+        t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id"
+    )
+
+
+def _gate_tokens_async(t: Tables):
+    """Kick off the gate tokenization's materialization on a driver
+    thread and return a join()-style handle (§2.6 overlap-independent-
+    jobs): the export capstones' construct is otherwise a strictly
+    sequential chain of small jobs (minhash materializations, then
+    2 jobs × CC rounds), during which the cluster is mostly idle — the
+    tokenize job back-fills it. Job submission is thread-safe; the
+    handle re-raises any thread-side failure. The ``documents`` handle
+    is bound BEFORE the thread starts so the Tables lazy-attr cache is
+    not raced."""
+    import threading
+
+    df = _gate_tokens(t)  # binds t.documents on the caller's thread
+    holder: dict = {}
+
+    def _mat() -> None:
+        try:
+            holder["tk"] = df.localCheckpoint(eager=True)
+        except BaseException as ex:  # noqa: BLE001 — re-raised in join
+            holder["err"] = ex
+
+    th = threading.Thread(target=_mat, name="gate-tokens-mat", daemon=True)
+    th.start()
+
+    def join() -> DataFrame:
+        th.join()
+        if "err" in holder:
+            raise holder["err"]
+        return holder["tk"]
+
+    return join
+
+
+def _survivorship_gate(
+    t: Tables, labels: DataFrame, tk: DataFrame | None = None
+) -> DataFrame:
     """The pretraining-corpus gate — length floor ∘ repetition cap ∘
     benchmark decontamination ∘ near-dup cluster survivorship (canonical
     doc only), excluding the benchmark split — applied against a label
@@ -309,10 +351,11 @@ def _survivorship_gate(t: Tables, labels: DataFrame) -> DataFrame:
     the text_perplexity_bigram pattern): un-materialized, each branch
     ran its own full scan + regexp-tokenize pass of the corpus at
     execute time (and the decontamination subtree twice more for its
-    bench/probe sides)."""
-    tk = spread(
-        t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id"
-    ).localCheckpoint(eager=True)
+    bench/probe sides). Callers that build labels with an iterative CC
+    chain pass a pre-materialized ``tk`` from :func:`_gate_tokens_async`
+    so the tokenize job overlaps the label rounds (§2.6)."""
+    if tk is None:
+        tk = _gate_tokens(t).localCheckpoint(eager=True)
     contaminated = decontaminate_from(tk).select("doc_id")
     n = F.size("tk")
     quality = tk.select(
@@ -344,7 +387,12 @@ def pipeline_pretrain_corpus(t: Tables) -> DataFrame:
     100 TB shape is the same plan over partitioned parquet."""
     from .dedup import dedup_clusters
 
-    return _survivorship_gate(t, dedup_clusters(t)).orderBy("doc_id")
+    # §2.6: the gate tokenization materializes on a driver thread while
+    # the label chain's sequential small jobs run — the tokenize job
+    # back-fills executors the CC rounds leave idle
+    tk_join = _gate_tokens_async(t)
+    labels = dedup_clusters(t)
+    return _survivorship_gate(t, labels, tk_join()).orderBy("doc_id")
 
 
 def pretrain_corpus_from_labels(t: Tables, labels_path: str) -> DataFrame:
@@ -765,7 +813,11 @@ def pipeline_export_corpus_incremental(t: Tables) -> DataFrame:
     pipeline_export_corpus."""
     from .dedup import incremental_cluster_labels
 
-    return _export_layout(t, _survivorship_gate(t, incremental_cluster_labels(t)))
+    # §2.6: tokenize overlaps the TWO sequential CC invocations of the
+    # contraction chain (see pipeline_pretrain_corpus)
+    tk_join = _gate_tokens_async(t)
+    labels = incremental_cluster_labels(t)
+    return _export_layout(t, _survivorship_gate(t, labels, tk_join()))
 
 
 #: Context-window length for sequence packing (tokens per training
