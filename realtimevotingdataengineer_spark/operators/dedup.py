@@ -2955,7 +2955,7 @@ _SUBSTR_SQL = (
 )
 
 
-def _substring_postings(t: Tables) -> DataFrame:
+def _substring_postings(t: Tables, tk: DataFrame | None = None) -> DataFrame:
     """(doc_id, i, wh): the positioned SUBSTR_W-token window-hash
     posting stream — THE shared structure of the substring family
     (dedup_substring_window / text_strip_shared_spans /
@@ -2963,13 +2963,23 @@ def _substring_postings(t: Tables) -> DataFrame:
     extract it so the three keys cannot drift). Eager-checkpointed:
     every consumer feeds it to BOTH the per-hash aggregate and a join
     back, and without materialization each side would pay its own
-    corpus scan + window-hash pass."""
-    c = tokens("text")
-    long_tk = t.documents.select("doc_id", c.alias("tk")).filter(
-        F.size("tk") >= SUBSTR_W
-    )
+    corpus scan + window-hash pass.
+
+    Round 16: span-REWRITE consumers pass their own checkpointed,
+    already-spread (doc_id, tk) relation so the corpus is tokenized once
+    for postings + rewrite instead of once per subtree (§2.3)."""
+    if tk is None:
+        c = tokens("text")
+        long_tk = spread(
+            t.documents.select("doc_id", c.alias("tk")).filter(
+                F.size("tk") >= SUBSTR_W
+            ),
+            "doc_id",
+        )
+    else:
+        long_tk = tk.filter(F.size("tk") >= SUBSTR_W)
     return (
-        spread(long_tk, "doc_id")
+        long_tk
         .select(
             "doc_id",
             F.explode(
@@ -3114,9 +3124,12 @@ def text_strip_shared_spans(t: Tables) -> DataFrame:
     convention pinned explicitly: Spark's filter lambda index is
     0-based, DuckDB's is 1-based — both sides align to the 1-based
     window offsets (see _strip_covered)."""
-    c = tokens("text")
-    tk = t.documents.select("doc_id", c.alias("tk"))
-    covl = _shared_coverage(_substring_postings(t))
+    # round 16 (§2.3): one checkpointed tokenization feeds the posting
+    # stream AND the rewrite join (each subtree re-tokenized before)
+    tk = spread(
+        t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id"
+    ).localCheckpoint(eager=True)
+    covl = _shared_coverage(_substring_postings(t, tk))
     return (
         tk.join(covl, "doc_id", "left")
         .select(
@@ -3368,7 +3381,7 @@ def pipeline_clean_corpus_spans(t: Tables) -> DataFrame:
     tk = spread(
         t.documents.select("doc_id", tokens("text").alias("tk")), "doc_id"
     ).localCheckpoint(eager=True)
-    covl = _shared_coverage(_substring_postings(t))
+    covl = _shared_coverage(_substring_postings(t, tk))
     clean = tk.join(covl, "doc_id", "left").select(
         "doc_id",
         _strip_covered().alias("ctk"),

@@ -532,7 +532,14 @@ def text_ccnet_buckets_approx(t: Tables) -> DataFrame:
     then a stateless three-way comparison against the two boundaries —
     same buckets as the exact key up to the bounded rank error, with
     the exact tercile key kept as the calibration baseline."""
-    pplx = text_perplexity_unigram(t).select("mean_logprob")
+    # round 16 (§2.3): the perplexity core feeds BOTH the GK-sketch agg
+    # and the rank-verification probe — un-materialized, the whole
+    # tokenize + unigram-LM scoring pipeline evaluated twice per action
+    pplx = (
+        text_perplexity_unigram(t)
+        .select("mean_logprob")
+        .localCheckpoint(eager=True)
+    )
     qs = (1.0 / 3.0, 2.0 / 3.0)
     ap = pplx.agg(
         F.percentile_approx(
